@@ -1,0 +1,90 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports transactional throughput (bank-transfer workload derived
+from the events table) as queries entry "txn_bank_tps" once the
+transactional layer lands.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_segment_top_orders",
+    "q5_region_revenue",
+    "q6_revenue_filter",
+    "q10_returned_items",
+    "outer_join_order_counts",
+    "window_top3_orders_per_customer",
+    "rollup_nation_status_revenue",
+    "pivot_event_type_values",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from t_spoon_spark.registry import all_queries
+    from t_spoon_spark.session import build_spark
+
+    spark = build_spark(app_name="t_spoon_spark_bench")
+    qs = all_queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        fn = qs[name]
+        # warm the scan cache once per query (parquet footer reads etc.)
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+
+    extra = bench_extra(spark, sf_dir)
+    timings.update(extra)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+def bench_extra(spark, sf_dir) -> dict[str, float]:
+    """Non-SQL benchmarks (transactional tx/s etc.) — filled in as the
+    engine layers land."""
+    out: dict[str, float] = {}
+    try:
+        from t_spoon_spark.bench_txn import bank_transfer_tps
+
+        out["txn_bank_tps"] = bank_transfer_tps(spark, sf_dir)
+    except ImportError:
+        pass
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Query registry: the single source for ``__spark_entry__.queries()``
+and ``oracle_sql()``.
+
+Each module (relational, windows, dedup, text, similarity, txn) calls
+``register(name, spark_fn, duckdb_sql)``; the driver contract file just
+re-exports the collected dicts. ``duckdb_sql=None`` marks an operator
+whose semantics are not ANSI-SQL-expressible (custom stateful streaming
+etc.) — the driver then records a rows-only check.
+
+Determinism contract for every entry:
+  - column names identical between the Spark result and the oracle
+    (the driver sorts columns by name before value-hashing);
+  - floating-point aggregates are integer-scaled (round half-up at a
+    fixed scale, then BIGINT sum) so the values are bit-identical across
+    engines regardless of summation order;
+  - no nondeterministic functions, no ties broken by arbitrary order
+    (every top-k / limit has a total tiebreak).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QueryEntry:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    duckdb_sql: str | None
+
+
+_REGISTRY: dict[str, QueryEntry] = {}
+
+
+def register(name: str, duckdb_sql: str | None = None):
+    """Decorator: register a (spark, sf_dir) -> DataFrame query."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QueryEntry(name, fn, duckdb_sql)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {n: e.spark_fn for n, e in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {n: e.duckdb_sql for n, e in _REGISTRY.items() if e.duckdb_sql is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    import t_spoon_spark.queries.relational  # noqa: F401
+    import t_spoon_spark.queries.windows  # noqa: F401
+    import t_spoon_spark.queries.dedup  # noqa: F401
+    import t_spoon_spark.queries.text  # noqa: F401
+    import t_spoon_spark.queries.similarity  # noqa: F401
+    import t_spoon_spark.queries.txn  # noqa: F401
+    import t_spoon_spark.queries.multimodal  # noqa: F401
+
+    _LOADED = True
