@@ -1,0 +1,204 @@
+"""Deduplication family for training-data pipelines:
+
+- exact (content-hash groupBy)
+- n-gram Jaccard (shingle self-join candidate generation + exact verify)
+- MinHash + LSH (shingle -> minhash signature -> band buckets -> verify)
+- SimHash (token-hash bit voting -> banded hamming candidates)
+- embedding-cosine near-dup (see operators/similarity.py)
+
+Scale design: every variant is generate-candidates-then-verify — the
+self-joins run on *bucket* keys (shingle hash, LSH band, simhash band),
+never on full documents, so the shuffle volume is O(candidate pairs),
+not O(n²). All hashes derive from md5 (portable across engines; swap
+xxhash64 for ~2x scan speed when cross-engine determinism isn't needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from t_spoon_spark.operators.text import md5_long, tokens
+
+# MinHash parameters: h_j(x) = (a_j * x + b_j) mod P, j in [0, H)
+MINHASH_P = (1 << 61) - 1  # Mersenne prime
+MINHASH_H = 16
+MINHASH_BANDS = 4  # 4 rows per band
+
+
+def _perm_consts(h: int) -> list[tuple[int, int]]:
+    """Deterministic permutation constants derived from a fixed seed —
+    literal-embedded in both engines' SQL, so no RNG at runtime."""
+    import hashlib
+
+    out = []
+    for j in range(h):
+        a = int(hashlib.md5(f"tspoon-a-{j}".encode()).hexdigest()[:15], 16) | 1
+        b = int(hashlib.md5(f"tspoon-b-{j}".encode()).hexdigest()[:15], 16)
+        out.append((a % MINHASH_P, b % MINHASH_P))
+    return out
+
+
+PERMS = _perm_consts(MINHASH_H)
+
+
+def shingles(text_col, k: int = 3):
+    """k-word shingles as strings (JVM transform over the token array)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array())
+
+
+def doc_shingle_hashes(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(doc_id, sh_hash BIGINT) — exploded distinct shingle hashes."""
+    return docs.select(
+        F.col(id_col), F.explode(shingles(F.col("text"), k)).alias("sh")
+    ).select(id_col, md5_long(F.col("sh")).alias("sh_hash"))
+
+
+def jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", k: int = 3, threshold_c: int = 50
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 shingle, with exact Jaccard (scaled
+    x100 fixed-point). threshold_c is the scaled threshold (50 = 0.5).
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct shingle sets.
+    """
+    sh = doc_shingle_hashes(docs, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh_hash")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh_hash")
+    inter = (
+        a.join(b, "sh_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard_c",
+            F.floor(
+                F.col("n_inter") * 100.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).cast("long"),
+        )
+    )
+    return jac.filter(F.col("jaccard_c") >= threshold_c).select(
+        "doc_a", "doc_b", "n_inter", "jaccard_c"
+    )
+
+
+def minhash_signature(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[H]) — min over shingle hashes per
+    permutation, computed as H aggregations over the exploded shingle
+    table (one shuffle; the per-permutation min is a map-side partial)."""
+    sh = doc_shingle_hashes(docs, id_col, k)
+    mins = [
+        F.min((F.col("sh_hash") % MINHASH_P * a + b) % MINHASH_P).alias(f"h{j}")
+        for j, (a, b) in enumerate(PERMS)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[f"h{j}" for j in range(MINHASH_H)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, id_col: str = "doc_id", k: int = 3, threshold_c: int = 50
+) -> DataFrame:
+    """MinHash LSH: band the signature, bucket-join on (band, band-hash),
+    then verify candidates with exact Jaccard. Returns verified pairs.
+
+    Scale path: the bucket join shuffles only (band_id, band_key) —
+    candidate generation never compares all pairs.
+    """
+    sig = minhash_signature(docs, id_col, k)
+    rows_per_band = MINHASH_H // MINHASH_BANDS
+    bands = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_", *[F.col("sig")[i].cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = jaccard_pairs(docs, id_col, k, threshold_c=0)
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard_c") >= threshold_c)
+        .select("doc_a", "doc_b", "jaccard_c")
+    )
+
+
+SIMHASH_BITS = 48
+SIMHASH_BANDS = 4  # 12 bits per band; hamming<=3 => >=1 identical band
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sim BIGINT) — 48-bit SimHash over distinct tokens:
+    bit j = sign of Σ_tokens (2*bit_j(md5(token)) - 1)."""
+    tok = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col("text")))).alias("w")
+    ).select(id_col, md5_long(F.col("w")).alias("h"))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long")
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.alias("sim"))
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by banded SimHash: join on any equal 12-bit band,
+    verify with exact hamming distance (bit_count of xor)."""
+    sh = simhash(docs, id_col)
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    bands = sh.select(
+        id_col,
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sim"), b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = bands.select(F.col(id_col).alias("doc_a"), F.col("sim").alias("sim_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("doc_b"), F.col("sim").alias("sim_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", ham.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

@@ -1,1 +1,141 @@
-"""Registered in later milestone."""
+"""Text-analysis queries over the documents table (training-data
+pipeline surface: token stats, quality, lang-ID, fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from t_spoon_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_scores,
+    quality_components,
+    tokens,
+)
+from t_spoon_spark.queries.relational import t
+from t_spoon_spark.registry import register
+
+# DuckDB twins of the token/stopword primitives
+DD_TOKS = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+DD_STOP_ARR = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH tok AS (SELECT doc_id, n_chars, {DD_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           n_chars,
+           CAST(FLOOR(list_sum(list_transform(toks, w -> length(w))) * 100.0 / len(toks)) AS BIGINT)
+             AS mean_tok_len_c
+    FROM tok
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        "n_chars",
+        F.floor(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+            * 100.0
+            / F.size(toks)
+        )
+        .cast("long")
+        .alias("mean_tok_len_c"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH tok AS (SELECT doc_id, text, {DD_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars_calc,
+           length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+           CAST(FLOOR(len(list_intersect(toks, {DD_STOP_ARR})) * 10000.0 / len(toks)) AS BIGINT)
+             AS stop_ratio_c,
+           CAST(FLOOR(len(list_distinct(toks)) * 10000.0 / len(toks)) AS BIGINT) AS uniq_ratio_c
+    FROM tok
+    ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    comps = quality_components(F.col("text"))
+    return docs.select(
+        "doc_id",
+        comps["n_tokens"].alias("n_tokens"),
+        comps["n_chars_calc"].alias("n_chars_calc"),
+        comps["n_punct"].alias("n_punct"),
+        comps["stop_ratio_c"].alias("stop_ratio_c"),
+        comps["uniq_ratio_c"].alias("uniq_ratio_c"),
+    ).orderBy("doc_id")
+
+
+def _dd_lang_case() -> str:
+    score = {
+        lang: f"len(list_intersect(toks, [{', '.join(repr(m) for m in ms)}]))"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    # argmax with deterministic tiebreak: language order en, es, fr, de
+    order = list(LANG_MARKERS)
+    best = " OR ".join([])  # readability only
+    conds = []
+    for i, lang in enumerate(order):
+        others = [
+            f"{score[lang]} >= {score[o]}" if j > i else f"{score[lang]} > {score[o]}"
+            for j, o in enumerate(order)
+            if o != lang
+        ]
+        conds.append(f"WHEN {score[lang]} > 0 AND {' AND '.join(others)} THEN '{lang}'")
+    return "CASE " + " ".join(conds) + " ELSE 'unknown' END"
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH tok AS (SELECT doc_id, {DD_TOKS} AS toks FROM documents)
+    SELECT doc_id, {_dd_lang_case()} AS lang_pred
+    FROM tok
+    ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scores = lang_scores(toks)
+    order = [lang for lang, _ in scores]
+    expr = None
+    for i, (lang, s) in enumerate(scores):
+        cond = s > 0
+        for j, (other, so) in enumerate(scores):
+            if other == lang:
+                continue
+            cond = cond & ((s >= so) if j > i else (s > so))
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr.otherwise("unknown")
+    return docs.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprints",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''), ' '))
+             AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")

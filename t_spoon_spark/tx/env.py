@@ -1,0 +1,107 @@
+"""TxEnvironment — the engine session object (reference:
+tgraph/TransactionEnvironment.java:66-100 singleton; ours wraps an
+explicit SparkSession, no global state).
+
+Exposes: namespace registration (StateFunction contract), graph
+building (open/map/flatMap/filter/window/state/close through
+GraphRunner), snapshot-consistent queryable state (§2.4), and the
+committed-epoch watermark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from t_spoon_spark.tx.graph import TGraph
+from t_spoon_spark.tx.namespace import Namespace
+from t_spoon_spark.tx.runner import GraphRunner
+from t_spoon_spark.tx.store import StateStore
+
+ISOLATION_LEVELS = ("PL0", "PL1", "PL2", "PL3", "PL4")
+
+
+class TxEnvironment:
+    def __init__(
+        self,
+        spark: SparkSession,
+        isolation: str = "PL3",
+        strategy: str = "optimistic",
+        durable: bool = False,
+        store_dir: str | None = None,
+        checkpoint_every: int | None = None,
+    ):
+        if isolation not in ISOLATION_LEVELS:
+            raise ValueError(f"isolation must be one of {ISOLATION_LEVELS}")
+        # `strategy` is kept for config parity (tgraph/Strategy.java:6-8);
+        # in micro-batch execution optimistic vs pessimistic collapse to
+        # the same per-key ordered application (SURVEY.md §4.3).
+        self.spark = spark
+        self.isolation = isolation
+        self.strategy = strategy
+        self.store = StateStore(
+            spark, root=store_dir, durable=durable, checkpoint_every=checkpoint_every
+        )
+
+    # -- namespaces ------------------------------------------------------
+
+    @property
+    def namespaces(self) -> dict[str, Namespace]:
+        return self.store.namespaces
+
+    def create_namespace(
+        self,
+        name: str,
+        value_type: str = "double",
+        default: Any = None,
+        invariant: str | None = None,
+        py_invariant: Callable[[Any], bool] | None = None,
+    ) -> Namespace:
+        ns = Namespace(
+            name=name,
+            value_type=value_type,
+            default=default,
+            invariant=invariant,
+            py_invariant=py_invariant,
+        )
+        self.store.register(ns)
+        return ns
+
+    # -- graph -----------------------------------------------------------
+
+    def graph(self) -> TGraph:
+        return TGraph()
+
+    def runner(self, tgraph: TGraph) -> GraphRunner:
+        return GraphRunner(self, tgraph)
+
+    # -- queryable state (§2.4) -------------------------------------------
+
+    def watermark(self) -> int:
+        """Highest epoch whose transactions are all complete — the
+        consistent-snapshot frontier (tgraph/query/WatermarkAssigner.java:11-26
+        generalized: ours moves per epoch, not per txn)."""
+        return self.store.committed_epoch()
+
+    def query_keys(self, ns: str, keys: list[str], epoch: int | None = None) -> DataFrame:
+        """Key query (tgraph/query/Query.java:13-56): fetch a key set at
+        a pinned committed snapshot. `WHERE key IN (...)` lets Catalyst
+        prune partitions — the reference needed a custom partitioner
+        for this (common/PartitionOrBcastPartitioner.java:56-73)."""
+        return self.store.read(ns, epoch).filter(F.col("key").isin(keys))
+
+    def query_predicate(self, ns: str, predicate_sql: str, epoch: int | None = None) -> DataFrame:
+        """Predicate (full-scan) query (tgraph/query/PredicateQuery.java:11-49)
+        over columns (key, value)."""
+        return self.store.read(ns, epoch).filter(F.expr(predicate_sql))
+
+    def sql(self, query: str, epoch: int | None = None) -> DataFrame:
+        """Full SQL over the live state: every namespace is exposed as
+        view state_<ns> pinned at one snapshot — this generalizes the
+        reference's two query forms to arbitrary SQL (SURVEY.md §3.2)."""
+        for name in self.namespaces:
+            self.store.read(name, epoch).createOrReplaceTempView(f"state_{name}")
+        return self.spark.sql(query)

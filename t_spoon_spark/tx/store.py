@@ -1,0 +1,224 @@
+"""Versioned snapshot store: the Spark-native replacement for the
+reference's per-shard MVCC heaps + WAL + snapshot servers
+(tgraph/db/Shard.java, tgraph/durability/*).
+
+Layout (durable mode), a poor-man's transaction log in plain parquet:
+
+    {root}/{ns}/log/epoch={k}/          per-epoch update files (key,value)
+    {root}/{ns}/base/epoch={k}/         compacted full snapshot at k
+    {root}/wal/epoch={k}/               TransactionResult rows (the WAL,
+                                        reference tgraph/durability/WALEntry.java:15-25)
+    {root}/_commits/{k:012d}.json       atomic commit marker (tmp+rename)
+
+An epoch becomes visible if and only if its commit marker exists, so a
+crash between file writes and the marker leaves a clean prefix — the
+same guarantee the reference's WAL-then-notify gives
+(tgraph/twopc/CloseFunction.java:180-203). Readers pin
+``committed_epoch()`` and get snapshot isolation for free
+(tgraph/db/Shard.java:170-184 readCommittedBefore ≘ read at marker).
+
+In-memory mode skips the filesystem and keeps the same epoch/versioning
+contract for tests and rate benchmarks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from t_spoon_spark.tx.namespace import Namespace
+
+
+class StateStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | None = None,
+        durable: bool = False,
+        history_epochs: int = 4,
+        checkpoint_every: int | None = None,
+    ):
+        if checkpoint_every is None:
+            # in-memory: cut lineage every epoch (tiny, and every later
+            # action re-executes the whole un-checkpointed chain);
+            # durable: the parquet base write is the checkpoint, so only
+            # compact periodically.
+            checkpoint_every = 8 if durable else 1
+        self.spark = spark
+        self.durable = durable
+        self.root = root or tempfile.mkdtemp(prefix="tspoon_store_")
+        self.history_epochs = history_epochs
+        self.checkpoint_every = checkpoint_every
+        self.namespaces: dict[str, Namespace] = {}
+        self._current: dict[str, DataFrame] = {}
+        self._history: dict[tuple[str, int], DataFrame] = {}
+        self._committed = -1
+        if durable:
+            os.makedirs(os.path.join(self.root, "_commits"), exist_ok=True)
+            self._recover()
+
+    # -- namespace management ------------------------------------------
+
+    def register(self, ns: Namespace) -> None:
+        self.namespaces[ns.name] = ns
+        if ns.name not in self._current:
+            self._current[ns.name] = self._empty(ns)
+
+    def _empty(self, ns: Namespace) -> DataFrame:
+        return self.spark.createDataFrame([], schema=f"key string, value {ns.value_type}")
+
+    # -- reads ----------------------------------------------------------
+
+    def committed_epoch(self) -> int:
+        return self._committed
+
+    def read(self, ns: str, epoch: int | None = None) -> DataFrame:
+        """Committed snapshot of a namespace (at `epoch`, default latest)."""
+        if epoch is None or epoch == self._committed:
+            return self._current[ns]
+        key = (ns, epoch)
+        if key in self._history:
+            return self._history[key]
+        if self.durable:
+            return self._reconstruct(ns, epoch)
+        raise KeyError(f"snapshot {ns}@{epoch} not retained (history={self.history_epochs})")
+
+    # -- commit ---------------------------------------------------------
+
+    def commit(self, epoch: int, updates: dict[str, DataFrame], wal: DataFrame | None) -> None:
+        """Atomically publish one epoch: all namespace updates + WAL.
+
+        updates[ns] must have exactly one row per key (the resolved
+        final value of this epoch).
+        """
+        if epoch != self._committed + 1:
+            raise ValueError(f"epoch {epoch} != committed {self._committed} + 1")
+        if self.durable:
+            for name, df in updates.items():
+                if df is not None:
+                    df.write.mode("overwrite").parquet(self._log_path(name, epoch))
+            if wal is not None:
+                wal.write.mode("overwrite").parquet(os.path.join(self.root, "wal", f"epoch={epoch}"))
+            self._write_marker(epoch, sorted(updates))
+        for name, df in updates.items():
+            if df is None:
+                continue
+            prev = self._current[name]
+            self._history[(name, epoch - 1)] = prev
+            merged = self._upsert(prev, df)
+            if self.durable and epoch % self.checkpoint_every == 0:
+                # cut both the DAG lineage and the log-reconstruction
+                # chain: persist a compacted base.
+                merged.write.mode("overwrite").parquet(self._base_path(name, epoch))
+                merged = self.spark.read.parquet(self._base_path(name, epoch))
+            elif epoch % self.checkpoint_every == 0:
+                from t_spoon_spark.tx.runner import materialize as _mat
+                merged = _mat(merged)
+            self._current[name] = merged
+        self._committed = epoch
+        self._gc_history()
+
+    @staticmethod
+    def _upsert(prev: DataFrame, updates: DataFrame) -> DataFrame:
+        """Last-writer-wins merge of the epoch's updates into the snapshot.
+
+        Expressed as anti-join + union (both sides shuffle on `key`
+        once; Catalyst turns the anti join into a broadcast when the
+        update set is small — the common case of a hot-key workload).
+        """
+        kept = prev.join(updates.select("key"), "key", "left_anti")
+        return kept.unionByName(updates.select("key", "value"))
+
+    # -- durability -----------------------------------------------------
+
+    def _log_path(self, ns: str, epoch: int) -> str:
+        return os.path.join(self.root, ns, "log", f"epoch={epoch}")
+
+    def _base_path(self, ns: str, epoch: int) -> str:
+        return os.path.join(self.root, ns, "base", f"epoch={epoch}")
+
+    def _write_marker(self, epoch: int, namespaces: list[str]) -> None:
+        path = os.path.join(self.root, "_commits", f"{epoch:012d}.json")
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        with os.fdopen(fd, "w") as f:
+            json.dump({"epoch": epoch, "namespaces": namespaces}, f)
+        os.rename(tmp, path)  # atomic publish
+
+    def _marker_epochs(self) -> list[int]:
+        d = os.path.join(self.root, "_commits")
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json"))
+
+    def _recover(self) -> None:
+        """Rebuild current snapshots from the committed prefix on disk.
+
+        Uncommitted epoch files (no marker) are ignored — the replay
+        semantics of tgraph/state/StateOperator.java:317-353 collapse to
+        'read the committed prefix' because our WAL append and state
+        update are the same atomic unit.
+        """
+        epochs = self._marker_epochs()
+        if not epochs:
+            return
+        self._committed = epochs[-1]
+        for name in list(self.namespaces) or self._disk_namespaces():
+            self._current[name] = self._reconstruct(name, self._committed)
+
+    def _disk_namespaces(self) -> list[str]:
+        return [
+            d
+            for d in os.listdir(self.root)
+            if not d.startswith("_") and d != "wal" and os.path.isdir(os.path.join(self.root, d))
+        ]
+
+    def _reconstruct(self, ns: str, epoch: int) -> DataFrame:
+        """Snapshot at `epoch` = newest base ≤ epoch + logs after it,
+        latest write per key wins."""
+        base_dir = os.path.join(self.root, ns, "base")
+        bases = []
+        if os.path.isdir(base_dir):
+            bases = sorted(
+                int(d.split("=")[1]) for d in os.listdir(base_dir) if d.startswith("epoch=")
+            )
+        base_epoch = max((b for b in bases if b <= epoch), default=None)
+        parts = []
+        if base_epoch is not None:
+            parts.append(
+                self.spark.read.parquet(self._base_path(ns, base_epoch)).withColumn(
+                    "__e", F.lit(base_epoch)
+                )
+            )
+        log_dir = os.path.join(self.root, ns, "log")
+        if os.path.isdir(log_dir):
+            for d in sorted(os.listdir(log_dir)):
+                k = int(d.split("=")[1])
+                if (base_epoch is None or k > base_epoch) and k <= epoch:
+                    parts.append(
+                        self.spark.read.parquet(self._log_path(ns, k)).withColumn("__e", F.lit(k))
+                    )
+        if not parts:
+            nso = self.namespaces.get(ns)
+            return self._empty(nso) if nso else self.spark.createDataFrame([], "key string, value double")
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        w = F.row_number().over(W.partitionBy("key").orderBy(F.desc("__e")))
+        return unioned.withColumn("__rn", w).filter(F.col("__rn") == 1).select("key", "value")
+
+    def wal(self, epoch: int | None = None) -> DataFrame:
+        """Read the WAL (all epochs or one)."""
+        path = os.path.join(self.root, "wal")
+        if epoch is not None:
+            return self.spark.read.parquet(os.path.join(path, f"epoch={epoch}"))
+        return self.spark.read.option("basePath", path).parquet(os.path.join(path, "epoch=*"))
+
+    def _gc_history(self) -> None:
+        cutoff = self._committed - self.history_epochs
+        for k in [k for k in self._history if k[1] < cutoff]:
+            del self._history[k]
