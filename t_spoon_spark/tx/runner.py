@@ -453,29 +453,36 @@ class GraphRunner:
                 f"spu_id string, key string, method string, vote int, value {ns.value_type}, _final boolean"
             )
 
-            def fold(pdf: pd.DataFrame, _cmds=commands, _inv=invariant, _def=default) -> pd.DataFrame:
-                pdf = pdf.sort_values("spu_id", kind="mergesort")
-                v = pdf["__v0"].iloc[0]
-                if v is None or (isinstance(v, float) and pd.isna(v)):
-                    v = _def
-                rows = []
-                last_commit_idx = -1
-                for i, (_, r) in enumerate(pdf.iterrows()):
-                    fn = _cmds.get(r["method"])
-                    if fn is None:
-                        rows.append((r["spu_id"], r["key"], r["method"], ABORT, None, False))
-                        continue
-                    cand = fn(v, *(list(r["args"]) if r["args"] is not None else []))
-                    ok = _inv(cand) if _inv else True
-                    rows.append((r["spu_id"], r["key"], r["method"], COMMIT if ok else ABORT, cand, False))
-                    if ok:
-                        v = cand
-                        last_commit_idx = i
-                if last_commit_idx >= 0:
-                    rows[last_commit_idx] = rows[last_commit_idx][:5] + (True,)
-                return pd.DataFrame(
-                    rows, columns=["spu_id", "key", "method", "vote", "value", "_final"]
-                )
+            def make_fold(_cmds, _inv, _def):
+                def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+                    pdf = pdf.sort_values("spu_id", kind="mergesort")
+                    v = pdf["__v0"].iloc[0]
+                    if v is None or (isinstance(v, float) and pd.isna(v)):
+                        v = _def
+                    rows = []
+                    last_commit_idx = -1
+                    for i, (_, r) in enumerate(pdf.iterrows()):
+                        fn = _cmds.get(r["method"])
+                        if fn is None:
+                            rows.append((r["spu_id"], r["key"], r["method"], ABORT, None, False))
+                            continue
+                        cand = fn(v, *(list(r["args"]) if r["args"] is not None else []))
+                        ok = _inv(cand) if _inv else True
+                        rows.append(
+                            (r["spu_id"], r["key"], r["method"], COMMIT if ok else ABORT, cand, False)
+                        )
+                        if ok:
+                            v = cand
+                            last_commit_idx = i
+                    if last_commit_idx >= 0:
+                        rows[last_commit_idx] = rows[last_commit_idx][:5] + (True,)
+                    return pd.DataFrame(
+                        rows, columns=["spu_id", "key", "method", "vote", "value", "_final"]
+                    )
+
+                return fold
+
+            fold = make_fold(commands, invariant, default)
 
             evaluated = materialize(joined.groupBy("key").applyInPandas(fold, out_schema))
             all_results.append(
