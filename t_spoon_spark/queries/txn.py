@@ -1,1 +1,187 @@
-"""Registered in later milestone."""
+"""Transactional-engine queries for the correctness gate.
+
+Each entry runs a real TGraph over transfers/SPUs derived
+deterministically from the events table, then returns the committed
+snapshot as a DataFrame.
+
+Oracle trick: amounts are FLOOR(value) (integer-valued doubles), so
+balances are exact integers regardless of summation order, and the
+associative epoch fold (state(epoch_combine=True)) equals a plain
+GROUP BY sum — giving the transactional path a bit-exact ANSI-SQL twin. The PL3
+invariant/abort/replay semantics are *not* SQL-expressible; that entry
+is registered without an oracle (driver records a rows-only check) and
+is instead verified by the Python-simulated oracle in
+tests/test_tx_core.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from t_spoon_spark.queries.relational import t
+from t_spoon_spark.registry import register
+from t_spoon_spark.tx import TxEnvironment
+
+KEYSPACE = 50
+
+
+def _transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("_tid"),
+        F.concat(F.lit("a"), (F.col("user_id") % KEYSPACE).cast("string")).alias("from_account"),
+        F.concat(F.lit("a"), ((F.col("user_id") * 7 + 3) % KEYSPACE).cast("string")).alias(
+            "to_account"
+        ),
+        F.floor(F.col("value")).cast("double").alias("amount"),
+    )
+
+
+def _bank_graph(env: TxEnvironment):
+    return (
+        env.graph()
+        .flat_map(
+            lambda df: F.array(
+                F.struct(F.col("from_account").alias("account"), (-F.col("amount")).alias("delta")),
+                F.struct(F.col("to_account").alias("account"), F.col("amount").alias("delta")),
+            )
+        )
+        .state(
+            "balances",
+            key=lambda df: F.col("account"),
+            update=lambda v: v + F.col("delta"),
+            pre_combine={"delta": "sum"},
+            epoch_combine=True,
+        )
+    )
+
+
+def _bank_graph_txn(env: TxEnvironment):
+    # per-transaction conflict semantics (no epoch fold) — used by the
+    # PL3 vote-accounting entry
+    return (
+        env.graph()
+        .flat_map(
+            lambda df: F.array(
+                F.struct(F.col("from_account").alias("account"), (-F.col("amount")).alias("delta")),
+                F.struct(F.col("to_account").alias("account"), F.col("amount").alias("delta")),
+            )
+        )
+        .state(
+            "balances",
+            key=lambda df: F.col("account"),
+            update=lambda v: v + F.col("delta"),
+            pre_combine={"delta": "sum"},
+        )
+    )
+
+
+@register(
+    "txn_bank_balances_fold",
+    f"""
+    WITH movements AS (
+      SELECT 'a' || CAST(user_id % {KEYSPACE} AS VARCHAR) AS account,
+             -FLOOR(value) AS delta
+      FROM events
+      UNION ALL
+      SELECT 'a' || CAST((user_id * 7 + 3) % {KEYSPACE} AS VARCHAR) AS account,
+             FLOOR(value) AS delta
+      FROM events
+    )
+    SELECT account AS key,
+           CAST(100 + SUM(delta) AS BIGINT) AS balance_c
+    FROM movements
+    GROUP BY account
+    ORDER BY key
+    """,
+)
+def txn_bank_balances_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full open→flatMap→state→close→snapshot cycle with the
+    associative epoch fold (no invariant): every transaction commits
+    and the committed snapshot equals the grouped sum — the SQL twin
+    proves the transactional plumbing end to end."""
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace("balances", "double", 100.0)
+    runner = env.runner(_bank_graph(env))
+    runner.run_to_completion(_transfers(spark, sf_dir))
+    snap = env.store.read("balances")
+    return snap.select("key", F.col("value").cast("bigint").alias("balance_c")).orderBy("key")
+
+
+@register("txn_bank_votes_pl3", None)  # non-SQL-expressible: sequential abort/replay
+def txn_bank_votes_pl3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PL3 with the `value >= 0` invariant over a small high-contention
+    keyspace: vote accounting (COMMIT/ABORT counts and epochs-to-drain).
+    Not SQL-expressible (tgraph/state/PL3Strategy.java semantics);
+    exact-semantics coverage lives in tests/test_tx_core.py's simulator."""
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace(
+        "balances", "double", 100.0, "value >= 0", py_invariant=lambda v: v >= 0
+    )
+    runner = env.runner(_bank_graph_txn(env))
+    # cap the workload: 40 txns over 20 hot keys => real contention with
+    # a bounded drain (a handful of replay epochs)
+    transfers = (
+        _transfers(spark, sf_dir)
+        .filter(F.col("_tid") < 40)
+        .withColumn(
+            "from_account", F.concat(F.lit("h"), (F.col("_tid") % 20).cast("string"))
+        )
+        .withColumn(
+            "to_account", F.concat(F.lit("h"), ((F.col("_tid") * 3 + 7) % 20).cast("string"))
+        )
+    )
+    epochs = runner.run_to_completion(transfers, max_epochs=128)
+    votes: dict[int, str] = {}
+    for ep in epochs:
+        for r in ep.results.select("_tid", "vote").collect():
+            if r["vote"] != "REPLAY" or r["_tid"] not in votes:
+                votes[r["_tid"]] = r["vote"]
+    counts = {}
+    for v in votes.values():
+        counts[v] = counts.get(v, 0) + 1
+    rows = [(k, counts.get(k, 0)) for k in ("COMMIT", "ABORT")] + [
+        ("EPOCHS", len(epochs)),
+        ("TXNS", len(votes)),
+    ]
+    return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")
+
+
+@register(
+    "txn_spu_final_balances",
+    f"""
+    WITH spus AS (
+      SELECT 'u' || CAST(user_id % {KEYSPACE} AS VARCHAR) AS key,
+             CASE WHEN event_id % 2 = 0 THEN FLOOR(value) ELSE -FLOOR(value) END AS delta
+      FROM events
+    )
+    SELECT key, CAST(100 + SUM(delta) AS BIGINT) AS balance_c
+    FROM spus
+    GROUP BY key
+    ORDER BY key
+    """,
+)
+def txn_spu_final_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-partition-update path (§2.5): deposits/withdrawals derived
+    from events, dispatched through the registered command table and
+    folded per key — equals the grouped sum when no invariant aborts."""
+    env = TxEnvironment(spark, isolation="PL3")
+    ns = env.create_namespace("balances", "double", 100.0)
+    ns.commands["deposit"] = lambda cur, amt: cur + amt
+    ns.commands["withdrawal"] = lambda cur, amt: cur - amt
+
+    ev = t(spark, sf_dir, "events")
+    spus = ev.select(
+        F.concat(F.lit("s"), F.col("event_id").cast("string")).alias("spu_id"),
+        F.lit("balances").alias("namespace"),
+        F.concat(F.lit("u"), (F.col("user_id") % KEYSPACE).cast("string")).alias("key"),
+        F.when(F.col("event_id") % 2 == 0, "deposit").otherwise("withdrawal").alias("method"),
+        F.array(F.floor(F.col("value")).cast("double")).alias("args"),
+    )
+    # SPUs need a (possibly empty) transactional batch alongside
+    empty = spark.createDataFrame([], "from_account string, to_account string, amount double, _tid long")
+    runner = env.runner(_bank_graph(env))
+    runner.run_epoch(empty, spus=spus)
+    snap = env.store.read("balances")
+    return snap.select("key", F.col("value").cast("bigint").alias("balance_c")).orderBy("key")

@@ -76,6 +76,12 @@ class StateStage:
     # optional pre-combiner when one txn can carry several ops for the
     # same key and the update is fold-able: {value_col: "sum"|...}
     pre_combine: dict[str, str] | None = None
+    # associative invariant-free fast path: fold the WHOLE epoch's ops
+    # per key into one combined application (requires pre_combine).
+    # Semantically the PL0/PL1 chain outcome for commutative updates —
+    # no conflicts, no replays, map-side partial aggregation; this is
+    # the high-throughput mode for counter/sum workloads at scale.
+    epoch_combine: bool = False
 
 
 Stage = MapStage | FlatMapStage | FilterStage | KeyByStage | TWindowStage | StateStage
@@ -112,10 +118,15 @@ class TGraph:
         update: Callable[[Column], Column] | None = None,
         py_update: Callable[[Any, dict], Any] | None = None,
         pre_combine: dict[str, str] | None = None,
+        epoch_combine: bool = False,
     ) -> "TGraph":
-        if (update is None) == (py_update is None):
-            raise ValueError("state(): exactly one of update / py_update required")
-        return self._add(StateStage(namespace, key, update, py_update, pre_combine))
+        if update is None and py_update is None:
+            raise ValueError("state(): update or py_update required")
+        if epoch_combine and (update is None or not pre_combine):
+            raise ValueError("state(epoch_combine=True) needs an expression update + pre_combine")
+        return self._add(
+            StateStage(namespace, key, update, py_update, pre_combine, epoch_combine)
+        )
 
 
 def value_columns(df: DataFrame) -> list[str]:

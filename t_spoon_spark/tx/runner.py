@@ -198,6 +198,8 @@ class GraphRunner:
         aggregate for conflict detection + one join against the
         committed snapshot. This is the 100 TB hot path — no Python."""
         env = self.env
+        if stage.epoch_combine:
+            return self._state_epoch_combine(ops, stage, ns, snapshot, stage_idx)
         if stage.pre_combine:
             keep = [c for c in ops.columns if c in ("_tid", "_ts", "__key")]
             aggs = [F.expr(f"{how}({col})").alias(col) for col, how in stage.pre_combine.items()]
@@ -238,6 +240,39 @@ class GraphRunner:
                 F.lit(stage_idx).alias("_stage"),
             )
         )
+        return votes, writes
+
+    def _state_epoch_combine(
+        self,
+        ops: DataFrame,
+        stage: G.StateStage,
+        ns: Namespace,
+        snapshot: DataFrame,
+        stage_idx: int,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Associative fold of the whole epoch per key: one groupBy with
+        map-side partial aggregation + one join against the snapshot.
+        Every transaction votes COMMIT (no invariant, no conflicts) —
+        the engine's transactional analogue of the reference's keyed
+        continuous reduce (evaluation/SPUBench.java:198-258), but with
+        the epoch's atomic commit. The high-throughput path for
+        counter/sum state at 100 TB scale."""
+        aggs = [F.expr(f"{how}({col})").alias(col) for col, how in stage.pre_combine.items()]
+        combined = ops.groupBy("__key").agg(*aggs)
+        snap = snapshot.select(F.col("key").alias("__key"), F.col("value").alias("__v0"))
+        joined = combined.join(snap, "__key", "left")
+        v0 = F.coalesce(F.col("__v0"), F.lit(ns.default).cast(ns.value_type))
+        # _tid = -1 sentinel: an epoch-combined write belongs to every
+        # transaction of the epoch (all COMMIT), so it bypasses the
+        # per-transaction commit filter at close.
+        writes = joined.select(
+            F.col("__key").alias("key"),
+            stage.update(v0).alias("value"),
+            F.lit(-1).cast("long").alias("_tid"),
+            F.lit(0).cast("long").alias("_ord"),
+            F.lit(stage_idx).alias("_stage"),
+        )
+        votes = ops.select("_tid").distinct().withColumn("vote", F.lit(COMMIT))
         return votes, writes
 
     def _state_chain_pandas(
@@ -354,7 +389,9 @@ class GraphRunner:
             w = parts[0]
             for p in parts[1:]:
                 w = w.unionByName(p)
-            wc = w.join(commit_tids, "_tid")
+            wc = w.filter(F.col("_tid") < 0).unionByName(
+                w.filter(F.col("_tid") >= 0).join(commit_tids, "_tid", "left_semi")
+            )
             rn = F.row_number().over(
                 W.partitionBy("key").orderBy(F.desc("_stage"), F.desc("_ord"))
             )
