@@ -20,8 +20,11 @@ from pyspark.sql import functions as F
 
 from t_spoon_spark.operators.text import md5_long, tokens
 
-# MinHash parameters: h_j(x) = (a_j * x + b_j) mod P, j in [0, H)
-MINHASH_P = (1 << 61) - 1  # Mersenne prime
+# MinHash parameters: h_j(x) = (a_j * (x mod P) + b_j) mod P, j in [0, H).
+# P = 2^31-1 (Mersenne prime) keeps every intermediate product under
+# 2^62, i.e. inside exact BIGINT range in both Spark (ANSI mode) and
+# DuckDB — a larger modulus overflows int64 multiplication.
+MINHASH_P = (1 << 31) - 1
 MINHASH_H = 16
 MINHASH_BANDS = 4  # 4 rows per band
 

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+Determinism across engines: embeddings are fixed-point scaled per
+component (floor(x*1000+0.5) as BIGINT), so dot products are exact
+integer sums (order-independent); norms/cosines then use identical IEEE
+double ops on identical integers.
+
+Scale shapes:
+- brute-force top-k: broadcast the (small) query set against the corpus
+  — one pass, no shuffle of the corpus; O(Q*N) dot products JVM-side.
+- LSH-bucketed ANN: 8 deterministic hyperplanes -> 8-bit bucket;
+  candidates = same-bucket rows only. The bucket join shuffles on a
+  1-byte key; recall < 1 by construction but identical in both engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 8
+
+
+def _plane(j: int) -> list[int]:
+    """Deterministic ±1 hyperplane from md5 bits (literal-embedded in
+    both engines' plans — no runtime RNG)."""
+    h = hashlib.md5(f"tspoon-plane-{j}".encode()).digest() * 4
+    return [1 if (h[i // 8] >> (i % 8)) & 1 else -1 for i in range(DIM)]
+
+
+PLANES = [_plane(j) for j in range(N_PLANES)]
+
+
+def int_embedding(col: Column | str, scale: int = 1000) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def with_norm(df: DataFrame, vec: str = "ei") -> DataFrame:
+    return df.withColumn("norm", F.sqrt(dot_int(F.col(vec), F.col(vec)).cast("double")))
+
+
+def cosine_c(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine scaled to 1e6 fixed-point (exact-match safe across engines)."""
+    return F.floor(dot.cast("double") * 1e6 / (norm_a * norm_b) + F.lit(0.5)).cast("long")
+
+
+def bucket_bits(vec: Column) -> Column:
+    """8-bit LSH bucket: sign of the dot product with each plane."""
+    out = None
+    for j, plane in enumerate(PLANES):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        d = dot_int(vec, lit_plane)
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long")
+        out = term if out is None else out + term
+    return out
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+    `queries` is broadcast (small side); self-matches excluded."""
+    c = with_norm(corpus.select(F.col(id_col).alias("c_id"), int_embedding("embedding").alias("ei")))
+    q = with_norm(
+        queries.select(F.col(id_col).alias("q_id"), int_embedding("embedding").alias("ei"))
+    ).select("q_id", F.col("ei").alias("qe"), F.col("norm").alias("qnorm"))
+    pairs = c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        "c_id",
+        cosine_c(dot_int(F.col("qe"), F.col("ei")), F.col("qnorm"), F.col("norm")).alias("cos_c"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_c"), F.asc("c_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """ANN variant: candidates restricted to the query's LSH bucket,
+    then exact cosine within. Deterministic recall loss; at 100 TB the
+    bucket join replaces the O(Q*N) scan."""
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("c_id"), int_embedding("embedding").alias("ei"))
+    ).withColumn("bucket", bucket_bits(F.col("ei")))
+    q = with_norm(
+        queries.select(F.col(id_col).alias("q_id"), int_embedding("embedding").alias("ei"))
+    ).select(
+        "q_id",
+        F.col("ei").alias("qe"),
+        F.col("norm").alias("qnorm"),
+        bucket_bits(F.col("ei")).alias("bucket"),
+    )
+    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("c_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        "c_id",
+        cosine_c(dot_int(F.col("qe"), F.col("ei")), F.col("qnorm"), F.col("norm")).alias("cos_c"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_c"), F.asc("c_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def cosine_near_dup_pairs(corpus: DataFrame, threshold_c: int, id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos_c >= threshold).
+    Brute force all-pairs here; at scale, run lsh_topk buckets first."""
+    c = with_norm(corpus.select(F.col(id_col).alias("id"), int_embedding("embedding").alias("ei")))
+    a = c.select(F.col("id").alias("id_a"), F.col("ei").alias("ea"), F.col("norm").alias("na"))
+    b = c.select(F.col("id").alias("id_b"), F.col("ei").alias("eb"), F.col("norm").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        cosine_c(dot_int(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")).alias("cos_c"),
+    )
+    return scored.filter(F.col("cos_c") >= threshold_c)

@@ -1,1 +1,184 @@
-"""Registered in later milestone."""
+"""Deduplication queries over documents (training-data pipeline
+surface). Every oracle recomputes the same deterministic md5-derived
+hashes in DuckDB SQL, so candidate generation AND verification match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from t_spoon_spark.operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_H,
+    MINHASH_P,
+    PERMS,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from t_spoon_spark.operators.text import dd_md5_long
+from t_spoon_spark.queries.relational import t
+from t_spoon_spark.registry import register
+
+# DuckDB twins of the shingle/token primitives
+DD_TOKS = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+DD_SHINGLES = f"""
+list_distinct(list_transform(
+  range(1, greatest(len({DD_TOKS}) - 2, 1) + 1),
+  i -> {DD_TOKS}[i] || ' ' || {DD_TOKS}[i+1] || ' ' || {DD_TOKS}[i+2]
+))
+"""
+
+
+@register(
+    "dedup_exact_md5",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY keep_doc
+    """,
+)
+def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the lowest doc_id
+    (one shuffle on the hash; at 100 TB this is the cheapest pass and
+    runs first to shrink the near-dup candidate set)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc")
+    )
+
+
+_DD_SH_TABLE = f"""
+    WITH sh AS (
+      SELECT doc_id, {dd_md5_long('s.sh')} AS sh_hash
+      FROM documents, unnest({DD_SHINGLES}) AS s(sh)
+      GROUP BY doc_id, sh_hash
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    {_DD_SH_TABLE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b USING (sh_hash)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           CAST(FLOOR(n_inter * 100.0 / (sa.sz + sb.sz - n_inter)) AS BIGINT) AS jaccard_c
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(FLOOR(n_inter * 100.0 / (sa.sz + sb.sz - n_inter)) AS BIGINT) >= 30
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-word-shingle Jaccard near-dup pairs (threshold 0.30): shared-
+    shingle candidate join + exact verification. Shuffle volume is
+    O(shared-shingle pairs), not O(n^2)."""
+    docs = t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold_c=30).orderBy("doc_a", "doc_b")
+
+
+def _dd_minhash_sig() -> str:
+    cols = ", ".join(
+        f"MIN(((sh_hash % {MINHASH_P}) * {a} + {b}) % {MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(PERMS)
+    )
+    return f"SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    {_DD_SH_TABLE},
+    sig AS ({_dd_minhash_sig()}),
+    bands AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+               {" ".join(f"WHEN {bi} THEN " + " || '_' || ".join(f"CAST(h{j} AS VARCHAR)" for j in range(bi * (MINHASH_H // MINHASH_BANDS), (bi + 1) * (MINHASH_H // MINHASH_BANDS))) for bi in range(MINHASH_BANDS))}
+             END AS band_key
+      FROM sig, unnest(range({MINHASH_BANDS})) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b USING (sh_hash)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+           CAST(FLOOR(i.n_inter * 100.0 / (sa.sz + sb.sz - i.n_inter)) AS BIGINT) AS jaccard_c
+    FROM cand c
+      JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(FLOOR(i.n_inter * 100.0 / (sa.sz + sb.sz - i.n_inter)) AS BIGINT) >= 30
+    ORDER BY c.doc_a, c.doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands) near-dup detection with exact
+    Jaccard verification of candidates — the scale path: bucket joins
+    on band keys only."""
+    docs = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold_c=30).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {dd_md5_long('w.w')} AS h
+      FROM documents, unnest(list_distinct({DD_TOKS})) AS w(w)
+    ),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS))}
+      FROM tok GROUP BY doc_id
+    ),
+    sim AS (
+      SELECT doc_id,
+             ({" + ".join(f"(CASE WHEN s{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {j})" for j in range(SIMHASH_BITS))}) AS sim
+      FROM bits
+    ),
+    bands AS (
+      SELECT doc_id, sim, b.band,
+             (sim >> (b.band * {SIMHASH_BITS // SIMHASH_BANDS})) & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS band_key
+      FROM sim, unnest(range({SIMHASH_BANDS})) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sim AS sim_a, b.sim AS sim_b
+      FROM bands a JOIN bands b USING (band, band_key)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 6
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash near-dup pairs (banded candidates, hamming <= 6
+    verify)."""
+    docs = t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=6).orderBy("doc_a", "doc_b")

@@ -1,1 +1,78 @@
-"""Registered in later milestone."""
+"""Multimodal pipeline queries: binary payload stats + stubbed feature
+extraction (deterministic fake decode; see operators/multimodal.py).
+
+The oracle recomputes the fake-decode arithmetic in SQL (payloads are
+ASCII here, so byte values == code points); the Spark side goes through
+the real mapInPandas plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from t_spoon_spark.operators.multimodal import binarize_documents, extract_features
+from t_spoon_spark.queries.relational import t
+from t_spoon_spark.registry import register
+
+DD_KIND = """
+CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3
+  WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+"""
+
+
+@register(
+    "multimodal_payload_stats",
+    f"""
+    SELECT {DD_KIND} AS kind,
+           COUNT(*) AS n_docs,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           MIN(octet_length(encode(text))) AS min_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    ORDER BY kind
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column handling: payload sizes per media kind — the scan
+    stays columnar; no decode."""
+    mm = binarize_documents(t(spark, sf_dir, "documents"))
+    return (
+        mm.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.min(F.octet_length("payload")).alias("min_bytes"),
+            F.max(F.octet_length("payload")).alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    f"""
+    WITH mm AS (
+      SELECT doc_id, {DD_KIND} AS kind, text,
+             octet_length(encode(text)) AS n,
+             list_sum(list_transform(range(1, least(16, length(text)) + 1),
+                                     i -> ascii(substr(text, i, 1)))) AS head
+      FROM documents
+    )
+    SELECT doc_id, kind,
+           CAST(n AS INT) AS n_bytes,
+           CAST(CASE WHEN kind = 'image' THEN 160 + head % 480 ELSE 0 END AS INT) AS width,
+           CAST(CASE WHEN kind = 'image' THEN 120 + n % 360 ELSE 0 END AS INT) AS height,
+           CAST(CASE WHEN kind = 'image' THEN 1 ELSE n % 300 + 1 END AS INT) AS n_frames,
+           substr(md5(text), 1, 16) AS sig
+    FROM mm
+    ORDER BY doc_id
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stubbed decode path end to end: binary payloads through
+    Arrow-batched mapInPandas producing typed features (real schema,
+    batching, and partitioning; fake deterministic decode)."""
+    mm = binarize_documents(t(spark, sf_dir, "documents"))
+    return extract_features(mm, fake=True).orderBy("doc_id")

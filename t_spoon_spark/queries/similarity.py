@@ -1,1 +1,125 @@
-"""Registered in later milestone."""
+"""Similarity-search queries over the embeddings table.
+
+DuckDB twins compute the identical fixed-point integer dot products
+(list_transform over index ranges), so scores match bit-for-bit
+including the LSH bucket assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from t_spoon_spark.operators.similarity import (
+    PLANES,
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_topk,
+)
+from t_spoon_spark.queries.relational import t
+from t_spoon_spark.registry import register
+
+N_QUERIES = 5
+
+DD_EI = "list_transform(embedding, x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT))"
+DD_DOT_SELF = "list_sum(list_transform(range(1, len(ei) + 1), i -> ei[i] * ei[i]))"
+DD_DOT_AB = "list_sum(list_transform(range(1, len(a.ei) + 1), i -> a.ei[i] * b.ei[i]))"
+
+
+def _dd_base() -> str:
+    return f"""
+    WITH base AS (
+      SELECT vec_id, {DD_EI} AS ei FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, ei, sqrt(CAST({DD_DOT_SELF} AS DOUBLE)) AS norm FROM base
+    )
+    """
+
+
+def _dd_bucket_expr(alias: str) -> str:
+    terms = []
+    for j, plane in enumerate(PLANES):
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        dot = f"list_sum(list_transform(range(1, len({alias}.ei) + 1), i -> {alias}.ei[i] * ({lit})[i]))"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {j})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "similarity_bruteforce_topk",
+    f"""
+    {_dd_base()},
+    q AS (SELECT * FROM normed WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             CAST(FLOOR(CAST({DD_DOT_AB} AS DOUBLE) * 1e6 / (a.norm * b.norm) + 0.5) AS BIGINT) AS cos_c
+      FROM q a JOIN normed b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_c DESC, c_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, c_id, cos_c, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY q_id, rnk
+    """,
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select("q_id", "c_id", "cos_c", "rnk").orderBy("q_id", "rnk")
+
+
+@register(
+    "similarity_lsh_topk",
+    f"""
+    {_dd_base()},
+    bucketed AS (
+      SELECT n.vec_id, n.ei, n.norm, {_dd_bucket_expr('n')} AS bucket
+      FROM normed n
+    ),
+    q AS (SELECT * FROM bucketed WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             CAST(FLOOR(CAST({DD_DOT_AB} AS DOUBLE) * 1e6 / (a.norm * b.norm) + 0.5) AS BIGINT) AS cos_c
+      FROM q a JOIN bucketed b USING (bucket)
+      WHERE a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_c DESC, c_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, c_id, cos_c, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY q_id, rnk
+    """,
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN path: same top-k but candidates restricted to the query's
+    8-bit hyperplane-LSH bucket (deterministic recall loss, identical
+    in both engines)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = lsh_topk(emb, queries, k=5)
+    return out.select("q_id", "c_id", "cos_c", "rnk").orderBy("q_id", "rnk")
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    {_dd_base()},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(FLOOR(CAST({DD_DOT_AB} AS DOUBLE) * 1e6 / (a.norm * b.norm) + 0.5) AS BIGINT) AS cos_c
+      FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_c FROM pairs
+    WHERE cos_c >= 500000
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.5 on the scaled
+    score)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold_c=500_000).orderBy("id_a", "id_b")
