@@ -1,0 +1,90 @@
+"""Transactional throughput benchmarks (BASELINE.md gate: >= 2,500 tx/s
+sustained on the bank-transfer workload, 2 key-updates/txn, 100k
+keyspace, PL3-equivalent — launch_scripts/start_rates.properties.example:4).
+
+Two configurations:
+- pl3: per-transaction conflict detection (window min-tid + snapshot
+  join, all JVM) over a 100k keyspace — the honest comparable to the
+  reference's optimistic PL3 number.
+- fold: the associative epoch_combine path (groupBy + join) — the
+  engine's high-throughput mode for counter-style state.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from t_spoon_spark.session import load_events
+from t_spoon_spark.tx import TxEnvironment
+
+KEYSPACE = 100_000
+MIX = 2654435761  # Knuth multiplicative hash
+
+
+def _transfers(spark: SparkSession, sf_dir: str):
+    ev = load_events(spark, sf_dir)
+    h = (F.col("event_id") * MIX) % (KEYSPACE * 7919)
+    return ev.select(
+        F.col("event_id").alias("_tid"),
+        F.concat(F.lit("a"), (h % KEYSPACE).cast("string")).alias("from_account"),
+        F.concat(F.lit("a"), ((h * 31 + 7) % KEYSPACE).cast("string")).alias("to_account"),
+        F.floor(F.col("value")).cast("double").alias("amount"),
+    )
+
+
+def _graph(env: TxEnvironment, fold: bool):
+    return (
+        env.graph()
+        .flat_map(
+            lambda df: F.array(
+                F.struct(F.col("from_account").alias("account"), (-F.col("amount")).alias("delta")),
+                F.struct(F.col("to_account").alias("account"), F.col("amount").alias("delta")),
+            )
+        )
+        .state(
+            "balances",
+            key=lambda df: F.col("account"),
+            update=lambda v: v + F.col("delta"),
+            pre_combine={"delta": "sum"},
+            epoch_combine=fold,
+        )
+    )
+
+
+def _run(spark: SparkSession, sf_dir: str, fold: bool, n_epochs: int = 5) -> float:
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace(
+        "balances", "double", 100.0, invariant=None if fold else "value >= 0"
+    )
+    runner = env.runner(_graph(env, fold))
+    transfers = _transfers(spark, sf_dir).localCheckpoint(eager=True)
+    total = transfers.count()
+    per_epoch = total // n_epochs + 1
+
+    # warmup epoch outside the timed window (JIT/codegen)
+    warm = transfers.filter(F.col("_tid") < 0)
+    n_done = 0
+    t0 = time.time()
+    for i in range(n_epochs):
+        batch = transfers.filter(
+            (F.col("_tid") >= i * per_epoch) & (F.col("_tid") < (i + 1) * per_epoch)
+        )
+        res = runner.run_epoch(batch)
+        n_done += sum(res.vote_counts().values())
+    while runner._replay is not None:
+        res = runner.run_epoch(None)
+    wall = time.time() - t0
+    return n_done / wall if wall > 0 else 0.0
+
+
+def bank_transfer_tps(spark: SparkSession, sf_dir: str) -> float:
+    """Headline metric: PL3 per-transaction path, tx/s."""
+    return round(_run(spark, sf_dir, fold=False), 1)
+
+
+def bank_transfer_tps_fold(spark: SparkSession, sf_dir: str) -> float:
+    """Associative-fold path, tx/s."""
+    return round(_run(spark, sf_dir, fold=True), 1)

@@ -144,9 +144,30 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = jaccard_pairs(docs, id_col, k, threshold_c=0)
+    # exact-verify ONLY the candidate pairs: expand each pair by doc_a's
+    # shingles, then match doc_b's — the shuffle is O(candidates *
+    # shingles/doc), never the all-pairs shared-shingle join.
+    sh = doc_shingle_hashes(docs, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "sh_hash")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "sh_hash")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh_hash"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        cand.join(exact, ["doc_a", "doc_b"])
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard_c",
+            F.floor(
+                F.col("n_inter") * 100.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).cast("long"),
+        )
         .filter(F.col("jaccard_c") >= threshold_c)
         .select("doc_a", "doc_b", "jaccard_c")
     )

@@ -173,12 +173,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
     FROM cand
-    WHERE bit_count(xor(sim_a, sim_b)) <= 6
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
     ORDER BY doc_a, doc_b
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """48-bit SimHash near-dup pairs (banded candidates, hamming <= 6
-    verify)."""
+    """48-bit SimHash near-dup pairs (banded candidates, hamming <= 3
+    verify — the 4-band split guarantees recall at this radius by
+    pigeonhole)."""
     docs = t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=6).orderBy("doc_a", "doc_b")
+    return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")

@@ -48,6 +48,8 @@ def build_spark(
         # events.parquet carries TIMESTAMP(NANOS); Spark has no ns type —
         # read as long and normalize in load_events().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # full plan strings (plan-shape assertions parse PushedFilters etc.)
+        .config("spark.sql.debug.maxToStringFields", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

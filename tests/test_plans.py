@@ -1,0 +1,92 @@
+"""Physical-plan regression gate: pushdown, pruning, broadcast.
+
+These assert the plan SHAPE (what survives a 100x scale-up), not
+timings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from t_spoon_spark.plans.explain import (
+    executed_plan,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    from t_spoon_spark.queries.relational import q6_revenue_filter
+
+    df = q6_revenue_filter(spark, SF_SMALL)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+    assert any("l_discount" in f for f in pf), pf
+    assert any("l_quantity" in f for f in pf), pf
+    # projection pruned to the 4 referenced columns
+    cols = scan_columns(df)
+    assert cols and all(len(c) <= 5 for c in cols), cols
+
+
+def test_q5_broadcasts_dimensions(spark):
+    from t_spoon_spark.queries.relational import q5_region_revenue
+
+    df = q5_region_revenue(spark, SF_SMALL)
+    assert has_broadcast_join(df)
+    plan = executed_plan(df)
+    # the big fact-side join may be SMJ/SHJ, but region/nation/supplier
+    # must not induce a full shuffle each: at least 3 broadcasts
+    assert plan.count("BroadcastHashJoin") >= 3, plan.count("BroadcastHashJoin")
+
+
+def test_q1_partial_aggregation(spark):
+    from t_spoon_spark.queries.relational import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, SF_SMALL)
+    plan = executed_plan(df)
+    # map-side partial aggregation before the shuffle, grouped agg stays
+    # a hash aggregate (no sort-based fallback)
+    assert "partial_sum" in plan
+    assert "HashAggregate" in plan
+
+
+def test_semi_join_stays_semi(spark):
+    from t_spoon_spark.queries.relational import semi_join_customers_with_big_orders
+
+    df = semi_join_customers_with_big_orders(spark, SF_SMALL)
+    assert "LeftSemi" in executed_plan(df)
+
+
+def test_asof_join_single_shuffle_no_explosion(spark):
+    from t_spoon_spark.queries.advanced import asof_join_purchase_last_click
+
+    df = asof_join_purchase_last_click(spark, SF_SMALL)
+    plan = executed_plan(df)
+    # union + window formulation: no join node at all in the asof core
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_state_expr_path_is_jvm_only(spark):
+    """The PL3 expression state path must contain no Python evaluation
+    (BatchEvalPython / ArrowEvalPython / FlatMapGroupsInPandas)."""
+    from t_spoon_spark.tx import TxEnvironment
+
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace("balances", "double", 100.0, "value >= 0")
+    g = env.graph().state(
+        "balances", key=lambda df: F.col("k"), update=lambda v: v + F.col("d")
+    )
+    batch = spark.createDataFrame([("a", 1.0, 0)], "k string, d double, _tid long")
+    df = batch.select(
+        "*",
+        F.col("_tid").alias("_ts"),
+        F.array().cast("array<int>").alias("_path"),
+        F.lit(True).alias("_alive"),
+    )
+    votes, writes = env.runner(g)._run_state(df, g.stages[0], 0)
+    for frame in (votes, writes):
+        plan = executed_plan(frame)
+        assert "EvalPython" not in plan and "InPandas" not in plan, plan
