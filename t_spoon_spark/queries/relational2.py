@@ -1,0 +1,153 @@
+"""Second relational batch: JSON extraction, grouping sets, ranking
+window functions, cross join, and the queryable-state surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from t_spoon_spark.queries.helpers import dd_fixed, fixed
+from t_spoon_spark.queries.relational import t
+from t_spoon_spark.registry import register
+
+
+@register(
+    "json_props_extraction",
+    f"""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           SUM({dd_fixed('value')}) AS sum_c
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    ORDER BY k_bucket
+    """,
+)
+def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props column (stays in
+    codegen via get_json_object — no UDF)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(fixed("value")).alias("sum_c"))
+        .orderBy("k_bucket")
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    f"""
+    SELECT c_mktsegment, o_orderpriority,
+           SUM({dd_fixed('o_totalprice')}) AS total_c,
+           COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), (c_mktsegment, o_orderpriority))
+    ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    joined.createOrReplaceTempView("__gs_joined")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority,
+               SUM(FLOOR(o_totalprice * 100.0 + 0.5)) AS total_c,
+               COUNT(*) AS n
+        FROM __gs_joined
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority),
+                                (c_mktsegment, o_orderpriority))
+        ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@register(
+    "ranking_function_suite",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           NTILE(4)       OVER w AS quartile,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 10000 + 0.5) AS BIGINT) AS pct_rank_c,
+           CAST(FLOOR(CUME_DIST() OVER w * 10000 + 0.5) AS BIGINT) AS cume_c,
+           DENSE_RANK()   OVER w AS drnk
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, drnk, o_orderkey
+    """,
+)
+def ranking_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.floor(F.percent_rank().over(w) * 10000 + 0.5).cast("long").alias("pct_rank_c"),
+            F.floor(F.cume_dist().over(w) * 10000 + 0.5).cast("long").alias("cume_c"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .orderBy("o_custkey", "drnk", "o_orderkey")
+    )
+
+
+@register(
+    "cross_join_region_matrix",
+    """
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    ORDER BY from_region, to_region
+    """,
+)
+def cross_join_region_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region")
+    a = region.select(F.col("r_name").alias("from_region"), F.col("r_regionkey").alias("ka"))
+    b = region.select(F.col("r_name").alias("to_region"), F.col("r_regionkey").alias("kb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("ka") != F.col("kb"))
+        .select("from_region", "to_region")
+        .orderBy("from_region", "to_region")
+    )
+
+
+@register(
+    "queryable_state_predicate",
+    f"""
+    WITH movements AS (
+      SELECT 'a' || CAST(user_id % 50 AS VARCHAR) AS account, -FLOOR(value) AS delta
+      FROM events
+      UNION ALL
+      SELECT 'a' || CAST((user_id * 7 + 3) % 50 AS VARCHAR) AS account, FLOOR(value) AS delta
+      FROM events
+    ),
+    balances AS (
+      SELECT account AS key, 100 + SUM(delta) AS value FROM movements GROUP BY account
+    )
+    SELECT key, CAST(value AS BIGINT) AS balance_c
+    FROM balances
+    WHERE value > 100
+    ORDER BY key
+    """,
+)
+def queryable_state_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queryable-state surface (§2.4 Q2/Q4): run the bank fold, then a
+    predicate query over the committed snapshot at the pinned epoch —
+    the external-query path the reference serves via PredicateQuery +
+    readCommittedBefore."""
+    from t_spoon_spark.queries.txn import _bank_graph, _transfers
+    from t_spoon_spark.tx import TxEnvironment
+
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace("balances", "double", 100.0)
+    runner = env.runner(_bank_graph(env))
+    runner.run_to_completion(_transfers(spark, sf_dir))
+    out = env.query_predicate("balances", "value > 100")
+    return out.select("key", F.col("value").cast("bigint").alias("balance_c")).orderBy("key")

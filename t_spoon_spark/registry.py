@@ -64,6 +64,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     import t_spoon_spark.queries.relational  # noqa: F401
+    import t_spoon_spark.queries.relational2  # noqa: F401
     import t_spoon_spark.queries.advanced  # noqa: F401
     import t_spoon_spark.queries.windows  # noqa: F401
     import t_spoon_spark.queries.dedup  # noqa: F401

@@ -98,6 +98,32 @@ class TxEnvironment:
         over columns (key, value)."""
         return self.store.read(ns, epoch).filter(F.expr(predicate_sql))
 
+    def execute_queries(self, requests: DataFrame, epoch: int | None = None) -> DataFrame:
+        """Execute a batch of key-query requests (query_id, namespace,
+        keys ARRAY<STRING>) against one pinned snapshot; returns
+        (query_id, namespace, key, value) — the merged result the
+        reference assembles via QueryResultMerger
+        (tgraph/query/QueryResultMerger.java:36-51). The keys join
+        prunes to owning partitions exactly like
+        PartitionOrBcastPartitioner routing."""
+        outs = []
+        for ns_row in requests.select("namespace").distinct().collect():
+            ns = ns_row["namespace"]
+            snap = self.store.read(ns, epoch)
+            req = (
+                requests.filter(F.col("namespace") == ns)
+                .select("query_id", F.explode("keys").alias("key"))
+            )
+            outs.append(
+                req.join(snap, "key", "inner").select(
+                    "query_id", F.lit(ns).alias("namespace"), "key", "value"
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
     def sql(self, query: str, epoch: int | None = None) -> DataFrame:
         """Full SQL over the live state: every namespace is exposed as
         view state_<ns> pinned at one snapshot — this generalizes the
