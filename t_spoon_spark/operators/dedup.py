@@ -103,7 +103,10 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> Da
     """(doc_id, sig ARRAY<BIGINT>[H]) — min over shingle hashes per
     permutation, computed as H aggregations over the exploded shingle
     table (one shuffle; the per-permutation min is a map-side partial)."""
-    sh = doc_shingle_hashes(docs, id_col, k)
+    return _signature_from(doc_shingle_hashes(docs, id_col, k), id_col)
+
+
+def _signature_from(sh: DataFrame, id_col: str) -> DataFrame:
     mins = [
         F.min((F.col("sh_hash") % MINHASH_P * a + b) % MINHASH_P).alias(f"h{j}")
         for j, (a, b) in enumerate(PERMS)
@@ -121,7 +124,11 @@ def minhash_lsh_pairs(
     Scale path: the bucket join shuffles only (band_id, band_key) —
     candidate generation never compares all pairs.
     """
-    sig = minhash_signature(docs, id_col, k)
+    # the shingle table feeds signatures, candidate verification, and
+    # set sizes — compute it once (the explode + md5 over every doc is
+    # the dominant scan cost at scale).
+    sh = doc_shingle_hashes(docs, id_col, k).persist()
+    sig = _signature_from(sh, id_col)
     rows_per_band = MINHASH_H // MINHASH_BANDS
     bands = sig.select(
         id_col,
@@ -147,7 +154,6 @@ def minhash_lsh_pairs(
     # exact-verify ONLY the candidate pairs: expand each pair by doc_a's
     # shingles, then match doc_b's — the shuffle is O(candidates *
     # shingles/doc), never the all-pairs shared-shingle join.
-    sh = doc_shingle_hashes(docs, id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "sh_hash")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "sh_hash")

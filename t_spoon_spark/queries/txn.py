@@ -149,6 +149,56 @@ def txn_bank_votes_pl3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_window_merge",
+    f"""
+    WITH t AS (
+      SELECT event_id AS tid,
+             'a' || CAST(user_id % {KEYSPACE} AS VARCHAR) AS from_account,
+             'a' || CAST((user_id * 7 + 3) % {KEYSPACE} AS VARCHAR) AS to_account,
+             FLOOR(value) AS amount
+      FROM events WHERE event_id < 2000
+    )
+    SELECT tid,
+           CAST(0 AS BIGINT) AS net_c,
+           2 AS n_moves,
+           from_account
+    FROM t
+    ORDER BY tid
+    """,
+)
+def txn_window_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transaction window (T7, tgraph/functions/WindowWrapper.java:23-70):
+    flatMap each transfer into its two movements, then the t_window
+    collapses the siblings back to one record per transaction
+    (TransferMerger pairing) — net movement is zero by construction,
+    which the SQL twin states directly."""
+    env = TxEnvironment(spark, isolation="PL3")
+    g = (
+        env.graph()
+        .flat_map(
+            lambda df: F.array(
+                F.struct(F.col("from_account").alias("account"), (-F.col("amount")).alias("delta")),
+                F.struct(F.col("to_account").alias("account"), F.col("amount").alias("delta")),
+            )
+        )
+        .t_window(
+            lambda items: {
+                "net_c": F.aggregate(
+                    items, F.lit(0).cast("long"), lambda acc, s: acc + s["delta"].cast("long")
+                ),
+                "n_moves": F.size(items),
+                "from_account": F.element_at(items, 1)["account"],
+            }
+        )
+    )
+    runner = env.runner(g)
+    res = runner.run_epoch(_transfers(spark, sf_dir).filter(F.col("_tid") < 2000))
+    return res.stream.select(
+        F.col("_tid").alias("tid"), "net_c", "n_moves", "from_account"
+    ).orderBy("tid")
+
+
+@register(
     "txn_spu_final_balances",
     f"""
     WITH spus AS (
