@@ -40,7 +40,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = -1.0  # unknown scale tag; timings still valid
 
     from t_spoon_spark.registry import all_queries
     from t_spoon_spark.session import build_spark
