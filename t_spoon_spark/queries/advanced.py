@@ -109,7 +109,7 @@ def range_join_signup_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM gaps
     )
-    SELECT user_id, session_id,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            COUNT(*) AS n_events,
            {dd_micros('MAX(ts)')} - {dd_micros('MIN(ts)')} AS duration_us
     FROM sess

@@ -26,7 +26,7 @@ CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3
     f"""
     SELECT {DD_KIND} AS kind,
            COUNT(*) AS n_docs,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MIN(octet_length(encode(text))) AS min_bytes,
            MAX(octet_length(encode(text))) AS max_bytes
     FROM documents

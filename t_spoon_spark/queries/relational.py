@@ -23,6 +23,10 @@ from t_spoon_spark.registry import register
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver runs queries in its own session; the oracle equality
+    # contract (unix_micros == DuckDB epoch_us on NTZ parquet timestamps)
+    # requires a UTC session tz. Dynamic conf — idempotent and safe.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from t_spoon_spark.session import load_events
 
@@ -37,10 +41,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           SUM({dd_fixed('l_quantity')}) AS sum_qty_c,
-           SUM({dd_fixed('l_extendedprice')}) AS sum_base_c,
-           SUM({dd_fixed('l_extendedprice * (1 - l_discount)', 10000)}) AS sum_disc_c,
-           SUM({dd_fixed('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 10000)}) AS sum_charge_c,
+           CAST(SUM({dd_fixed('l_quantity')}) AS BIGINT) AS sum_qty_c,
+           CAST(SUM({dd_fixed('l_extendedprice')}) AS BIGINT) AS sum_base_c,
+           CAST(SUM({dd_fixed('l_extendedprice * (1 - l_discount)', 10000)}) AS BIGINT) AS sum_disc_c,
+           CAST(SUM({dd_fixed('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 10000)}) AS BIGINT) AS sum_charge_c,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -72,7 +76,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_revenue_filter",
     f"""
-    SELECT SUM({dd_fixed('l_extendedprice * l_discount', 10000)}) AS revenue_c,
+    SELECT CAST(SUM({dd_fixed('l_extendedprice * l_discount', 10000)}) AS BIGINT) AS revenue_c,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -105,7 +109,7 @@ def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_segment_top_orders",
     f"""
     SELECT l_orderkey,
-           SUM({dd_fixed('l_extendedprice * (1 - l_discount)', 10000)}) AS revenue_c,
+           CAST(SUM({dd_fixed('l_extendedprice * (1 - l_discount)', 10000)}) AS BIGINT) AS revenue_c,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -141,7 +145,7 @@ def q3_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     f"""
     SELECT n_name,
-           SUM({dd_fixed('l_extendedprice * (1 - l_discount)', 10000)}) AS revenue_c
+           CAST(SUM({dd_fixed('l_extendedprice * (1 - l_discount)', 10000)}) AS BIGINT) AS revenue_c
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -184,7 +188,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     f"""
     SELECT c_custkey, c_name,
-           SUM({dd_fixed('l_extendedprice * (1 - l_discount)', 10000)}) AS revenue_c,
+           CAST(SUM({dd_fixed('l_extendedprice * (1 - l_discount)', 10000)}) AS BIGINT) AS revenue_c,
            n_name
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -264,7 +268,7 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     f"""
     SELECT c_custkey,
            COUNT(o_orderkey) AS n_orders,
-           COALESCE(SUM({dd_fixed('o_totalprice')}), 0) AS spent_c
+           CAST(COALESCE(SUM({dd_fixed('o_totalprice')}), 0) AS BIGINT) AS spent_c
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     ORDER BY c_custkey
@@ -291,7 +295,7 @@ def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_nation_status_revenue",
     f"""
     SELECT n_name, o_orderstatus,
-           SUM({dd_fixed('o_totalprice')}) AS total_c,
+           CAST(SUM({dd_fixed('o_totalprice')}) AS BIGINT) AS total_c,
            COUNT(*) AS n
     FROM orders JOIN customer ON o_custkey = c_custkey
                 JOIN nation ON c_nationkey = n_nationkey
@@ -316,7 +320,7 @@ def rollup_nation_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_returnflag_linestatus",
     f"""
     SELECT l_returnflag, l_linestatus,
-           SUM({dd_fixed('l_quantity')}) AS qty_c,
+           CAST(SUM({dd_fixed('l_quantity')}) AS BIGINT) AS qty_c,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -339,9 +343,9 @@ def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_customer_spend",
     f"""
     SELECT o_custkey, o_orderkey,
-           SUM({dd_fixed('o_totalprice')})
+           CAST(SUM({dd_fixed('o_totalprice')})
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_c,
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c,
            ROW_NUMBER()
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
     FROM orders
@@ -572,11 +576,11 @@ def date_extraction_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_type_values",
     f"""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click'    THEN {dd_fixed('value')} ELSE 0 END) AS click_c,
-           SUM(CASE WHEN event_type = 'view'     THEN {dd_fixed('value')} ELSE 0 END) AS view_c,
-           SUM(CASE WHEN event_type = 'purchase' THEN {dd_fixed('value')} ELSE 0 END) AS purchase_c,
-           SUM(CASE WHEN event_type = 'signup'   THEN {dd_fixed('value')} ELSE 0 END) AS signup_c,
-           SUM(CASE WHEN event_type = 'error'    THEN {dd_fixed('value')} ELSE 0 END) AS error_c
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN {dd_fixed('value')} ELSE 0 END) AS BIGINT) AS click_c,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN {dd_fixed('value')} ELSE 0 END) AS BIGINT) AS view_c,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN {dd_fixed('value')} ELSE 0 END) AS BIGINT) AS purchase_c,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN {dd_fixed('value')} ELSE 0 END) AS BIGINT) AS signup_c,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN {dd_fixed('value')} ELSE 0 END) AS BIGINT) AS error_c
     FROM events
     GROUP BY user_id
     ORDER BY user_id

@@ -18,7 +18,7 @@ from t_spoon_spark.registry import register
     f"""
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            COUNT(*) AS n,
-           SUM({dd_fixed('value')}) AS sum_c
+           CAST(SUM({dd_fixed('value')}) AS BIGINT) AS sum_c
     FROM events
     WHERE json_extract(props, '$.k') IS NOT NULL
     GROUP BY 1
@@ -42,7 +42,7 @@ def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_revenue",
     f"""
     SELECT c_mktsegment, o_orderpriority,
-           SUM({dd_fixed('o_totalprice')}) AS total_c,
+           CAST(SUM({dd_fixed('o_totalprice')}) AS BIGINT) AS total_c,
            COUNT(*) AS n
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), (c_mktsegment, o_orderpriority))

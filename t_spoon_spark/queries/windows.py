@@ -24,7 +24,7 @@ HOUR_US = 3_600_000_000
     SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS w_start_us,
            event_type,
            COUNT(*) AS n,
-           SUM({dd_fixed('value')}) AS sum_c,
+           CAST(SUM({dd_fixed('value')}) AS BIGINT) AS sum_c,
            MIN({dd_fixed('value')}) AS min_c,
            MAX({dd_fixed('value')}) AS max_c
     FROM events
@@ -163,7 +163,7 @@ def w6_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w7_continuous_reduce_user_totals",
     f"""
     SELECT user_id,
-           SUM({dd_fixed('value')}) AS total_c,
+           CAST(SUM({dd_fixed('value')}) AS BIGINT) AS total_c,
            COUNT(*) AS n_events
     FROM events
     GROUP BY user_id

@@ -93,6 +93,9 @@ def load_events(spark: SparkSession, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
+    # The driver may hand us a vanilla session without build_spark()'s
+    # confs; nanosAsLong is a dynamic SQL conf, safe+idempotent to set here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return df.withColumn("ts_ns", F.col("ts")).withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))

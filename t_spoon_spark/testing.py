@@ -53,6 +53,12 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]
         return errs
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for c in a.columns:
+        # The driver's value hash is type-strict: DuckDB HUGEINT (from
+        # SUM(BIGINT)) materializes as float64 and hash-mismatches an
+        # int64 Spark column even when values are equal. Flag it here.
+        if str(a[c].dtype) != str(b[c].dtype):
+            errs.append(f"col {c}: dtype spark={a[c].dtype} duck={b[c].dtype}")
+    for c in a.columns:
         bad = [
             (i, x, y)
             for i, (x, y) in enumerate(zip(a[c].tolist(), b[c].tolist()))
