@@ -10,11 +10,18 @@ unnecessary (SURVEY.md §3.1 "Spark shape").
 
 Isolation semantics (SURVEY.md §4.3, tgraph/state/PL*Strategy.java):
 
-- PL3/PL4: optimistic write-conflict rule — within an epoch only the
-  lowest-tid transaction touching a key executes; later ones vote
-  REPLAY and re-enter the next epoch with their original tid
-  (min-tid-wins ⇒ the oldest transaction always completes ⇒ progress).
-  PL4's strict order falls out of tid-ordered execution.
+- PL3/PL4: serial per-key application in tid order WITHIN the epoch —
+  each transaction reads the value left by the last committed lower-tid
+  transaction on that key (committed-only visibility), checks the
+  invariant, and either commits its write or aborts without advancing
+  the chain. This realizes exactly the fixpoint the reference reaches
+  through optimistic execution + REPLAY of conflicting txns
+  (tgraph/twopc/OpenOperator.java:287-357) but in ONE epoch instead of
+  one epoch per conflicting transaction on a hot key — under Zipf skew
+  the replay-storm cost disappears. PL4's strictness (external order =
+  tid order, tgraph/twopc/StrictnessEnforcer.java:27-118) is structural
+  here: application order IS tid order, and cross-namespace aborts
+  cascade forward (see the fixpoint in _close).
 - PL2: read-committed — every transaction reads the epoch-start
   committed value; last committed writer per key wins (lost updates
   permitted, as PL2 allows).
@@ -89,8 +96,16 @@ class EpochResult:
     stream: DataFrame
     spu_results: DataFrame | None
     n_replay: int
+    # materialized (_tid, vote:int) frame — lets vote accounting run off
+    # the small control frame instead of re-executing the results plan
+    votes: DataFrame | None = None
 
     def vote_counts(self) -> dict[str, int]:
+        if self.votes is not None:
+            rows = (
+                self.votes.select(vote_name(F.col("vote")).alias("v")).groupBy("v").count().collect()
+            )
+            return {r["v"]: r["count"] for r in rows}
         rows = self.results.groupBy("vote").count().collect()
         return {r["vote"]: r["count"] for r in rows}
 
@@ -100,6 +115,7 @@ class GraphRunner:
         self.env = env
         self.graph = tgraph
         self._replay: DataFrame | None = None  # source cols + _tid
+        self._epoch_persisted: list[DataFrame] = []
 
     # ------------------------------------------------------------------
 
@@ -107,16 +123,21 @@ class GraphRunner:
         env = self.env
         store = env.store
         epoch = store.committed_epoch() + 1
+        self._epoch_persisted = []
 
-        src = self._stamp(batch, epoch)
+        src, stamped = self._stamp(batch, epoch)
         if self._replay is not None:
             src = src.unionByName(self._replay) if src is not None else self._replay
             self._replay = None
         if src is None:
             raise ValueError("run_epoch: no batch and no pending replays")
-        # materialize: tids must be identical between graph execution and
-        # replay extraction (monotonically_increasing_id is plan-dependent).
-        src = materialize(src)
+        if stamped:
+            # monotonically_increasing_id tids are plan-dependent; freeze
+            # them so graph execution and replay extraction agree. Sources
+            # that ship their own stable `_tid` (all built-in generators,
+            # the gate fixtures, the bench) skip this entirely — the
+            # cluster-scale path never round-trips the data plane.
+            src = materialize(src)
 
         df = src.select(
             "*",
@@ -125,8 +146,7 @@ class GraphRunner:
             F.lit(True).alias("_alive"),
         )
 
-        votes_parts: list[DataFrame] = []
-        writes_parts: dict[str, list[DataFrame]] = {}
+        state_jobs: list[tuple[DataFrame, G.StateStage, int]] = []
         for idx, stage in enumerate(self.graph.stages):
             if isinstance(stage, G.MapStage):
                 df = G.apply_map(df, stage)
@@ -139,13 +159,40 @@ class GraphRunner:
             elif isinstance(stage, G.TWindowStage):
                 df = G.apply_t_window(df, stage)
             elif isinstance(stage, G.StateStage):
-                votes, writes = self._run_state(df, stage, idx)
-                votes_parts.append(votes)
-                writes_parts.setdefault(stage.namespace, []).append(writes)
+                state_jobs.append((df, stage, idx))
             else:  # pragma: no cover
                 raise TypeError(f"unknown stage {stage}")
 
-        return self._close(epoch, src, df, votes_parts, writes_parts, spus)
+        # Abort-cascade passes are possible only if some touched
+        # namespace can abort at all; persisting the per-stage op frames
+        # is only worth it then (a cascade pass refolds from the cached
+        # ops instead of re-executing source + graph).
+        any_invariant = any(
+            self.env.namespaces[s.namespace].invariant
+            or self.env.namespaces[s.namespace].py_invariant
+            for _, s, _ in state_jobs
+        )
+        reruns: list = []
+
+        def exec_states(
+            excluded: DataFrame | None,
+        ) -> tuple[list[DataFrame], dict[str, list[DataFrame]]]:
+            votes_parts: list[DataFrame] = []
+            writes_parts: dict[str, list[DataFrame]] = {}
+            if excluded is None:
+                for sdf, stage, idx in state_jobs:
+                    votes, writes, rerun = self._run_state(sdf, stage, idx, any_invariant)
+                    reruns.append(rerun)
+                    votes_parts.append(votes)
+                    writes_parts.setdefault(stage.namespace, []).append(writes)
+            else:
+                for rerun, (_, stage, _) in zip(reruns, state_jobs):
+                    votes, writes = rerun(excluded)
+                    votes_parts.append(votes)
+                    writes_parts.setdefault(stage.namespace, []).append(writes)
+            return votes_parts, writes_parts
+
+        return self._close(epoch, src, df, exec_states, len(state_jobs), spus)
 
     def run_to_completion(
         self, batch: DataFrame, spus: DataFrame | None = None, max_epochs: int = 64
@@ -162,20 +209,25 @@ class GraphRunner:
 
     # ------------------------------------------------------------------
 
-    def _stamp(self, batch: DataFrame | None, epoch: int) -> DataFrame | None:
+    def _stamp(self, batch: DataFrame | None, epoch: int) -> tuple[DataFrame | None, bool]:
+        """Returns (stamped batch, needed_plan_dependent_ids)."""
         if batch is None:
-            return None
+            return None, False
         if "_tid" in batch.columns:
-            return batch
+            return batch, False
         base = (epoch + 1) << EPOCH_TID_SHIFT
-        return batch.withColumn("_tid", F.lit(base) + F.monotonically_increasing_id())
+        return batch.withColumn("_tid", F.lit(base) + F.monotonically_increasing_id()), True
 
     # -- state stage ----------------------------------------------------
 
     def _run_state(
-        self, df: DataFrame, stage: G.StateStage, stage_idx: int
-    ) -> tuple[DataFrame, DataFrame]:
-        """Returns (votes (_tid, vote), writes (key, value, _tid, _ord, _stage))."""
+        self, df: DataFrame, stage: G.StateStage, stage_idx: int, persist_ops: bool
+    ) -> tuple[DataFrame, DataFrame, "object"]:
+        """Returns (votes (_tid, vote), writes (key, value, _tid, _ord,
+        _stage), rerun), where rerun(excluded_tids_df) recomputes the
+        stage with the given transactions removed (abort cascade) —
+        from the persisted op frame when persist_ops, so a cascade pass
+        costs one refold, not a source + graph re-execution."""
         env = self.env
         ns = env.namespaces[stage.namespace]
         snapshot = env.store.read(ns.name)
@@ -183,8 +235,24 @@ class GraphRunner:
 
         pandas_path = stage.py_update is not None or env.isolation in ("PL0", "PL1")
         if pandas_path:
-            return self._state_chain_pandas(ops, stage, ns, snapshot, stage_idx)
-        return self._state_expr(ops, stage, ns, snapshot, stage_idx)
+            impl = self._state_chain_pandas
+        elif stage.epoch_combine:
+            impl = self._state_epoch_combine
+        elif env.isolation in ("PL3", "PL4"):
+            impl = self._state_chain_expr
+        else:
+            impl = self._state_expr
+
+        if persist_ops:
+            ops = ops.persist()
+            self._epoch_persisted.append(ops)
+        votes, writes = impl(ops, stage, ns, snapshot, stage_idx)
+
+        def rerun(excluded: DataFrame) -> tuple[DataFrame, DataFrame]:
+            kept = ops.join(excluded, "_tid", "left_anti")
+            return impl(kept, stage, ns, snapshot, stage_idx)
+
+        return votes, writes, rerun
 
     def _state_expr(
         self,
@@ -197,31 +265,20 @@ class GraphRunner:
         """JVM-only path (whole-stage codegen end to end): one window
         aggregate for conflict detection + one join against the
         committed snapshot. This is the 100 TB hot path — no Python."""
-        env = self.env
-        if stage.epoch_combine:
-            return self._state_epoch_combine(ops, stage, ns, snapshot, stage_idx)
         if stage.pre_combine:
             keep = [c for c in ops.columns if c in ("_tid", "_ts", "__key")]
             aggs = [F.expr(f"{how}({col})").alias(col) for col, how in stage.pre_combine.items()]
             ops = ops.groupBy(*keep).agg(*aggs)
 
-        if env.isolation in ("PL3", "PL4"):
-            wk = W.partitionBy("__key")
-            ops = ops.withColumn("__min_tid", F.min("_tid").over(wk))
-            executing = F.col("_tid") == F.col("__min_tid")
-        else:  # PL2: everyone reads committed, everyone writes
-            executing = F.lit(True)
+        # PL2: everyone reads committed, everyone writes
+        executing = F.lit(True)
 
         snap = snapshot.select(F.col("key").alias("__key"), F.col("value").alias("__v0"))
         joined = ops.join(snap, "__key", "left")
         v0 = F.coalesce(F.col("__v0"), F.lit(ns.default).cast(ns.value_type))
         joined = joined.withColumn("__cand", stage.update(v0))
         ok = _invariant_expr(ns)
-        vote = (
-            F.when(~executing, F.lit(REPLAY))
-            .when(ok, F.lit(COMMIT))
-            .otherwise(F.lit(ABORT))
-        )
+        vote = F.when(ok, F.lit(COMMIT)).otherwise(F.lit(ABORT))
         evaluated = joined.select(
             F.col("_tid"),
             F.col("__key").alias("key"),
@@ -239,6 +296,93 @@ class GraphRunner:
                 F.col("_tid").alias("_ord"),
                 F.lit(stage_idx).alias("_stage"),
             )
+        )
+        return votes, writes
+
+    def _state_chain_expr(
+        self,
+        ops: DataFrame,
+        stage: G.StateStage,
+        ns: Namespace,
+        snapshot: DataFrame,
+        stage_idx: int,
+    ) -> tuple[DataFrame, DataFrame]:
+        """PL3/PL4 serial per-key application in tid order, fully JVM.
+
+        collect_list the key's ops sorted by tid, then one SQL
+        ``aggregate()`` higher-order fold walks the chain: each element
+        computes its candidate from the last *committed* value, checks
+        the invariant, and records (tid, vote, value). One shuffle on
+        the key (with map-side combine via pre_combine), no Python, no
+        replay epochs — the entire conflict chain of a hot key resolves
+        inside one epoch (vs one epoch per conflicting txn in the
+        reference's optimistic REPLAY loop,
+        tgraph/twopc/OpenOperator.java:287-357, with identical final
+        state and votes: both realize serial tid-order execution with
+        committed-only visibility).
+
+        Skew note: a key's chain is inherently sequential (each link
+        reads the previous committed value), so a hot key serializes in
+        one task here exactly as it serializes on one shard in the
+        reference; pre_combine keeps the array at one element per
+        transaction.
+        """
+        vt = ns.value_type
+        if stage.pre_combine:
+            aggs = [
+                F.expr(f"{how}({col})").alias(col) for col, how in stage.pre_combine.items()
+            ]
+            ops = ops.groupBy("_tid", "__key").agg(*aggs)
+            value_cols = list(stage.pre_combine)
+            elem = F.struct(F.col("_tid"), *[F.col(c) for c in value_cols])
+        else:
+            value_cols = [c for c in ops.columns if c not in (*G.META_COLS, "__key")]
+            # _path after _tid: intra-transaction ops apply in lineage order
+            elem = F.struct(F.col("_tid"), F.col("_path"), *[F.col(c) for c in value_cols])
+
+        try:
+            cand = _chain_update_sql(self.env.spark, stage, value_cols)
+        except Exception as e:  # pragma: no cover - exotic expressions
+            raise ValueError(
+                f"state('{ns.name}'): cannot derive a SQL chain from the update "
+                f"expression ({e}); supply py_update for the pandas chain path"
+            ) from e
+        ok = _chain_invariant_sql(ns, cand, vt, value_cols)
+
+        grouped = ops.groupBy("__key").agg(F.sort_array(F.collect_list(elem)).alias("__ops"))
+        snap = snapshot.select(F.col("key").alias("__key"), F.col("value").alias("__v0"))
+        joined = grouped.join(snap, "__key", "left").withColumn(
+            "__v0f", F.coalesce(F.col("__v0"), F.lit(ns.default).cast(vt))
+        )
+        fold = f"""aggregate(
+            __ops,
+            named_struct(
+              'value', CAST(__v0f AS {vt}),
+              'votes', CAST(array() AS array<struct<tid: bigint, vote: int, value: {vt}>>)),
+            (acc, x) -> named_struct(
+              'value', CASE WHEN {ok} THEN CAST({cand} AS {vt}) ELSE acc.value END,
+              'votes', array_append(acc.votes, named_struct(
+                'tid', x._tid,
+                'vote', CASE WHEN {ok} THEN {COMMIT} ELSE {ABORT} END,
+                'value', CASE WHEN {ok} THEN CAST({cand} AS {vt}) ELSE acc.value END))))"""
+        evaluated = (
+            joined.select("__key", F.explode(F.expr(fold).getField("votes")).alias("__v"))
+            .select(
+                F.col("__key").alias("key"),
+                F.col("__v.tid").alias("_tid"),
+                F.col("__v.value").alias("value"),
+                F.col("__v.vote").alias("vote"),
+            )
+        )
+        votes = evaluated.groupBy("_tid").agg(F.max("vote").alias("vote"))
+        # only chain-committed links are writes; the close's commit filter
+        # (global vote) prunes cross-namespace aborts on top.
+        writes = evaluated.filter(F.col("vote") == COMMIT).select(
+            "key",
+            "value",
+            "_tid",
+            F.col("_tid").alias("_ord"),
+            F.lit(stage_idx).alias("_stage"),
         )
         return votes, writes
 
@@ -317,21 +461,19 @@ class GraphRunner:
                 v0 = default
             rows = []
             chain_v = v0
-            min_tid = int(pdf["_tid"].min())
             for pos, (_, r) in enumerate(pdf.iterrows()):
                 rec = {c: r[c] for c in value_cols}
                 tid = int(r["_tid"])
-                if isolation in ("PL3", "PL4") and tid != min_tid:
-                    rows.append((key, tid, None, REPLAY, pos, False))
-                    continue
+                # PL3/PL4: serial tid-order chain with committed-only
+                # visibility; PL0/PL1: dirty chain; PL2: committed-at-open
                 base = chain_v if isolation in ("PL0", "PL1", "PL3", "PL4") else v0
                 cand = update(base, rec)
                 ok = invariant(cand) if invariant else True
-                rows.append((key, tid, cand, COMMIT if ok else ABORT, pos, True))
+                rows.append((key, tid, cand, COMMIT if ok else ABORT, pos, ok))
                 if isolation in ("PL0", "PL1"):
                     chain_v = cand  # dirty: visible to the next op regardless of outcome
                 elif isolation in ("PL3", "PL4") and ok:
-                    chain_v = cand  # within-txn chaining only
+                    chain_v = cand  # committed-only chain
             return pd.DataFrame(
                 rows, columns=["key", "_tid", "value", "vote", "_ord", "_exec"]
             )
@@ -346,24 +488,11 @@ class GraphRunner:
 
     # -- close ----------------------------------------------------------
 
-    def _close(
-        self,
-        epoch: int,
-        src: DataFrame,
-        stream: DataFrame,
-        votes_parts: list[DataFrame],
-        writes_parts: dict[str, list[DataFrame]],
-        spus: DataFrame | None,
-    ) -> EpochResult:
-        env = self.env
-        store = env.store
-
-        # global vote per transaction: MAX over the lattice across all
-        # state stages (ReduceVotesFunction + multi-exit second reduce,
-        # tgraph/TransactionEnvironment.java:338-366, collapsed into one
-        # groupBy because the epoch barrier already saw every record).
-        t0 = time.time()
-        tids = src.select("_tid")
+    def _merge_votes(self, tids: DataFrame, votes_parts: list[DataFrame]) -> DataFrame:
+        """Global vote per transaction: MAX over the lattice across all
+        state stages (ReduceVotesFunction + multi-exit second reduce,
+        tgraph/TransactionEnvironment.java:338-366, collapsed into one
+        groupBy because the epoch barrier already saw every record)."""
         if votes_parts:
             all_votes = votes_parts[0]
             for v in votes_parts[1:]:
@@ -371,15 +500,76 @@ class GraphRunner:
             merged = all_votes.groupBy("_tid").agg(F.max("vote").alias("vote"))
         else:
             merged = tids.withColumn("vote", F.lit(COMMIT)).limit(0)
-        gvotes = tids.join(merged, "_tid", "left").fillna(COMMIT, subset=["vote"])
-        if _DEBUG:
-            print(
-                f"    [tspoon] plan sizes: gvotes={len(gvotes._jdf.queryExecution().analyzed().toString())}"
-                f" src={len(src._jdf.queryExecution().analyzed().toString())}",
-                flush=True,
-            )
-        gvotes = materialize(gvotes)
+        return tids.join(merged, "_tid", "left").fillna(COMMIT, subset=["vote"])
+
+    def _close(
+        self,
+        epoch: int,
+        src: DataFrame,
+        stream: DataFrame,
+        exec_states,
+        n_state: int,
+        spus: DataFrame | None,
+    ) -> EpochResult:
+        env = self.env
+        store = env.store
+
+        t0 = time.time()
+        tids = src.select("_tid")
+        votes_parts, writes_parts = exec_states(None)
+        gvotes = materialize(self._merge_votes(tids, votes_parts))
         t0 = _dbg("gvotes", t0)
+
+        # Forward abort cascade (the epoch-model analogue of the
+        # reference's dependency tracking + StrictnessEnforcer replay,
+        # tgraph/state/PL4DependencyTrackingStrategy.java:23-44): a
+        # transaction can chain-commit on one key yet abort globally —
+        # another of its keys, or another namespace, failed its
+        # invariant. Later chain links on the committed keys were then
+        # computed over a value that never commits. Re-run the state
+        # stages with aborted tids excluded until the abort set is
+        # stable. Aborts are monotone (once aborted, stays aborted —
+        # cascading aborts, as in the reference's forward-dependency
+        # replay), so this terminates; the round cap bounds pathological
+        # cascade depth. Cost: zero extra passes when nothing aborts.
+        if n_state > 0 and env.isolation in ("PL3", "PL4"):
+            # epoch_combine folds every txn unconditionally, so its sums
+            # must always be re-derived when something aborts — the
+            # contamination short-circuit below is only sound without it.
+            has_ec = any(
+                isinstance(s, G.StateStage) and s.epoch_combine for s in self.graph.stages
+            )
+            n_excluded = 0
+            for _ in range(6):
+                # gvotes is materialized, so this is a cheap local scan;
+                # the excluded set stays distributed (broadcast anti-join
+                # in rerun) — no driver collect of tids.
+                aborted = gvotes.filter(F.col("vote") == ABORT).select("_tid")
+                n_aborted = aborted.count()
+                if n_aborted == n_excluded:
+                    break
+                # If no aborted txn chain-committed a single link, no
+                # later value embeds an aborted write — the close's
+                # commit filter alone is sufficient; skip the refold.
+                if not has_ec and not any(
+                    _union(parts).join(aborted, "_tid", "left_semi").limit(1).count()
+                    for parts in writes_parts.values()
+                ):
+                    break
+                excluded = materialize(aborted)
+                n_excluded = n_aborted
+                votes_parts, writes_parts = exec_states(excluded)
+                gv = self._merge_votes(tids, votes_parts)
+                # monotone: every previously-aborted txn stays aborted
+                gv = gv.join(excluded.withColumn("__ex", F.lit(1)), "_tid", "left").select(
+                    "_tid",
+                    F.when(F.col("__ex").isNotNull(), F.lit(ABORT))
+                    .otherwise(F.col("vote"))
+                    .alias("vote"),
+                )
+                gvotes = materialize(gv)
+            t0 = _dbg("abort_cascade", t0)
+
         commit_tids = gvotes.filter(F.col("vote") == COMMIT).select("_tid")
 
         # resolve each namespace's final value per key among committed writes
@@ -443,11 +633,21 @@ class GraphRunner:
         # with their original tid (OpenOperator replay,
         # tgraph/twopc/OpenOperator.java:287-357 — ours waits for the
         # next epoch, which is when the conflicting txn has completed).
+        # Chained PL3/PL4 resolves conflicts in-epoch, so REPLAY votes
+        # only arise from explicitly replay-voting user stages (none of
+        # the built-in paths emit them any more) — check cheaply on the
+        # materialized vote frame before touching src.
         replay_tids = gvotes.filter(F.col("vote") == REPLAY).select("_tid")
-        replay_src = src.join(replay_tids, "_tid")
-        n_replay = replay_src.count()
-        self._replay = materialize(replay_src) if n_replay else None
+        n_replay = replay_tids.count()
+        if n_replay:
+            self._replay = materialize(src.join(replay_tids, "_tid"))
+        else:
+            self._replay = None
         _dbg("replay", t0)
+
+        for p in self._epoch_persisted:
+            p.unpersist()
+        self._epoch_persisted = []
 
         return EpochResult(
             epoch=epoch,
@@ -455,6 +655,7 @@ class GraphRunner:
             stream=stream,
             spu_results=spu_results,
             n_replay=n_replay,
+            votes=gvotes,
         )
 
     # -- SPU ------------------------------------------------------------
@@ -538,6 +739,51 @@ class GraphRunner:
         for p in all_results[1:]:
             res = res.unionByName(p)
         return res, new_updates
+
+
+def _union(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_ACC_TOKEN = "__chain_acc__"
+
+
+def _sub_cols(sql: str, cols: list[str], prefix: str = "x") -> str:
+    """Rewrite bare/backticked column references to lambda-element field
+    accesses (``delta`` -> ``x.delta``) for use inside a SQL
+    ``aggregate()`` lambda. Longest names first so one column name being
+    a prefix of another can't corrupt the rewrite."""
+    for c in sorted(cols, key=len, reverse=True):
+        sql = re.sub(rf"`{re.escape(c)}`", f"{prefix}.{c}", sql)
+        sql = re.sub(rf"(?<![\w.`]){re.escape(c)}(?![\w`])", f"{prefix}.{c}", sql)
+    return sql
+
+
+def _chain_update_sql(spark, stage: G.StateStage, value_cols: list[str]) -> str:
+    """Turn the stage's expression update (Column -> Column) into a SQL
+    fragment usable inside an aggregate() lambda: the accumulator value
+    becomes ``acc.value``, record columns become ``x.<col>``.
+
+    Uses Catalyst's Expression.sql() on the unresolved column tree (the
+    same rendering EXPLAIN uses); operators come back in function-call
+    form (``\\`+\\`(a, b)``), which the Spark SQL parser accepts."""
+    jc = stage.update(F.col(_ACC_TOKEN))._jc
+    raw = spark._jsparkSession.expression(jc).sql()
+    sql = re.sub(rf"`?{_ACC_TOKEN}`?", "acc.value", raw)
+    return _sub_cols(sql, value_cols)
+
+
+def _chain_invariant_sql(ns: Namespace, cand: str, vt: str, value_cols: list[str]) -> str:
+    """Invariant SQL with `value` bound to the candidate chain value."""
+    if not ns.invariant:
+        return "true"
+    marker = "\x00CAND\x00"
+    tmpl = re.sub(r"\bvalue\b", marker, ns.invariant)
+    tmpl = _sub_cols(tmpl, value_cols)
+    return tmpl.replace(marker, f"(CAST({cand} AS {vt}))")
 
 
 def _invariant_expr(ns: Namespace) -> Column:

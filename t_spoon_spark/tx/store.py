@@ -117,8 +117,14 @@ class StateStore:
                 merged.write.mode("overwrite").parquet(self._base_path(name, epoch))
                 merged = self.spark.read.parquet(self._base_path(name, epoch))
             elif epoch % self.checkpoint_every == 0:
-                from t_spoon_spark.tx.runner import materialize as _mat
-                merged = _mat(merged)
+                # non-durable lineage cut: spill the snapshot to the
+                # store's scratch dir and read it back — distributed
+                # (executors write/read in parallel), no driver
+                # round-trip of the state, clean lineage. The same
+                # mechanism as the durable base write, minus WAL/markers.
+                merged.write.mode("overwrite").parquet(self._base_path(name, epoch))
+                merged = self.spark.read.parquet(self._base_path(name, epoch))
+                self._gc_bases(name, epoch)
             self._current[name] = merged
         self._committed = epoch
         self._gc_history()
@@ -217,6 +223,19 @@ class StateStore:
         if epoch is not None:
             return self.spark.read.parquet(os.path.join(path, f"epoch={epoch}"))
         return self.spark.read.option("basePath", path).parquet(os.path.join(path, "epoch=*"))
+
+    def _gc_bases(self, ns: str, epoch: int) -> None:
+        """Drop non-durable spill bases older than the retained history
+        (bounded scratch disk; pinned history snapshots keep reading
+        their in-memory frames, not these files)."""
+        import shutil
+
+        base_dir = os.path.join(self.root, ns, "base")
+        if not os.path.isdir(base_dir):
+            return
+        for d in os.listdir(base_dir):
+            if d.startswith("epoch=") and int(d.split("=")[1]) < epoch - self.history_epochs:
+                shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
 
     def _gc_history(self) -> None:
         cutoff = self._committed - self.history_epochs

@@ -86,7 +86,7 @@ def test_state_expr_path_is_jvm_only(spark):
         F.array().cast("array<int>").alias("_path"),
         F.lit(True).alias("_alive"),
     )
-    votes, writes = env.runner(g)._run_state(df, g.stages[0], 0)
+    votes, writes, _rerun = env.runner(g)._run_state(df, g.stages[0], 0, False)
     for frame in (votes, writes):
         plan = executed_plan(frame)
         assert "EvalPython" not in plan and "InPandas" not in plan, plan
