@@ -129,9 +129,11 @@ def q3_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
-    # customer is the small side: broadcast it into orders, then join lineitem.
+    # customer scales with SF — no explicit broadcast hint (at 100 TB it
+    # is GBs); AQE picks broadcast when the filtered side fits under the
+    # threshold and shuffle-join otherwise.
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("revenue_c"))
@@ -173,7 +175,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            # supplier scales with SF — leave the join strategy to AQE;
+            # only fixed-cardinality nation/region keep broadcast hints.
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -249,15 +253,21 @@ def semi_join_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> Dat
     """
     SELECT c_custkey, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-03-01 00:00:00')
     ORDER BY c_custkey
     """,
 )
 def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no *recent* order (the bare no-orders predicate is
+    vacuous on this dataset — every customer has at least one order)."""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    recent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-03-01").cast("timestamp")
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
     )

@@ -35,10 +35,20 @@ def test_q5_broadcasts_dimensions(spark):
 
     df = q5_region_revenue(spark, SF_SMALL)
     assert has_broadcast_join(df)
-    plan = executed_plan(df)
-    # the big fact-side join may be SMJ/SHJ, but region/nation/supplier
-    # must not induce a full shuffle each: at least 3 broadcasts
-    assert plan.count("BroadcastHashJoin") >= 3, plan.count("BroadcastHashJoin")
+    # exactly the fixed-cardinality dims (nation, region) carry explicit
+    # broadcast hints; customer/supplier scale with SF and must be left
+    # to AQE (an explicit hint overrides the size threshold and OOMs
+    # executors at 100x) — VERDICT r1 "What's wrong" #5.
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("strategy=broadcast") == 2, optimized
+
+
+def test_q3_no_scaled_broadcast_hint(spark):
+    from t_spoon_spark.queries.relational import q3_segment_top_orders
+
+    df = q3_segment_top_orders(spark, SF_SMALL)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("strategy=broadcast") == 0, optimized
 
 
 def test_q1_partial_aggregation(spark):
