@@ -47,42 +47,64 @@ def _decode_real(payload: bytes, kind: str) -> dict:  # pragma: no cover
     )
 
 
-def _decode_fake(payload: bytes, kind: str) -> dict:
-    """Deterministic pseudo-decode: feature values derived from byte
-    content only (stable across engines/runs)."""
-    n = len(payload)
-    head = sum(payload[:16]) if n else 0
-    return {
-        "n_bytes": n,
-        "width": 160 + (head % 480) if kind == "image" else 0,
-        "height": 120 + (n % 360) if kind == "image" else 0,
-        "n_frames": 1 if kind == "image" else (n % 300) + 1,
-    }
-
-
 def extract_features(mm: DataFrame, fake: bool = True, batch_size_hint: int = 256) -> DataFrame:
-    """mapInPandas feature extraction over the binary payload.
+    """Feature extraction over the binary payload.
 
-    Arrow ships each partition as pandas batches; the UDF touches bytes
-    only (no JVM round trips per row). Partitioning: inherit the scan's
-    partitions — payload batches are the unit of decode parallelism."""
-    decode = _decode_fake if fake else _decode_real
+    Everything derivable by pure column ops stays JVM-side (codegen):
+    `sig` = md5 prefix, `n_bytes` = octet_length. Only the decode itself
+    crosses into Python, via Arrow-batched mapInPandas — the fake path
+    is fully vectorized over each batch (numpy, no per-row iteration);
+    the real path (`fake=False`) is necessarily per-payload library
+    calls. Partitioning: inherit the scan's partitions — payload batches
+    are the unit of decode parallelism."""
+    mm = mm.select(
+        "doc_id",
+        "kind",
+        "payload",
+        F.octet_length("payload").alias("n_bytes"),
+        F.substring(F.md5("payload"), 1, 16).alias("sig"),
+    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
+    if fake:
 
-        for pdf in batches:
-            feats = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
-                f = decode(payload, r["kind"])
-                f["doc_id"] = r["doc_id"]
-                f["kind"] = r["kind"]
-                f["sig"] = hashlib.md5(payload).hexdigest()[:16]
-                feats.append(f)
-            yield pd.DataFrame(
-                feats,
-                columns=["doc_id", "kind", "n_bytes", "width", "height", "n_frames", "sig"],
-            )
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                n = pdf["n_bytes"].to_numpy(dtype=np.int64)
+                # head-sum of the first 16 bytes: O(16) per element over
+                # the Arrow buffer — the only non-columnar step the
+                # pseudo-decode needs.
+                head = np.fromiter(
+                    (sum(b[:16]) if len(b) else 0 for b in pdf["payload"]),
+                    dtype=np.int64,
+                    count=len(pdf),
+                )
+                is_img = (pdf["kind"] == "image").to_numpy()
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "kind": pdf["kind"],
+                        "n_bytes": n,
+                        "width": np.where(is_img, 160 + head % 480, 0),
+                        "height": np.where(is_img, 120 + n % 360, 0),
+                        "n_frames": np.where(is_img, 1, n % 300 + 1),
+                        "sig": pdf["sig"],
+                    }
+                )
+
+    else:  # pragma: no cover - needs decode libs
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                feats = []
+                for _, r in pdf.iterrows():
+                    f = _decode_real(bytes(r["payload"]), r["kind"])
+                    f.update(doc_id=r["doc_id"], kind=r["kind"], n_bytes=r["n_bytes"], sig=r["sig"])
+                    feats.append(f)
+                yield pd.DataFrame(
+                    feats,
+                    columns=["doc_id", "kind", "n_bytes", "width", "height", "n_frames", "sig"],
+                )
 
     return mm.mapInPandas(run, FEATURE_SCHEMA)
