@@ -64,27 +64,25 @@ def doc_shingle_hashes(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> D
     ).select(id_col, md5_long(F.col("sh")).alias("sh_hash"))
 
 
-def jaccard_pairs(
-    docs: DataFrame, id_col: str = "doc_id", k: int = 3, threshold_c: int = 50
+def _verify_jaccard(
+    cand: DataFrame, sh: DataFrame, id_col: str, threshold_c: int
 ) -> DataFrame:
-    """Candidate pairs sharing ≥1 shingle, with exact Jaccard (scaled
-    x100 fixed-point). threshold_c is the scaled threshold (50 = 0.5).
-
-    jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct shingle sets.
-    """
-    sh = doc_shingle_hashes(docs, id_col, k)
+    """Exact Jaccard over the candidate pairs only: expand each pair by
+    doc_a's shingles, match doc_b's — shuffle is O(candidates *
+    shingles/doc), never all-pairs. Returns (doc_a, doc_b, n_inter,
+    jaccard_c) filtered to the threshold."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "sh_hash")
-    b = sh.select(F.col(id_col).alias("doc_b"), "sh_hash")
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "sh_hash")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "sh_hash")
     inter = (
-        a.join(b, "sh_hash")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh_hash"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = (
+    return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -93,10 +91,75 @@ def jaccard_pairs(
                 F.col("n_inter") * 100.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
             ).cast("long"),
         )
+        .filter(F.col("jaccard_c") >= threshold_c)
+        .select("doc_a", "doc_b", "n_inter", "jaccard_c")
     )
-    return jac.filter(F.col("jaccard_c") >= threshold_c).select(
-        "doc_a", "doc_b", "n_inter", "jaccard_c"
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_c: int = 50,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 shingle, with exact Jaccard (scaled
+    x100 fixed-point). threshold_c is the scaled threshold (50 = 0.5).
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct shingle sets.
+
+    `max_df` caps the shingle document frequency used for CANDIDATE
+    generation: a boilerplate shingle shared by f documents creates
+    O(f^2) candidate rows, so one hot shingle (header/footer text) is a
+    quadratic hot bucket at 100 TB. Shingles with df > max_df are
+    excluded from candidate generation only — the exact verify still
+    counts them, so jaccard values are unaffected; pairs whose ONLY
+    shared shingles are ultra-common are missed by design (they are
+    boilerplate matches, not duplicates). The r1 verdict's #5."""
+    sh = doc_shingle_hashes(docs, id_col, k)
+    if max_df is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.select(F.col(id_col).alias("doc_a"), "sh_hash")
+        b = sh.select(F.col(id_col).alias("doc_b"), "sh_hash")
+        inter = (
+            a.join(b, "sh_hash")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+        jac = (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn(
+                "jaccard_c",
+                F.floor(
+                    F.col("n_inter") * 100.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+                ).cast("long"),
+            )
+        )
+        return jac.filter(F.col("jaccard_c") >= threshold_c).select(
+            "doc_a", "doc_b", "n_inter", "jaccard_c"
+        )
+
+    sh = sh.persist()  # feeds df counts, candidate gen, and verify
+    rare = (
+        sh.groupBy("sh_hash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("sh_hash")
     )
+    capped = sh.join(rare, "sh_hash")
+    a = capped.select(F.col(id_col).alias("doc_a"), "sh_hash")
+    b = capped.select(F.col(id_col).alias("doc_b"), "sh_hash")
+    cand = (
+        a.join(b, "sh_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, id_col, threshold_c)
 
 
 def minhash_signature(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFrame:
@@ -151,31 +214,8 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact-verify ONLY the candidate pairs: expand each pair by doc_a's
-    # shingles, then match doc_b's — the shuffle is O(candidates *
-    # shingles/doc), never the all-pairs shared-shingle join.
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), "sh_hash")
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), "sh_hash")
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "sh_hash"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard_c",
-            F.floor(
-                F.col("n_inter") * 100.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-            ).cast("long"),
-        )
-        .filter(F.col("jaccard_c") >= threshold_c)
-        .select("doc_a", "doc_b", "jaccard_c")
+    return _verify_jaccard(cand, sh, id_col, threshold_c).select(
+        "doc_a", "doc_b", "jaccard_c"
     )
 
 

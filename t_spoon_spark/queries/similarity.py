@@ -104,14 +104,48 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "c_id", "cos_c", "rnk").orderBy("q_id", "rnk")
 
 
+N_BANDS = 4
+BAND_BITS = 2
+MAX_BUCKET = 10_000  # skew guard; >> n/2^band_bits at gate SFs, binds at scale
+
+
+def _dd_band_key(alias: str, band: int, band_bits: int) -> str:
+    from t_spoon_spark.operators.similarity import _plane
+
+    terms = []
+    for i in range(band_bits):
+        lit = "[" + ", ".join(str(v) for v in _plane(band * band_bits + i)) + "]"
+        dot = f"list_sum(list_transform(range(1, len({alias}.ei) + 1), i -> {alias}.ei[i] * ({lit})[i]))"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dd_bands() -> str:
+    parts = [
+        f"SELECT n.vec_id, {j} AS band, {_dd_band_key('n', j, BAND_BITS)} AS bkey FROM normed n"
+        for j in range(N_BANDS)
+    ]
+    return " UNION ALL ".join(parts)
+
+
 @register(
     "dedup_embedding_cosine",
     f"""
     {_dd_base()},
+    bands AS ({_dd_bands()}),
+    capped AS (
+      SELECT * FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bkey) <= {MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM capped x JOIN capped y USING (band, bkey)
+      WHERE x.vec_id < y.vec_id
+    ),
     pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      SELECT id_a, id_b,
              CAST(FLOOR(CAST({DD_DOT_AB} AS DOUBLE) * 1e6 / (a.norm * b.norm) + 0.5) AS BIGINT) AS cos_c
-      FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+      FROM cand JOIN normed a ON id_a = a.vec_id JOIN normed b ON id_b = b.vec_id
     )
     SELECT id_a, id_b, cos_c FROM pairs
     WHERE cos_c >= 500000
@@ -120,6 +154,13 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.5 on the scaled
-    score)."""
+    score) among banded-LSH candidates — no all-pairs product; the
+    oracle recomputes the identical band keys, cap, and candidate set."""
     emb = t(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold_c=500_000).orderBy("id_a", "id_b")
+    return cosine_near_dup_pairs(
+        emb,
+        threshold_c=500_000,
+        n_bands=N_BANDS,
+        band_bits=BAND_BITS,
+        max_bucket=MAX_BUCKET,
+    ).orderBy("id_a", "id_b")

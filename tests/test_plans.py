@@ -79,6 +79,19 @@ def test_asof_join_single_shuffle_no_explosion(spark):
     assert "Window" in plan
 
 
+def test_near_dup_plans_have_no_cartesian(spark):
+    """Near-dup candidate generation must be equi-joins on bucket keys
+    only — an all-pairs product in any dedup plan is the 100 TB
+    scale-killer flagged in VERDICT r1 (#6)."""
+    from t_spoon_spark.queries.dedup import dedup_ngram_jaccard
+    from t_spoon_spark.queries.similarity import dedup_embedding_cosine
+
+    for fn in (dedup_embedding_cosine, dedup_ngram_jaccard):
+        plan = executed_plan(fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
 def test_state_expr_path_is_jvm_only(spark):
     """The PL3 expression state path must contain no Python evaluation
     (BatchEvalPython / ArrowEvalPython / FlatMapGroupsInPandas)."""
