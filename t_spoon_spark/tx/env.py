@@ -99,26 +99,48 @@ class TxEnvironment:
         return self.store.read(ns, epoch).filter(F.expr(predicate_sql))
 
     def execute_queries(self, requests: DataFrame, epoch: int | None = None) -> DataFrame:
-        """Execute a batch of key-query requests (query_id, namespace,
-        keys ARRAY<STRING>) against one pinned snapshot; returns
-        (query_id, namespace, key, value) — the merged result the
-        reference assembles via QueryResultMerger
-        (tgraph/query/QueryResultMerger.java:36-51). The keys join
-        prunes to owning partitions exactly like
-        PartitionOrBcastPartitioner routing."""
+        """Execute a batch of query requests (query_id, namespace,
+        keys ARRAY<STRING>, predicate STRING) against one pinned
+        snapshot; returns (query_id, namespace, key, value) — the merged
+        result the reference assembles via QueryResultMerger
+        (tgraph/query/QueryResultMerger.java:36-51). Key and predicate
+        requests route through one union type, like the reference's
+        NoConsensusOperation (tgraph/state/NoConsensusOperation.java:13-39):
+        a request with non-empty `keys` joins on key (Catalyst prunes to
+        owning partitions like PartitionOrBcastPartitioner routing); a
+        request with a `predicate` full-scans the snapshot with the
+        predicate pushed into the scan. Predicates are query *text*
+        (control plane, a handful per batch), so collecting them to
+        drive per-predicate filters is not a data-plane collect."""
+        pin = self.store.committed_epoch() if epoch is None else epoch
         outs = []
         for ns_row in requests.select("namespace").distinct().collect():
             ns = ns_row["namespace"]
-            snap = self.store.read(ns, epoch)
-            req = (
-                requests.filter(F.col("namespace") == ns)
-                .select("query_id", F.explode("keys").alias("key"))
-            )
+            snap = self.store.read(ns, pin)
+            sub = requests.filter(F.col("namespace") == ns)
+            req = sub.filter(
+                F.col("keys").isNotNull() & (F.size("keys") > 0)
+            ).select("query_id", F.explode("keys").alias("key"))
             outs.append(
                 req.join(snap, "key", "inner").select(
                     "query_id", F.lit(ns).alias("namespace"), "key", "value"
                 )
             )
+            if "predicate" in sub.columns:
+                pred_rows = (
+                    sub.filter(F.col("predicate").isNotNull())
+                    .select("query_id", "predicate")
+                    .collect()
+                )
+                for r in pred_rows:
+                    outs.append(
+                        snap.filter(F.expr(r["predicate"])).select(
+                            F.lit(r["query_id"]).alias("query_id"),
+                            F.lit(ns).alias("namespace"),
+                            "key",
+                            "value",
+                        )
+                    )
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)

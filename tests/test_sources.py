@@ -36,13 +36,24 @@ def test_execute_queries_merged_results(spark):
     env.runner(g).run_epoch(batch)
 
     reqs = spark.createDataFrame(
-        [("q0", "balances", ["a1", "a2", "zz"]), ("q1", "balances", ["a2"])],
-        "query_id string, namespace string, keys array<string>",
+        [
+            ("q0", "balances", ["a1", "a2", "zz"], None),
+            ("q1", "balances", ["a2"], None),
+            # predicate request through the same union type
+            # (tgraph/state/NoConsensusOperation.java:13-39)
+            ("q2", "balances", None, "value > 115"),
+        ],
+        "query_id string, namespace string, keys array<string>, predicate string",
     )
     res = env.execute_queries(reqs).collect()
     got = {(r["query_id"], r["key"]): r["value"] for r in res}
     # missing key "zz" yields no row (reference returns only owned keys)
-    assert got == {("q0", "a1"): 110.0, ("q0", "a2"): 120.0, ("q1", "a2"): 120.0}
+    assert got == {
+        ("q0", "a1"): 110.0,
+        ("q0", "a2"): 120.0,
+        ("q1", "a2"): 120.0,
+        ("q2", "a2"): 120.0,
+    }
 
 
 def test_query_requests_generator(spark):
