@@ -71,13 +71,29 @@ class StreamRunner:
         self.collect_votes = collect_votes
         self._query = None
 
-    def start(self, stream_df: DataFrame, trigger: dict | None = None, query_name: str | None = None):
+    def start(
+        self,
+        stream_df: DataFrame,
+        trigger: dict | None = None,
+        query_name: str | None = None,
+        checkpoint_dir: str | None = None,
+    ):
         def process(batch_df: DataFrame, batch_id: int) -> None:
+            # Idempotence guard (tgraph/state/StateOperator.java:317-353
+            # replays the WAL above the watermark; ours is the dual —
+            # skip below it): after a crash between the store's epoch
+            # commit and the Spark checkpoint advance, Structured
+            # Streaming re-delivers the micro-batch with its original
+            # batch_id. The store's commit marker records the applied
+            # frontier, so a re-delivered batch must not double-apply.
+            last = self.runner.env.store.last_batch_id
+            if last is not None and batch_id <= last:
+                return
             has_replays = self.runner._replay is not None
             if batch_df.isEmpty() and not has_replays:
                 return
             t0 = time.time()
-            res = self.runner.run_epoch(batch_df)
+            res = self.runner.run_epoch(batch_df, batch_id=batch_id)
             votes = res.vote_counts() if self.collect_votes else {}
             n = sum(votes.values()) if votes else res.results.count()
             self.metrics.record(res.epoch, n, votes, time.time() - t0)
@@ -94,6 +110,8 @@ class StreamRunner:
                 threading.Thread(target=self._query.stop, daemon=True).start()
 
         writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
         if query_name:
             writer = writer.queryName(query_name)
         if trigger:

@@ -119,11 +119,17 @@ class GraphRunner:
 
     # ------------------------------------------------------------------
 
-    def run_epoch(self, batch: DataFrame | None, spus: DataFrame | None = None) -> EpochResult:
+    def run_epoch(
+        self,
+        batch: DataFrame | None,
+        spus: DataFrame | None = None,
+        batch_id: int | None = None,
+    ) -> EpochResult:
         env = self.env
         store = env.store
         epoch = store.committed_epoch() + 1
         self._epoch_persisted = []
+        self._batch_id = batch_id
 
         src, stamped = self._stamp(batch, epoch)
         if self._replay is not None:
@@ -626,7 +632,12 @@ class GraphRunner:
             "_tid", "_ts", "vote", F.to_json(F.col("updates")).alias("updates_json")
         )
         t0 = _dbg("build_updates", t0)
-        store.commit(epoch, updates, wal if env.store.durable else None)
+        store.commit(
+            epoch,
+            updates,
+            wal if env.store.durable else None,
+            batch_id=getattr(self, "_batch_id", None),
+        )
         t0 = _dbg("commit", t0)
 
         # REPLAY queue: original source rows re-enter the next epoch

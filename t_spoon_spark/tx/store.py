@@ -58,6 +58,10 @@ class StateStore:
         self._current: dict[str, DataFrame] = {}
         self._history: dict[tuple[str, int], DataFrame] = {}
         self._committed = -1
+        # highest streaming batch_id whose epoch committed — the
+        # idempotence frontier for micro-batches re-delivered after a
+        # crash between store-commit and the Spark checkpoint advance.
+        self.last_batch_id: int | None = None
         if durable:
             os.makedirs(os.path.join(self.root, "_commits"), exist_ok=True)
             self._recover()
@@ -90,11 +94,19 @@ class StateStore:
 
     # -- commit ---------------------------------------------------------
 
-    def commit(self, epoch: int, updates: dict[str, DataFrame], wal: DataFrame | None) -> None:
+    def commit(
+        self,
+        epoch: int,
+        updates: dict[str, DataFrame],
+        wal: DataFrame | None,
+        batch_id: int | None = None,
+    ) -> None:
         """Atomically publish one epoch: all namespace updates + WAL.
 
         updates[ns] must have exactly one row per key (the resolved
-        final value of this epoch).
+        final value of this epoch). `batch_id` ties the epoch to its
+        streaming micro-batch; it rides the commit marker so recovery
+        knows which batches are already applied.
         """
         if epoch != self._committed + 1:
             raise ValueError(f"epoch {epoch} != committed {self._committed} + 1")
@@ -104,7 +116,7 @@ class StateStore:
                     df.write.mode("overwrite").parquet(self._log_path(name, epoch))
             if wal is not None:
                 wal.write.mode("overwrite").parquet(os.path.join(self.root, "wal", f"epoch={epoch}"))
-            self._write_marker(epoch, sorted(updates))
+            self._write_marker(epoch, sorted(updates), batch_id)
         for name, df in updates.items():
             if df is None:
                 continue
@@ -127,6 +139,8 @@ class StateStore:
                 self._gc_bases(name, epoch)
             self._current[name] = merged
         self._committed = epoch
+        if batch_id is not None:
+            self.last_batch_id = batch_id
         self._gc_history()
 
     @staticmethod
@@ -148,11 +162,13 @@ class StateStore:
     def _base_path(self, ns: str, epoch: int) -> str:
         return os.path.join(self.root, ns, "base", f"epoch={epoch}")
 
-    def _write_marker(self, epoch: int, namespaces: list[str]) -> None:
+    def _write_marker(
+        self, epoch: int, namespaces: list[str], batch_id: int | None = None
+    ) -> None:
         path = os.path.join(self.root, "_commits", f"{epoch:012d}.json")
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
         with os.fdopen(fd, "w") as f:
-            json.dump({"epoch": epoch, "namespaces": namespaces}, f)
+            json.dump({"epoch": epoch, "namespaces": namespaces, "batch_id": batch_id}, f)
         os.rename(tmp, path)  # atomic publish
 
     def _marker_epochs(self) -> list[int]:
@@ -173,6 +189,8 @@ class StateStore:
         if not epochs:
             return
         self._committed = epochs[-1]
+        with open(os.path.join(self.root, "_commits", f"{self._committed:012d}.json")) as f:
+            self.last_batch_id = json.load(f).get("batch_id")
         for name in list(self.namespaces) or self._disk_namespaces():
             self._current[name] = self._reconstruct(name, self._committed)
 
