@@ -87,6 +87,93 @@ def bank_transfer_tps(spark: SparkSession, sf_dir: str) -> float:
     return round(max(_run(spark, sf_dir, fold=False) for _ in range(2)), 1)
 
 
+def _probe(env_factory, transfers, total: int, rate: float,
+           epoch_seconds: float, n_epochs: int) -> bool | None:
+    """One rate probe: feed n_epochs epochs of rate*epoch_seconds txns
+    and check the engine drains them inside the wall budget (no growing
+    backlog = no backpressure). None = not enough data to probe."""
+    per_epoch = int(rate * epoch_seconds)
+    warm = min(1000, max(1, total // 10))
+    if per_epoch < 1 or per_epoch * n_epochs + warm > total:
+        return None
+    for _attempt in range(2):  # one retry: a single GC/scheduler stall
+        # must not report an otherwise-sustainable rate as the max
+        runner = env_factory()
+        # untimed warm epoch: first-epoch costs (codegen, plan
+        # compilation, initial store spill) are startup, not rate — the
+        # reference's sustainable number is likewise after warm-up.
+        runner.run_epoch(transfers.filter(F.col("_tid") >= total - warm))
+        t0 = time.time()
+        for i in range(n_epochs):
+            batch = transfers.filter(
+                (F.col("_tid") >= i * per_epoch) & (F.col("_tid") < (i + 1) * per_epoch)
+            )
+            runner.run_epoch(batch)
+        while runner._replay is not None:
+            runner.run_epoch(None)
+        if (time.time() - t0) <= n_epochs * epoch_seconds:
+            return True
+    return False
+
+
+def sustainable_tps(
+    spark: SparkSession,
+    sf_dir: str,
+    fold: bool = False,
+    epoch_seconds: float = 5.0,
+    n_epochs: int = 3,
+    iters: int = 4,
+) -> float:
+    """Max sustainable rate by targeting loop — the reference's
+    TunableSource methodology (evaluation/TunableSource.java:26-45:
+    inject at a candidate rate, watch backpressure, adjust): exponential
+    bracket from 1 k tx/s, then binary search. A rate R 'sustains' when
+    R*epoch_seconds-sized epochs complete inside their wall budget, the
+    epoch-model equivalent of the source keeping its injection rate
+    without output-queue growth."""
+
+    def env_factory():
+        env = TxEnvironment(spark, isolation="PL3")
+        env.create_namespace(
+            "balances", "double", 100.0, invariant=None if fold else "value >= 0"
+        )
+        return env.runner(_graph(env, fold))
+
+    transfers = _transfers(spark, sf_dir).localCheckpoint(eager=True)
+    total = transfers.count()
+
+    # The per-epoch control frames are tiny; 32-way shuffles on them are
+    # pure task overhead in local mode. A cluster sizes this to cores.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # JIT/codegen warmup outside any timed probe
+        _probe(env_factory, transfers, total, 500, epoch_seconds, 1)
+
+        # start the exponential bracket at a rate the dataset can
+        # actually feed (small SFs would otherwise fail every probe on
+        # data volume, not backpressure, and report 0)
+        warm = min(1000, max(1, total // 10))
+        max_rate = (total - warm) / (epoch_seconds * n_epochs)
+        lo, hi = 0.0, None
+        rate = max(1.0, min(1000.0, max_rate / 2))
+        while hi is None:
+            ok = _probe(env_factory, transfers, total, rate, epoch_seconds, n_epochs)
+            if ok:
+                lo, rate = rate, rate * 2
+            else:  # failed probe or data-limited: bracket found
+                hi = rate
+        for _ in range(iters):
+            mid = (lo + hi) / 2
+            if _probe(env_factory, transfers, total, mid, epoch_seconds, n_epochs):
+                lo = mid
+            else:
+                hi = mid
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return round(lo, 1)
+
+
 def bank_transfer_tps_fold(spark: SparkSession, sf_dir: str) -> float:
     """Associative-fold path, tx/s (best of two rounds)."""
     return round(max(_run(spark, sf_dir, fold=True) for _ in range(2)), 1)

@@ -20,6 +20,20 @@ from pyspark.sql import functions as F
 
 from t_spoon_spark.operators.text import md5_long, tokens
 
+
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure per-doc heavy compute (shingle explode + md5) parallelizes.
+
+    A small parquet file scans as a single partition (row groups don't
+    split), serializing everything downstream on one core. At cluster
+    scale the scan already has >= cores partitions and this is a no-op;
+    locally it buys full parallelism for one narrow shuffle of the raw
+    docs — which the 50x shingle expansion amortizes immediately."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
 # MinHash parameters: h_j(x) = (a_j * (x mod P) + b_j) mod P, j in [0, H).
 # P = 2^31-1 (Mersenne prime) keeps every intermediate product under
 # 2^62, i.e. inside exact BIGINT range in both Spark (ANSI mode) and
@@ -59,6 +73,7 @@ def shingles(text_col, k: int = 3):
 
 def doc_shingle_hashes(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """(doc_id, sh_hash BIGINT) — exploded distinct shingle hashes."""
+    docs = spread(docs)
     return docs.select(
         F.col(id_col), F.explode(shingles(F.col("text"), k)).alias("sh")
     ).select(id_col, md5_long(F.col("sh")).alias("sh_hash"))
@@ -226,7 +241,7 @@ SIMHASH_BANDS = 4  # 12 bits per band; hamming<=3 => >=1 identical band
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, sim BIGINT) — 48-bit SimHash over distinct tokens:
     bit j = sign of Σ_tokens (2*bit_j(md5(token)) - 1)."""
-    tok = docs.select(
+    tok = spread(docs).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col("text")))).alias("w")
     ).select(id_col, md5_long(F.col("w")).alias("h"))
     bit_sums = [

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from t_spoon_spark.operators.dedup import spread
+
 DIM = 64
 N_PLANES = 8
 
@@ -72,6 +74,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of each query vector against the corpus.
     `queries` is broadcast (small side); self-matches excluded."""
+    corpus = spread(corpus)
     c = with_norm(corpus.select(F.col(id_col).alias("c_id"), int_embedding("embedding").alias("ei")))
     q = with_norm(
         queries.select(F.col(id_col).alias("q_id"), int_embedding("embedding").alias("ei"))
@@ -92,6 +95,7 @@ def lsh_topk(
     """ANN variant: candidates restricted to the query's LSH bucket,
     then exact cosine within. Deterministic recall loss; at 100 TB the
     bucket join replaces the O(Q*N) scan."""
+    corpus = spread(corpus)
     c = with_norm(
         corpus.select(F.col(id_col).alias("c_id"), int_embedding("embedding").alias("ei"))
     ).withColumn("bucket", bucket_bits(F.col("ei")))
@@ -183,6 +187,7 @@ def cosine_near_dup_pairs(
     Recall < 1 by construction (deterministic, identical in the oracle);
     at near-dup thresholds the band miss probability is (1-p^b)^L for
     per-plane agreement p = 1 - theta/pi."""
+    corpus = spread(corpus)
     c = with_norm(corpus.select(F.col(id_col).alias("id"), int_embedding("embedding").alias("ei")))
     cand = lsh_candidate_pairs(
         c, id_col="id", vec_col="ei", n_bands=n_bands, band_bits=band_bits, max_bucket=max_bucket

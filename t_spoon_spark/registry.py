@@ -45,14 +45,24 @@ def register(name: str, duckdb_sql: str | None = None):
     return deco
 
 
+def _ordered() -> list[QueryEntry]:
+    """Stable order with oracle-backed entries first: round 1 showed the
+    driver checks at most 50 entries, so if anything is truncated it
+    should be a rows-only entry, not one with a bit-exact oracle."""
+    entries = list(_REGISTRY.values())
+    return [e for e in entries if e.duckdb_sql is not None] + [
+        e for e in entries if e.duckdb_sql is None
+    ]
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {n: e.spark_fn for n, e in _REGISTRY.items()}
+    return {e.name: e.spark_fn for e in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
-    return {n: e.duckdb_sql for n, e in _REGISTRY.items() if e.duckdb_sql is not None}
+    return {e.name: e.duckdb_sql for e in _ordered() if e.duckdb_sql is not None}
 
 
 _LOADED = False

@@ -291,7 +291,8 @@ class GraphRunner:
             F.col("__cand").alias("value"),
             vote.alias("vote"),
             executing.alias("__exec"),
-        )
+        ).persist()  # consumed by votes, writes, and the results build
+        self._epoch_persisted.append(evaluated)
         votes = evaluated.groupBy("_tid").agg(F.max("vote").alias("vote"))
         writes = (
             evaluated.filter(F.col("__exec"))
@@ -380,6 +381,11 @@ class GraphRunner:
                 F.col("__v.vote").alias("vote"),
             )
         )
+        # several epoch actions consume this frame (vote merge, writes,
+        # contamination check, results build) — cache it executor-side
+        # so the collect_list+fold shuffle runs once, not per action.
+        evaluated = evaluated.persist()
+        self._epoch_persisted.append(evaluated)
         votes = evaluated.groupBy("_tid").agg(F.max("vote").alias("vote"))
         # only chain-committed links are writes; the close's commit filter
         # (global vote) prunes cross-namespace aborts on top.

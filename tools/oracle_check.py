@@ -3,7 +3,11 @@
 over the same parquet tables, compare row count, column names, and
 exact values (columns sorted by name, rows sorted by all values).
 
-Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
+Usage: python tools/oracle_check.py [--vanilla] [sf_dir] [query_name ...]
+
+``--vanilla`` runs against a driver-like SparkSession (no build_spark
+confs) — round 1's events-loader bug only reproduced in such a session,
+so the gate replication must cover it.
 """
 
 from __future__ import annotations
@@ -17,14 +21,27 @@ sys.path.insert(0, str(REPO))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from t_spoon_spark.session import build_spark
     from t_spoon_spark.testing import compare_frames, duckdb_connection
 
-    spark = build_spark(app_name="oracle_check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .appName("oracle_check_vanilla")
+            .config("spark.driver.memory", "24g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = build_spark(app_name="oracle_check")
     con = duckdb_connection(sf_dir)
 
     qs = entrymod.queries()
