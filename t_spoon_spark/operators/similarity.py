@@ -117,6 +117,89 @@ def lsh_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+IVF_STRIDE = 100  # every stride-th vec_id is a coarse centroid: K ~ n/stride
+IVF_NPROBE = 2
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    stride: int = IVF_STRIDE,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-flat ANN: inverted-file index with deterministic coarse
+    centroids (every `stride`-th vector by id — no RNG, so the oracle
+    recomputes the identical structure), exact cosine within the probed
+    lists.
+
+    Build: each corpus vector is assigned to its nearest centroid by
+    quantized cosine (ties -> lowest centroid id) — a broadcast of the
+    K centroids against the corpus, aggregated with max_by per vector
+    (map-side combinable; no corpus shuffle, unlike a window). The
+    (cent_id -> vectors) partitioning IS the inverted list; at scale the
+    lists would be written bucketed by cent_id so probes prune files.
+
+    Probe: each query ranks the same K centroids, takes the `nprobe`
+    nearest lists, and exact-scores only vectors in those lists:
+    O(Q * nprobe * n/K) instead of O(Q * n). Recall < 1 by construction,
+    deterministic, identical in both engines."""
+    corpus = spread(corpus)
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("c_id"), int_embedding("embedding").alias("ei"))
+    )
+    cents = with_norm(
+        corpus.filter(F.col(id_col) % stride == 0).select(
+            F.col(id_col).alias("cent_id"), int_embedding("embedding").alias("ei")
+        )
+    ).select("cent_id", F.col("ei").alias("ce"), F.col("norm").alias("cnorm"))
+
+    ccos = cosine_c(dot_int(F.col("ei"), F.col("ce")), F.col("norm"), F.col("cnorm"))
+    # inverted lists: argmax over centroids per vector, ties -> lowest id
+    lists = (
+        c.crossJoin(F.broadcast(cents))
+        .select("c_id", "ei", "norm", "cent_id", ccos.alias("ccos"))
+        .groupBy("c_id")
+        .agg(
+            F.max_by("cent_id", F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nid"))).alias(
+                "cent_id"
+            ),
+            F.first("ei").alias("ei"),
+            F.first("norm").alias("norm"),
+        )
+    )
+
+    q = with_norm(
+        queries.select(F.col(id_col).alias("q_id"), int_embedding("embedding").alias("ei"))
+    )
+    qw = W.partitionBy("q_id").orderBy(F.desc("qcos"), F.asc("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            F.col("ei").alias("qe"),
+            F.col("norm").alias("qnorm"),
+            "cent_id",
+            cosine_c(dot_int(F.col("ei"), F.col("ce")), F.col("norm"), F.col("cnorm")).alias(
+                "qcos"
+            ),
+        )
+        .withColumn("crnk", F.row_number().over(qw))
+        .filter(F.col("crnk") <= nprobe)
+        .select("q_id", "qe", "qnorm", "cent_id")
+    )
+
+    pairs = lists.join(F.broadcast(probes), "cent_id").filter(F.col("c_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        "c_id",
+        cosine_c(dot_int(F.col("qe"), F.col("ei")), F.col("qnorm"), F.col("norm")).alias("cos_c"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_c"), F.asc("c_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def band_key(vec: Column, band: int, band_bits: int) -> Column:
     """Key of one LSH band: `band_bits` hyperplane sign bits packed into
     a long (band j uses planes [j*band_bits, (j+1)*band_bits))."""

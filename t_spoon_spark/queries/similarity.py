@@ -11,9 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from t_spoon_spark.operators.similarity import (
+    IVF_NPROBE,
+    IVF_STRIDE,
     PLANES,
     brute_force_topk,
     cosine_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from t_spoon_spark.queries.relational import t
@@ -101,6 +104,74 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     out = lsh_topk(emb, queries, k=5)
+    return out.select("q_id", "c_id", "cos_c", "rnk").orderBy("q_id", "rnk")
+
+
+def _dd_dot(x_ei: str, y_ei: str) -> str:
+    return f"list_sum(list_transform(range(1, len({x_ei}) + 1), i -> {x_ei}[i] * {y_ei}[i]))"
+
+
+def _dd_cos(x_ei: str, y_ei: str, x_norm: str, y_norm: str) -> str:
+    return (
+        f"CAST(FLOOR(CAST({_dd_dot(x_ei, y_ei)} AS DOUBLE) * 1e6"
+        f" / ({x_norm} * {y_norm}) + 0.5) AS BIGINT)"
+    )
+
+
+@register(
+    "similarity_ivf_topk",
+    f"""
+    {_dd_base()},
+    cents AS (
+      SELECT vec_id AS cent_id, ei AS ce, norm AS cnorm FROM normed
+      WHERE vec_id % {IVF_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_dd_cos('n.ei', 'c.ce', 'n.norm', 'c.cnorm')} DESC, c.cent_id
+               ) AS crnk
+        FROM normed n CROSS JOIN cents c
+      ) WHERE crnk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS q_id, cent_id FROM (
+        SELECT n.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {_dd_cos('n.ei', 'c.ce', 'n.norm', 'c.cnorm')} DESC, c.cent_id
+               ) AS crnk
+        FROM normed n CROSS JOIN cents c
+        WHERE n.vec_id < {N_QUERIES}
+      ) WHERE crnk <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id AS c_id,
+             {_dd_cos('qn.ei', 'bn.ei', 'qn.norm', 'bn.norm')} AS cos_c
+      FROM probes p
+        JOIN assign a USING (cent_id)
+        JOIN normed qn ON qn.vec_id = p.q_id
+        JOIN normed bn ON bn.vec_id = a.vec_id
+      WHERE a.vec_id <> p.q_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_c DESC, c_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, c_id, cos_c, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY q_id, rnk
+    """,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic coarse centroids (every 100th
+    vec_id), corpus bucketed into inverted lists by nearest-centroid
+    assignment, queries probe the 2 nearest lists with exact cosine —
+    the inverted-file counterpart to the hyperplane-LSH scale path."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = ivf_topk(emb, queries, k=5)
     return out.select("q_id", "c_id", "cos_c", "rnk").orderBy("q_id", "rnk")
 
 

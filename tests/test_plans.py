@@ -62,6 +62,38 @@ def test_q1_partial_aggregation(spark):
     assert "HashAggregate" in plan
 
 
+def test_ivf_probe_join_shape(spark):
+    """IVF-flat: the only non-equi joins are the two K-centroid
+    broadcasts (coarse quantization, O(n*K) compute, no shuffle); the
+    list-probe join must be an equi join on cent_id — a cartesian there
+    is the O(Q*N) scan IVF exists to avoid."""
+    from t_spoon_spark.queries.similarity import similarity_ivf_topk
+
+    df = similarity_ivf_topk(spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_ivf_scores_match_bruteforce(spark):
+    """Every pair IVF returns must carry the same exact cosine the
+    brute-force path computes for it (IVF restricts candidates, never
+    changes scoring)."""
+    from t_spoon_spark.operators.similarity import brute_force_topk, ivf_topk
+    from t_spoon_spark.queries.relational import t
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = ivf_topk(emb, queries, k=5).select("q_id", "c_id", "cos_c")
+    bf = brute_force_topk(emb, queries, k=10_000).select(
+        "q_id", "c_id", F.col("cos_c").alias("bf_cos")
+    )
+    joined = ivf.join(bf, ["q_id", "c_id"], "left").collect()
+    assert len(joined) == 25
+    for r in joined:
+        assert r.bf_cos is not None and r.cos_c == r.bf_cos, r
+
+
 def test_semi_join_stays_semi(spark):
     from t_spoon_spark.queries.relational import semi_join_customers_with_big_orders
 
