@@ -78,6 +78,22 @@ def lang_scores(toks: Column) -> list[tuple[str, Column]]:
     return [(lang, marker_hits(toks, ms)) for lang, ms in LANG_MARKERS.items()]
 
 
+def lang_pred(toks: Column) -> Column:
+    """Argmax language over marker-hit scores with a deterministic
+    tiebreak (declaration order en, es, fr, de); 'unknown' when no
+    marker hits."""
+    scores = lang_scores(toks)
+    expr = None
+    for i, (lang, s) in enumerate(scores):
+        cond = s > 0
+        for j, (other, so) in enumerate(scores):
+            if other == lang:
+                continue
+            cond = cond & ((s >= so) if j > i else (s > so))
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise("unknown")
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over the normalized token stream
     (lowercase, whitespace-collapsed) — stable under formatting noise."""

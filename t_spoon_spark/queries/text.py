@@ -11,7 +11,7 @@ from t_spoon_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS,
     fingerprint,
-    lang_scores,
+    lang_pred,
     quality_components,
     tokens,
 )
@@ -111,18 +111,7 @@ def _dd_lang_case() -> str:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    scores = lang_scores(toks)
-    order = [lang for lang, _ in scores]
-    expr = None
-    for i, (lang, s) in enumerate(scores):
-        cond = s > 0
-        for j, (other, so) in enumerate(scores):
-            if other == lang:
-                continue
-            cond = cond & ((s >= so) if j > i else (s > so))
-        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
-    pred = expr.otherwise("unknown")
+    pred = lang_pred(tokens(F.col("text")))
     return docs.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
 
 
