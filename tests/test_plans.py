@@ -94,6 +94,58 @@ def test_ivf_scores_match_bruteforce(spark):
         assert r.bf_cos is not None and r.cos_c == r.bf_cos, r
 
 
+def test_salted_join_equals_plain_join_and_splits_hot_key(spark):
+    """A Zipf-headed fact table salted-joined to a dim must return
+    exactly the plain join's rows while the physical join key includes
+    the salt (the hot key spreads across n_salts reducers)."""
+    from t_spoon_spark.operators.skew import salted_join
+
+    facts = spark.range(0, 10_000).select(
+        # 90% of rows on key 0 — the hot head
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 50).alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    dims = spark.range(0, 50).select(F.col("id").alias("k"), (F.col("id") + 100).alias("d"))
+    out = salted_join(facts, dims, "k", n_salts=8)
+    plain = facts.join(dims, "k")
+    assert out.count() == plain.count() == 10_000
+    assert out.exceptAll(plain).count() == 0
+    assert "_salt" in executed_plan(out)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the same key + count must sort-merge join
+    with zero Exchange operators — the write-time shuffle amortizes
+    every subsequent join on the key."""
+    from t_spoon_spark.operators.skew import bucketed, write_bucketed
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    write_bucketed(orders, "orders_b", "o_custkey", 8, path=str(tmp_path / "ob"))
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "cust_b",
+        "o_custkey",
+        8,
+        path=str(tmp_path / "cb"),
+    )
+    try:
+        j = bucketed(spark, "orders_b").hint("merge").join(
+            bucketed(spark, "cust_b"), "o_custkey"
+        )
+        plan = executed_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
 def test_semi_join_stays_semi(spark):
     from t_spoon_spark.queries.relational import semi_join_customers_with_big_orders
 
