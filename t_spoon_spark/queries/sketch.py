@@ -1,0 +1,102 @@
+"""Sketch queries over events: HyperLogLog distinct count and
+count-min-sketch heavy hitters. The oracles rebuild the identical
+sketches in SQL — registers, counters, and estimates are all integer-
+exact except HLL's final one-expression double divide (same literal,
+same IEEE ops in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from t_spoon_spark.operators.dedup import MINHASH_P, PERMS
+from t_spoon_spark.operators.sketch import (
+    CMS_D,
+    CMS_W,
+    HLL_ALPHA_NUM,
+    HLL_M,
+    HLL_W,
+    SCALE_POW,
+    cms_heavy_hitters,
+    hll_estimate,
+    hll_registers,
+)
+from t_spoon_spark.operators.text import dd_md5_long
+from t_spoon_spark.queries.relational import t
+from t_spoon_spark.registry import register
+
+_H = dd_md5_long("CAST(event_id AS VARCHAR)")
+_HU = dd_md5_long("CAST(user_id AS VARCHAR)")
+
+
+@register(
+    "sketch_hll_distinct_events",
+    f"""
+    WITH h AS (SELECT {_H} AS h FROM events),
+    reg AS (
+      SELECT h % {HLL_M} AS bucket,
+             MAX(CASE WHEN (h // {HLL_M}) % {1 << HLL_W} = 0 THEN {HLL_W + 1}
+                      ELSE {HLL_W} + 1 - length(bin((h // {HLL_M}) % {1 << HLL_W}))
+                 END) AS rho_max
+      FROM h GROUP BY 1
+    ),
+    s AS (
+      SELECT COUNT(*) AS used,
+             CAST(SUM(CAST(power(2, {SCALE_POW} - rho_max) AS BIGINT)) AS BIGINT) AS s_used
+      FROM reg
+    )
+    SELECT used AS n_buckets_used,
+           {HLL_M} - used AS zero_registers,
+           CAST(FLOOR({HLL_ALPHA_NUM} /
+                CAST(s_used + ({HLL_M} - used) * {1 << SCALE_POW} AS DOUBLE)) AS BIGINT) AS est
+    FROM s
+    """,
+)
+def sketch_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL(p=9, 512 registers) distinct count of event_id: the register
+    build is one groupBy with map-side max partials (512 rows of state,
+    mergeable across partitions/days by MAX — the property that makes
+    HLL the 100 TB distinct-count primitive)."""
+    ev = t(spark, sf_dir, "events").select("event_id")
+    return hll_estimate(hll_registers(ev, "event_id"))
+
+
+def _dd_cms_col(h_expr: str, j: int) -> str:
+    a, b = PERMS[j]
+    return f"((({h_expr}) % {MINHASH_P}) * {a} + {b}) % {MINHASH_P} % {CMS_W}"
+
+
+@register(
+    "sketch_cms_heavy_users",
+    f"""
+    WITH h AS (SELECT user_id, {_HU} AS h FROM events),
+    rc AS (
+      {" UNION ALL ".join(f"SELECT {j} AS r, {_dd_cms_col('h', j)} AS c FROM h" for j in range(CMS_D))}
+    ),
+    sk AS (SELECT r, c, COUNT(*) AS cnt FROM rc GROUP BY r, c),
+    cand AS (
+      SELECT DISTINCT user_id AS value,
+             {", ".join(f"{_dd_cms_col('h', j)} AS c{j}" for j in range(CMS_D))}
+      FROM h
+    ),
+    est AS (
+      SELECT cand.value,
+             LEAST({", ".join(f"s{j}.cnt" for j in range(CMS_D))}) AS est
+      FROM cand
+        {" ".join(f"JOIN sk s{j} ON s{j}.r = {j} AND s{j}.c = cand.c{j}" for j in range(CMS_D))}
+    )
+    SELECT value, est FROM est
+    WHERE est >= (SELECT GREATEST(COUNT(*) // 100, 1) FROM events)
+    ORDER BY value
+    """,
+)
+def sketch_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min(4x256) heavy hitters over user_id: users whose CMS
+    estimate reaches 1% of the stream. The sketch is d*w=1024 exact
+    counters built in one groupBy; the candidate probe broadcasts it.
+    Estimates are deterministic upper bounds (collision inflation is
+    identical in both engines)."""
+    ev = t(spark, sf_dir, "events").select("user_id")
+    threshold = max(ev.count() // 100, 1)
+    return cms_heavy_hitters(ev, "user_id", threshold).orderBy("value")

@@ -84,5 +84,6 @@ def _load_all() -> None:
     import t_spoon_spark.queries.multimodal  # noqa: F401
     import t_spoon_spark.queries.streaming_native  # noqa: F401
     import t_spoon_spark.queries.pipeline  # noqa: F401
+    import t_spoon_spark.queries.sketch  # noqa: F401
 
     _LOADED = True
