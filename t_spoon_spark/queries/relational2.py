@@ -151,3 +151,51 @@ def queryable_state_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     runner.run_to_completion(_transfers(spark, sf_dir))
     out = env.query_predicate("balances", "value > 100")
     return out.select("key", F.col("value").cast("bigint").alias("balance_c")).orderBy("key")
+
+
+@register(
+    "array_function_suite",
+    """
+    SELECT l_orderkey,
+           len(list_sort(list(l_partkey))) AS n_parts,
+           array_to_string(list_sort(list(l_partkey)), ',') AS parts_str,
+           list_sort(list(l_partkey))[1] AS first_part,
+           array_to_string(list_sort(list(l_partkey))[1:3], ',') AS first3_str,
+           len(list_distinct(list(l_suppkey))) AS n_supps,
+           CAST(list_sum(list_transform(list_sort(list(l_partkey)), x -> x % 7)) AS BIGINT)
+             AS mod7_sum
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) >= 5
+    ORDER BY l_orderkey
+    """,
+)
+def array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over grouped lineitem: collect + sort,
+    length, indexing, slice, distinct, and a higher-order transform/
+    aggregate — emitted as scalars / joined strings so the value hash
+    compares exactly (raw array cells hash differently across engines).
+    All JVM Column ops; the collect_list shuffle is the only exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_partkey")).alias("parts"),
+            F.array_distinct(F.collect_list("l_suppkey")).alias("supps"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") >= 5)
+    )
+    return g.select(
+        "l_orderkey",
+        F.size("parts").alias("n_parts"),
+        F.array_join(F.transform("parts", lambda x: x.cast("string")), ",").alias("parts_str"),
+        F.element_at("parts", 1).alias("first_part"),
+        F.array_join(
+            F.transform(F.slice("parts", 1, 3), lambda x: x.cast("string")), ","
+        ).alias("first3_str"),
+        F.size("supps").alias("n_supps"),
+        F.aggregate(
+            "parts", F.lit(0).cast("long"), lambda acc, x: acc + x % 7
+        ).alias("mod7_sum"),
+    ).orderBy("l_orderkey")
