@@ -99,3 +99,49 @@ def fingerprint(text: Column) -> Column:
     (lowercase, whitespace-collapsed) — stable under formatting noise."""
     normalized = F.array_join(tokens(F.lower(text)), " ")
     return F.md5(normalized)
+
+
+# BPE-ish subword pre-tokenization (GPT-2-style splitting approximated
+# with an engine-portable pattern: letter runs, digit runs, single
+# punctuation marks — Java and RE2 regex agree on this subset)
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnowing window (MOSS-style: min hash per window)
+
+
+def bpe_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def winnow_fingerprints(text: Column) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken MOSS
+    scheme): char 8-gram rolling hashes over the normalized token
+    stream, min per 4-window, distinct mins. Guarantees any shared
+    substring of length >= K+W-1 contributes a shared fingerprint.
+    Pure nested array transforms — JVM-side, no Python."""
+    span = WINNOW_K + WINNOW_W - 1
+    # transform(array(x), v -> ...)[0] is the let-binding idiom: the
+    # normalized string and the gram-hash array are each computed ONCE
+    # per row (not once per window), and each gram is hashed once (not
+    # once per covering window). CASE guard: Spark's sequence(1, 0) is
+    # a DESCENDING [1, 0], not empty, so short docs short-circuit.
+    return F.expr(
+        f"""
+        transform(array({_norm_sql()}), n ->
+          CASE WHEN length(n) < {span + 1} THEN cast(array() as array<bigint>)
+          ELSE transform(array(
+                 transform(sequence(1, length(n) - {WINNOW_K - 1}),
+                           j -> cast(conv(substring(md5(substring(n, j, {WINNOW_K})), 1, 15), 16, 10) as bigint))
+               ), hs ->
+                 array_distinct(transform(sequence(1, size(hs) - {WINNOW_W - 1}),
+                                          i -> array_min(slice(hs, i, {WINNOW_W}))))
+               )[0]
+          END
+        )[0]
+        """
+    )
+
+
+def _norm_sql() -> str:
+    return "array_join(filter(split(lower(text), '\\\\s+'), w -> w != ''), ' ')"

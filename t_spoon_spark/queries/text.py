@@ -128,3 +128,80 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+@register(
+    "text_bpe_token_counts",
+    f"""
+    WITH b AS (
+      SELECT doc_id, regexp_extract_all(text, '{{BPE}}') AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_bpe,
+           len(list_filter(toks, w -> regexp_matches(w, '^[A-Za-z]+$'))) AS n_word,
+           len(list_filter(toks, w -> regexp_matches(w, '^[0-9]+$'))) AS n_num
+    FROM b ORDER BY doc_id
+    """.replace("{BPE}", "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"),
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword pre-tokenization counts (letter runs, digit
+    runs, single punctuation — the GPT-2 split approximated with an
+    engine-portable regex): total subword count plus word/number class
+    counts per document."""
+    from t_spoon_spark.operators.text import bpe_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    toks = bpe_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe"),
+        F.size(F.filter(toks, lambda w: w.rlike("^[A-Za-z]+$"))).alias("n_word"),
+        F.size(F.filter(toks, lambda w: w.rlike("^[0-9]+$"))).alias("n_num"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_winnow_fingerprints",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''), ' ') AS norm
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN length(norm) < 12 THEN CAST([] AS BIGINT[])
+             ELSE list_transform(range(1, length(norm) - 7 + 1),
+                  j -> (('0x' || substr(md5(substr(norm, j, 8)), 1, 15))::BIGINT))
+             END AS hs
+      FROM n
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - 3, 0) + 1),
+               i -> list_min(hs[i:i+3])
+             )) AS fps
+      FROM h
+    )
+    SELECT doc_id, len(fps) AS n_fp,
+           list_min(fps) AS min_fp, list_max(fps) AS max_fp
+    FROM fp ORDER BY doc_id
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS-style rolling-hash) fingerprints: char 8-gram
+    hashes over the normalized token stream, min per 4-window, distinct
+    mins — any shared substring of length >= 11 chars contributes a
+    shared fingerprint. Reported per doc as (count, min, max) so the
+    cross-engine hash compares scalars."""
+    from t_spoon_spark.operators.text import winnow_fingerprints
+
+    docs = t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    ).orderBy("doc_id")
