@@ -82,3 +82,45 @@ def streaming_w7_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
     )
     return final.orderBy("user_id")
+
+
+@register(
+    "streaming_interval_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS c_ts_us,
+           CAST(epoch_us(p.ts) AS BIGINT) AS p_ts_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases within 1 hour after a
+    same-user click), both sides watermarked so join state is evicted
+    as event time advances. Time-ordered 2-batch replay of each side
+    makes the drained result equal the batch interval join."""
+    from t_spoon_spark.streaming.windows import interval_join_stream
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    cs = file_stream(spark, clicks, n_slices=2, time_ordered="c_ts")
+    ps = file_stream(spark, purchases, n_slices=2, time_ordered="p_ts")
+    j = interval_join_stream(cs, ps, "user_id", "c_ts", "p_ts")
+    out = drain_stream(
+        j.select(
+            "click_id",
+            "purchase_id",
+            F.unix_micros("c_ts").alias("c_ts_us"),
+            F.unix_micros("p_ts").alias("p_ts_us"),
+        ),
+        output_mode="append",
+    )
+    return out.orderBy("click_id", "purchase_id")

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,15 +43,35 @@ def file_stream(
     n_slices: int = 4,
     max_files_per_trigger: int = 1,
     tmp_dir: str | None = None,
+    time_ordered: str | None = None,
 ) -> DataFrame:
     """Open a file-source stream over a bounded frame spilled to
     `n_slices` parquet files — a deterministic n-micro-batch replay
     (maxFilesPerTrigger=1), the test/bench harness for the operators
     below. In production the same operators run over readStream from
-    Kafka/files directly."""
+    Kafka/files directly.
+
+    `time_ordered`: slice by range on this column and replay slices in
+    ascending order (mtimes forced to the range order). An in-order
+    replay has no late rows, so watermark-evicting drains (e.g.
+    stream-stream joins) equal their batch answer exactly."""
     if tmp_dir is None:
         tmp_dir = tempfile.mkdtemp(prefix="tspoon_stream_")
-    bounded.repartition(n_slices).write.mode("overwrite").parquet(tmp_dir)
+    if time_ordered is None:
+        bounded.repartition(n_slices).write.mode("overwrite").parquet(tmp_dir)
+    else:
+        bounded.repartitionByRange(n_slices, F.col(time_ordered)).write.mode(
+            "overwrite"
+        ).parquet(tmp_dir)
+        # range partition i lands in part-0000i; replay in that order
+        parts = sorted(
+            f
+            for f in os.listdir(tmp_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        base = time.time() - 10 * len(parts)
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(tmp_dir, f), (base + 10 * i, base + 10 * i))
     schema = spark.read.parquet(tmp_dir).schema
     return (
         spark.readStream.schema(schema)
@@ -148,3 +169,31 @@ def drain_stream(
     spark.table(name).write.mode("overwrite").parquet(out_dir)
     spark.catalog.dropTempView(name)
     return spark.read.parquet(out_dir)
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: right rows within
+    [left_ts, left_ts + interval] of a matching-key left row. Both
+    sides carry watermarks and the join condition bounds event time in
+    both directions, so Spark evicts each side's state once the
+    watermark passes its match horizon — the state-cleanup contract
+    that makes a stream-stream join runnable indefinitely.
+
+    With a `time_ordered` bounded replay (no late rows), the drained
+    append output equals the batch interval join exactly."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
