@@ -101,15 +101,24 @@ def bench_extra(spark, sf_dir) -> dict[str, float]:
         from t_spoon_spark.bench_txn import (
             bank_transfer_tps,
             bank_transfer_tps_fold,
+            bank_transfer_tps_pl4,
+            bank_transfer_tps_pl4_contended,
             sustainable_tps,
         )
 
         out["txn_bank_tps_pl3"] = bank_transfer_tps(spark, sf_dir)
         out["txn_bank_tps_fold"] = bank_transfer_tps_fold(spark, sf_dir)
+        # reference PL4 comparables: 1,000 tx/s (series/pessimistic) and
+        # 500 tx/s (1k-key contended) — start_rates.properties.example:5-6
+        out["txn_bank_tps_pl4"] = bank_transfer_tps_pl4(spark, sf_dir)
+        out["txn_bank_tps_pl4_contended"] = bank_transfer_tps_pl4_contended(spark, sf_dir)
         # BASELINE.md engine gate: >= 2,500 tx/s measured with a
         # rate-targeting loop (TunableSource semantics), not a fixed
-        # workload.
-        out["sustainable_tps_pl3"] = sustainable_tps(spark, sf_dir)
+        # workload — plus end-to-end commit latency AT that rate (the
+        # reference's latency-at-sustained-rate metric).
+        rate, latency_ms = sustainable_tps(spark, sf_dir, measure_latency=True)
+        out["sustainable_tps_pl3"] = rate
+        out["txn_latency_ms_at_sustained_pl3"] = latency_ms
     except ImportError:
         pass
     return out

@@ -24,13 +24,13 @@ KEYSPACE = 100_000
 MIX = 2654435761  # Knuth multiplicative hash
 
 
-def _transfers(spark: SparkSession, sf_dir: str):
+def _transfers(spark: SparkSession, sf_dir: str, keyspace: int = KEYSPACE):
     ev = load_events(spark, sf_dir)
-    h = (F.col("event_id") * MIX) % (KEYSPACE * 7919)
+    h = (F.col("event_id") * MIX) % (keyspace * 7919)
     return ev.select(
         F.col("event_id").alias("_tid"),
-        F.concat(F.lit("a"), (h % KEYSPACE).cast("string")).alias("from_account"),
-        F.concat(F.lit("a"), ((h * 31 + 7) % KEYSPACE).cast("string")).alias("to_account"),
+        F.concat(F.lit("a"), (h % keyspace).cast("string")).alias("from_account"),
+        F.concat(F.lit("a"), ((h * 31 + 7) % keyspace).cast("string")).alias("to_account"),
         F.floor(F.col("value")).cast("double").alias("amount"),
     )
 
@@ -54,13 +54,20 @@ def _graph(env: TxEnvironment, fold: bool):
     )
 
 
-def _run(spark: SparkSession, sf_dir: str, fold: bool, n_epochs: int = 5) -> float:
-    env = TxEnvironment(spark, isolation="PL3")
+def _run(
+    spark: SparkSession,
+    sf_dir: str,
+    fold: bool,
+    n_epochs: int = 5,
+    isolation: str = "PL3",
+    keyspace: int = KEYSPACE,
+) -> float:
+    env = TxEnvironment(spark, isolation=isolation)
     env.create_namespace(
         "balances", "double", 100.0, invariant=None if fold else "value >= 0"
     )
     runner = env.runner(_graph(env, fold))
-    transfers = _transfers(spark, sf_dir).localCheckpoint(eager=True)
+    transfers = _transfers(spark, sf_dir, keyspace).localCheckpoint(eager=True)
     total = transfers.count()
     per_epoch = total // n_epochs + 1
 
@@ -123,23 +130,32 @@ def sustainable_tps(
     epoch_seconds: float = 5.0,
     n_epochs: int = 3,
     iters: int = 4,
-) -> float:
+    isolation: str = "PL3",
+    keyspace: int = KEYSPACE,
+    measure_latency: bool = False,
+) -> float | tuple[float, float]:
     """Max sustainable rate by targeting loop — the reference's
     TunableSource methodology (evaluation/TunableSource.java:26-45:
     inject at a candidate rate, watch backpressure, adjust): exponential
     bracket from 1 k tx/s, then binary search. A rate R 'sustains' when
     R*epoch_seconds-sized epochs complete inside their wall budget, the
     epoch-model equivalent of the source keeping its injection rate
-    without output-queue growth."""
+    without output-queue growth.
+
+    `measure_latency=True` also runs a confirmation round AT the
+    discovered rate and returns (rate, mean epoch wall in ms) — the
+    epoch model's end-to-end commit latency: a txn entering at epoch
+    start is durably committed one epoch wall later (the reference's
+    latency-at-sustained-rate, `latency-unloaded` accumulator)."""
 
     def env_factory():
-        env = TxEnvironment(spark, isolation="PL3")
+        env = TxEnvironment(spark, isolation=isolation)
         env.create_namespace(
             "balances", "double", 100.0, invariant=None if fold else "value >= 0"
         )
         return env.runner(_graph(env, fold))
 
-    transfers = _transfers(spark, sf_dir).localCheckpoint(eager=True)
+    transfers = _transfers(spark, sf_dir, keyspace).localCheckpoint(eager=True)
     total = transfers.count()
 
     # The per-epoch control frames are tiny; 32-way shuffles on them are
@@ -169,6 +185,23 @@ def sustainable_tps(
                 lo = mid
             else:
                 hi = mid
+
+        if measure_latency:
+            per_epoch = max(1, int(lo * epoch_seconds))
+            runner = env_factory()
+            warm = min(1000, max(1, total // 10))
+            runner.run_epoch(transfers.filter(F.col("_tid") >= total - warm))
+            walls = []
+            for i in range(n_epochs):
+                batch = transfers.filter(
+                    (F.col("_tid") >= i * per_epoch)
+                    & (F.col("_tid") < (i + 1) * per_epoch)
+                )
+                t0 = time.time()
+                runner.run_epoch(batch)
+                walls.append(time.time() - t0)
+            latency_ms = round(1000.0 * sum(walls) / len(walls), 1)
+            return round(lo, 1), latency_ms
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return round(lo, 1)
@@ -177,3 +210,21 @@ def sustainable_tps(
 def bank_transfer_tps_fold(spark: SparkSession, sf_dir: str) -> float:
     """Associative-fold path, tx/s (best of two rounds)."""
     return round(max(_run(spark, sf_dir, fold=True) for _ in range(2)), 1)
+
+
+def bank_transfer_tps_pl4(spark: SparkSession, sf_dir: str) -> float:
+    """PL4 (strict serializable order), 100k keyspace — the reference's
+    series/pessimistic PL4 config sustains 1,000 tx/s
+    (launch_scripts/start_rates.properties.example:5). Best of two."""
+    return round(max(_run(spark, sf_dir, fold=False, isolation="PL4") for _ in range(2)), 1)
+
+
+def bank_transfer_tps_pl4_contended(spark: SparkSession, sf_dir: str) -> float:
+    """PL4 with a 1,000-key keyspace (~100x the conflict rate) — the
+    reference's contended config sustains 500 tx/s
+    (launch_scripts/start_rates.properties.example:6). Best of two;
+    exercises the intra-epoch chained conflict resolution."""
+    return round(
+        max(_run(spark, sf_dir, fold=False, isolation="PL4", keyspace=1_000) for _ in range(2)),
+        1,
+    )
