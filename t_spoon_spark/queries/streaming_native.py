@@ -124,3 +124,61 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.orderBy("click_id", "purchase_id")
+
+
+@register(
+    "streaming_session_stats",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 3600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS s_start_us,
+           COUNT(*) AS n_events,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, s_start_us
+    """,
+)
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as true streaming session windows: per-user
+    1-hour-gap sessions via session_window + watermark, replayed
+    in event-time order. A far-future sentinel row (user -1) advances
+    the global watermark at the end so every real session finalizes and
+    appends; the drained result equals batch sessionization with the
+    session-window boundary rule (a gap of exactly 1h starts a new
+    session — window ends are exclusive)."""
+    from t_spoon_spark.streaming.windows import session_stats_stream
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts)], "user_id long, ts timestamp"
+    ).select("user_id", (F.col("ts") + F.expr("INTERVAL 10 HOURS")).alias("ts"))
+    stream = file_stream(
+        spark, ev.unionByName(sentinel), n_slices=3, time_ordered="ts"
+    )
+    sess = session_stats_stream(stream, ts_col="ts", key="user_id")
+    out = drain_stream(sess, output_mode="append")
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.unix_micros("first_ts").alias("s_start_us"),
+            "n_events",
+            (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias("duration_us"),
+        )
+        .orderBy("user_id", "s_start_us")
+    )

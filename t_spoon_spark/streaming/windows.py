@@ -197,3 +197,26 @@ def interval_join_stream(
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {interval}"))
     )
     return l.join(r, cond, "inner").drop(r[key])
+
+
+def session_stats_stream(
+    ev: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time session windows (streaming sessionization): per-key
+    sessions close when the next event starts >= gap after the last;
+    state is evicted as the watermark passes a session's end+gap.
+    Emits (key, session start/end, n_events, first/last event time)
+    in append mode once sessions finalize."""
+    return (
+        ev.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
