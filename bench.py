@@ -104,6 +104,7 @@ def bench_extra(spark, sf_dir) -> dict[str, float]:
             bank_transfer_tps_pl4,
             bank_transfer_tps_pl4_contended,
             sustainable_tps,
+            txn_latency_ms_unloaded,
         )
 
         out["txn_bank_tps_pl3"] = bank_transfer_tps(spark, sf_dir)
@@ -119,6 +120,9 @@ def bench_extra(spark, sf_dir) -> dict[str, float]:
         rate, latency_ms = sustainable_tps(spark, sf_dir, measure_latency=True)
         out["sustainable_tps_pl3"] = rate
         out["txn_latency_ms_at_sustained_pl3"] = latency_ms
+        # the reference's latency-unloaded accumulator: commit latency
+        # of a small epoch on an idle engine (the micro-batch floor)
+        out["txn_latency_ms_unloaded"] = txn_latency_ms_unloaded(spark, sf_dir)
     except ImportError:
         pass
     return out

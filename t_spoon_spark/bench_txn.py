@@ -212,6 +212,36 @@ def bank_transfer_tps_fold(spark: SparkSession, sf_dir: str) -> float:
     return round(max(_run(spark, sf_dir, fold=True) for _ in range(2)), 1)
 
 
+def txn_latency_ms_unloaded(spark: SparkSession, sf_dir: str, n: int = 5) -> float:
+    """Unloaded end-to-end commit latency (the reference's
+    `latency-unloaded` accumulator, evaluation/TunableSource.java:29-33):
+    mean wall time of a small (100-txn) epoch after warm-up — the
+    micro-batch floor a txn pays from submission to durable commit when
+    the engine is idle. The epoch model trades this floor (~trigger
+    interval) for the batch-amortized throughput numbers above; the
+    reference's record-at-a-time runtime has lower floor, lower ceiling."""
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace("balances", "double", 100.0, invariant="value >= 0")
+    runner = env.runner(_graph(env, False))
+    transfers = _transfers(spark, sf_dir).localCheckpoint(eager=True)
+    total = transfers.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        runner.run_epoch(transfers.filter(F.col("_tid") >= total - 1000))  # warm
+        walls = []
+        for i in range(n):
+            batch = transfers.filter(
+                (F.col("_tid") >= i * 100) & (F.col("_tid") < (i + 1) * 100)
+            )
+            t0 = time.time()
+            runner.run_epoch(batch)
+            walls.append(time.time() - t0)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return round(1000.0 * sum(walls) / len(walls), 1)
+
+
 def bank_transfer_tps_pl4(spark: SparkSession, sf_dir: str) -> float:
     """PL4 (strict serializable order), 100k keyspace — the reference's
     series/pessimistic PL4 config sustains 1,000 tx/s
