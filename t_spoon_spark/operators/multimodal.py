@@ -108,3 +108,50 @@ def extract_features(mm: DataFrame, fake: bool = True, batch_size_hint: int = 25
                 )
 
     return mm.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(features: DataFrame, every_k: int = 30) -> DataFrame:
+    """Deterministic frame sampling over decoded features: indices
+    0, k, 2k, ... < n_frames, each with a per-frame signature
+    md5(sig-idx). The sampling PLAN (which frames to fetch) is pure
+    JVM Column work either way; in a deployment the per-frame pixel
+    fetch would run in a mapInPandas decode keyed by (doc_id,
+    frame_idx) over exactly these rows — sampling first means the
+    decoder touches n_frames/k frames, not all of them."""
+    return features.select(
+        "doc_id",
+        "kind",
+        "n_frames",
+        "sig",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
+        ).alias("frame_idx"),
+    ).withColumn(
+        "frame_sig",
+        F.substring(
+            F.md5(F.concat(F.col("sig"), F.lit("-"), F.col("frame_idx").cast("string"))),
+            1,
+            16,
+        ),
+    )
+
+
+def resize_plan(features: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """Fit-within-box resize geometry (aspect preserved) in exact
+    integer fixed-point: scale = min(max_w*1000 div w, max_h*1000 div
+    h, 1000), out = dim*scale div 1000. The pixel resample itself is
+    the stubbed decode step; the geometry (and the thumbnail identity
+    signature) is engine-side and feeds partition-sized work units to
+    the decoder."""
+    s = F.expr(
+        f"least({max_w * 1000} div width, {max_h * 1000} div height, 1000)"
+    ).alias("scale_c")
+    out = features.select("doc_id", "width", "height", s)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "scale_c",
+        F.expr("width * scale_c div 1000").cast("int").alias("out_w"),
+        F.expr("height * scale_c div 1000").cast("int").alias("out_h"),
+    )
