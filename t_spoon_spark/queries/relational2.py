@@ -199,3 +199,66 @@ def array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "parts", F.lit(0).cast("long"), lambda acc, x: acc + x % 7
         ).alias("mod7_sum"),
     ).orderBy("l_orderkey")
+
+
+@register(
+    "quantile_order_values",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+             o.o_orderkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    r AS (
+      SELECT segment, price_c,
+             ROW_NUMBER() OVER (PARTITION BY segment ORDER BY price_c, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY segment) AS n
+      FROM j
+    )
+    SELECT segment,
+           MAX(n) AS n_orders,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN price_c END) AS p50_c,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN price_c END) AS p90_c,
+           MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN price_c END) AS p99_c
+    FROM r
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def quantile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles (p50/p90/p99) of order value per market
+    segment, by deterministic row selection (row_number at ceil(q*n)
+    with a full tiebreak) — integer-exact in both engines, unlike
+    interpolated percentiles whose float blend is not bit-portable.
+    At scale this is one shuffle on the segment + the window sort."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("price_c"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("segment").orderBy("price_c", "o_orderkey")
+    r = j.select(
+        "segment",
+        "price_c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("segment")).alias("n"),
+    )
+
+    def pick(q: float, name: str):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                F.col("price_c"),
+            )
+        ).alias(name)
+
+    return (
+        r.groupBy("segment")
+        .agg(F.max("n").alias("n_orders"), pick(0.5, "p50_c"), pick(0.9, "p90_c"), pick(0.99, "p99_c"))
+        .orderBy("segment")
+    )
