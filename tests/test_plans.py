@@ -197,3 +197,54 @@ def test_state_expr_path_is_jvm_only(spark):
     for frame in (votes, writes):
         plan = executed_plan(frame)
         assert "EvalPython" not in plan and "InPandas" not in plan, plan
+
+
+def test_pipeline_and_sketch_plans_are_scale_safe(spark):
+    """The composed prep pipeline and both sketches must contain no
+    cartesian anywhere (near-dup candidates stay banded even when
+    composed behind a quality filter), and the sketch builds must do
+    partial aggregation map-side."""
+    from t_spoon_spark.queries.pipeline import pipeline_training_data_prep
+    from t_spoon_spark.queries.sketch import sketch_hll_distinct_events
+
+    p = executed_plan(pipeline_training_data_prep(spark, SF_SMALL))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    h = executed_plan(sketch_hll_distinct_events(spark, SF_SMALL))
+    assert "CartesianProduct" not in h
+    assert "partial_max" in h or "HashAggregate" in h
+
+
+def test_cms_estimate_is_upper_bound(spark):
+    """Count-min property: the estimate for every value is >= its true
+    frequency (hash collisions only inflate counters)."""
+    from t_spoon_spark.operators.sketch import cms_heavy_hitters
+
+    df = spark.range(0, 2_000).select(
+        (F.col("id") % 37).alias("v")
+    )  # 37 values, ~54 each
+    est = {r.value: r.est for r in cms_heavy_hitters(df, "v", threshold=1).collect()}
+    true = {r.v: r.c for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(true) <= set(est)
+    for v, t in true.items():
+        assert est[v] >= t, (v, est[v], t)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """HLL mergeability: registers of a union equal the per-part
+    registers merged by MAX — the property that lets 100 TB distinct
+    counts combine across partitions, files, and days."""
+    from t_spoon_spark.operators.sketch import hll_registers
+
+    a = spark.range(0, 5_000).select(F.col("id").alias("v"))
+    b = spark.range(3_000, 9_000).select(F.col("id").alias("v"))
+    merged = (
+        hll_registers(a, "v")
+        .unionByName(hll_registers(b, "v"))
+        .groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    direct = hll_registers(a.unionByName(b), "v")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
