@@ -159,22 +159,30 @@ def jaccard_pairs(
         )
 
     sh = sh.persist()  # feeds df counts, candidate gen, and verify
-    rare = (
-        sh.groupBy("sh_hash")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_df)
-        .select("sh_hash")
-    )
-    capped = sh.join(rare, "sh_hash")
-    a = capped.select(F.col(id_col).alias("doc_a"), "sh_hash")
-    b = capped.select(F.col(id_col).alias("doc_b"), "sh_hash")
-    cand = (
-        a.join(b, "sh_hash")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    return _verify_jaccard(cand, sh, id_col, threshold_c)
+    try:
+        rare = (
+            sh.groupBy("sh_hash")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("sh_hash")
+        )
+        capped = sh.join(rare, "sh_hash")
+        a = capped.select(F.col(id_col).alias("doc_a"), "sh_hash")
+        b = capped.select(F.col(id_col).alias("doc_b"), "sh_hash")
+        cand = (
+            a.join(b, "sh_hash")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # Materialize executor-side (localCheckpoint, distributed — no
+        # driver round-trip) so the shingle cache can be released here
+        # instead of leaking in executor storage for the session's
+        # lifetime; the checkpointed result itself is RDD-level storage,
+        # reclaimed by the ContextCleaner once the caller drops it.
+        return _verify_jaccard(cand, sh, id_col, threshold_c).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def minhash_signature(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFrame:

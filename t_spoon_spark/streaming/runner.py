@@ -78,6 +78,13 @@ class StreamRunner:
         query_name: str | None = None,
         checkpoint_dir: str | None = None,
     ):
+        # The idempotence frontier is only meaningful for a resumable
+        # query: its identity is the checkpoint location. A fresh query
+        # (new or absent checkpoint) restarts batch ids at 0, so skipping
+        # against another query's frontier would silently drop every
+        # micro-batch — guard only when the identities match.
+        query_ident = checkpoint_dir
+
         def process(batch_df: DataFrame, batch_id: int) -> None:
             # Idempotence guard (tgraph/state/StateOperator.java:317-353
             # replays the WAL above the watermark; ours is the dual —
@@ -85,15 +92,21 @@ class StreamRunner:
             # commit and the Spark checkpoint advance, Structured
             # Streaming re-delivers the micro-batch with its original
             # batch_id. The store's commit marker records the applied
-            # frontier, so a re-delivered batch must not double-apply.
-            last = self.runner.env.store.last_batch_id
-            if last is not None and batch_id <= last:
+            # frontier + the query identity it belongs to.
+            store = self.runner.env.store
+            last = store.last_batch_id
+            if (
+                query_ident is not None
+                and last is not None
+                and store.last_query_id == query_ident
+                and batch_id <= last
+            ):
                 return
             has_replays = self.runner._replay is not None
             if batch_df.isEmpty() and not has_replays:
                 return
             t0 = time.time()
-            res = self.runner.run_epoch(batch_df, batch_id=batch_id)
+            res = self.runner.run_epoch(batch_df, batch_id=batch_id, query_id=query_ident)
             votes = res.vote_counts() if self.collect_votes else {}
             n = sum(votes.values()) if votes else res.results.count()
             self.metrics.record(res.epoch, n, votes, time.time() - t0)

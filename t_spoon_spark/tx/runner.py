@@ -124,12 +124,14 @@ class GraphRunner:
         batch: DataFrame | None,
         spus: DataFrame | None = None,
         batch_id: int | None = None,
+        query_id: str | None = None,
     ) -> EpochResult:
         env = self.env
         store = env.store
         epoch = store.committed_epoch() + 1
         self._epoch_persisted = []
         self._batch_id = batch_id
+        self._query_id = query_id
 
         src, stamped = self._stamp(batch, epoch)
         if self._replay is not None:
@@ -552,7 +554,8 @@ class GraphRunner:
                 isinstance(s, G.StateStage) and s.epoch_combine for s in self.graph.stages
             )
             n_excluded = 0
-            for _ in range(6):
+            rounds = 0
+            while True:
                 # gvotes is materialized, so this is a cheap local scan;
                 # the excluded set stays distributed (broadcast anti-join
                 # in rerun) — no driver collect of tids.
@@ -560,6 +563,18 @@ class GraphRunner:
                 n_aborted = aborted.count()
                 if n_aborted == n_excluded:
                     break
+                # Fixpoint, not a fixed cap: aborts are monotone (enforced
+                # below) and bounded by the epoch's txn count, so each pass
+                # strictly grows the set and the loop terminates. A silent
+                # cap would commit chain values embedding writes of
+                # globally-aborted txns (atomicity violation); the guard
+                # only trips on a monotonicity bug.
+                rounds += 1
+                if rounds > 100_000:  # pragma: no cover - bug trap
+                    raise RuntimeError(
+                        "abort cascade failed to converge: aborted set still "
+                        f"growing after {rounds} rounds ({n_aborted} aborted)"
+                    )
                 # If no aborted txn chain-committed a single link, no
                 # later value embeds an aborted write — the close's
                 # commit filter alone is sufficient; skip the refold.
@@ -643,6 +658,7 @@ class GraphRunner:
             updates,
             wal if env.store.durable else None,
             batch_id=getattr(self, "_batch_id", None),
+            query_id=getattr(self, "_query_id", None),
         )
         t0 = _dbg("commit", t0)
 
@@ -767,16 +783,35 @@ def _union(parts: list[DataFrame]) -> DataFrame:
 
 _ACC_TOKEN = "__chain_acc__"
 
+# Spark SQL string literals: single- or double-quoted, backslash escapes,
+# doubled '' inside single quotes. Captured so re.split keeps them.
+_SQL_LITERAL = re.compile(r"""('(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.)*")""")
+
+
+def _map_outside_literals(sql: str, fn) -> str:
+    """Apply a text rewrite only to the parts of a SQL string that are
+    NOT inside string literals — a column named `delta` must not rewrite
+    the literal in ``... != 'delta'``."""
+    parts = _SQL_LITERAL.split(sql)
+    return "".join(p if i % 2 else fn(p) for i, p in enumerate(parts))
+
 
 def _sub_cols(sql: str, cols: list[str], prefix: str = "x") -> str:
     """Rewrite bare/backticked column references to lambda-element field
     accesses (``delta`` -> ``x.delta``) for use inside a SQL
     ``aggregate()`` lambda. Longest names first so one column name being
-    a prefix of another can't corrupt the rewrite."""
-    for c in sorted(cols, key=len, reverse=True):
-        sql = re.sub(rf"`{re.escape(c)}`", f"{prefix}.{c}", sql)
-        sql = re.sub(rf"(?<![\w.`]){re.escape(c)}(?![\w`])", f"{prefix}.{c}", sql)
-    return sql
+    a prefix of another can't corrupt the rewrite; string literals are
+    never touched."""
+
+    def repl(seg: str) -> str:
+        for c in sorted(cols, key=len, reverse=True):
+            seg = re.sub(rf"`{re.escape(c)}`", f"{prefix}.{c}", seg)
+            # trailing `.` excluded too: a column named `acc` must not
+            # rewrite the accumulator reference `acc.value`.
+            seg = re.sub(rf"(?<![\w.`]){re.escape(c)}(?![\w`.])", f"{prefix}.{c}", seg)
+        return seg
+
+    return _map_outside_literals(sql, repl)
 
 
 def _chain_update_sql(spark, stage: G.StateStage, value_cols: list[str]) -> str:
@@ -789,7 +824,7 @@ def _chain_update_sql(spark, stage: G.StateStage, value_cols: list[str]) -> str:
     form (``\\`+\\`(a, b)``), which the Spark SQL parser accepts."""
     jc = stage.update(F.col(_ACC_TOKEN))._jc
     raw = spark._jsparkSession.expression(jc).sql()
-    sql = re.sub(rf"`?{_ACC_TOKEN}`?", "acc.value", raw)
+    sql = _map_outside_literals(raw, lambda s: re.sub(rf"`?{_ACC_TOKEN}`?", "acc.value", s))
     return _sub_cols(sql, value_cols)
 
 
@@ -798,7 +833,7 @@ def _chain_invariant_sql(ns: Namespace, cand: str, vt: str, value_cols: list[str
     if not ns.invariant:
         return "true"
     marker = "\x00CAND\x00"
-    tmpl = re.sub(r"\bvalue\b", marker, ns.invariant)
+    tmpl = _map_outside_literals(ns.invariant, lambda s: re.sub(r"\bvalue\b", marker, s))
     tmpl = _sub_cols(tmpl, value_cols)
     return tmpl.replace(marker, f"(CAST({cand} AS {vt}))")
 
@@ -814,4 +849,6 @@ def _invariant_expr(ns: Namespace) -> Column:
     """
     if not ns.invariant:
         return F.lit(True)
-    return F.expr(re.sub(r"\bvalue\b", "__cand", ns.invariant))
+    return F.expr(
+        _map_outside_literals(ns.invariant, lambda s: re.sub(r"\bvalue\b", "__cand", s))
+    )

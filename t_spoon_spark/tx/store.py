@@ -70,7 +70,12 @@ class StateStore:
         # highest streaming batch_id whose epoch committed — the
         # idempotence frontier for micro-batches re-delivered after a
         # crash between store-commit and the Spark checkpoint advance.
+        # last_query_id ties the frontier to the streaming query's
+        # checkpoint identity: a NEW query (fresh checkpoint) restarts
+        # batch ids at 0, and skipping those against an old frontier
+        # would silently drop every micro-batch.
         self.last_batch_id: int | None = None
+        self.last_query_id: str | None = None
         self._spill_bytes: dict[str, int] = {}
         if durable:
             os.makedirs(os.path.join(self.root, "_commits"), exist_ok=True)
@@ -110,6 +115,7 @@ class StateStore:
         updates: dict[str, DataFrame],
         wal: DataFrame | None,
         batch_id: int | None = None,
+        query_id: str | None = None,
     ) -> None:
         """Atomically publish one epoch: all namespace updates + WAL.
 
@@ -126,7 +132,7 @@ class StateStore:
                     df.write.mode("overwrite").parquet(self._log_path(name, epoch))
             if wal is not None:
                 wal.write.mode("overwrite").parquet(os.path.join(self.root, "wal", f"epoch={epoch}"))
-            self._write_marker(epoch, sorted(updates), batch_id)
+            self._write_marker(epoch, sorted(updates), batch_id, query_id)
         for name, df in updates.items():
             if df is None:
                 continue
@@ -158,6 +164,7 @@ class StateStore:
         self._committed = epoch
         if batch_id is not None:
             self.last_batch_id = batch_id
+            self.last_query_id = query_id
         self._gc_history()
 
     @staticmethod
@@ -180,12 +187,24 @@ class StateStore:
         return os.path.join(self.root, ns, "base", f"epoch={epoch}")
 
     def _write_marker(
-        self, epoch: int, namespaces: list[str], batch_id: int | None = None
+        self,
+        epoch: int,
+        namespaces: list[str],
+        batch_id: int | None = None,
+        query_id: str | None = None,
     ) -> None:
         path = os.path.join(self.root, "_commits", f"{epoch:012d}.json")
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
         with os.fdopen(fd, "w") as f:
-            json.dump({"epoch": epoch, "namespaces": namespaces, "batch_id": batch_id}, f)
+            json.dump(
+                {
+                    "epoch": epoch,
+                    "namespaces": namespaces,
+                    "batch_id": batch_id,
+                    "query_id": query_id,
+                },
+                f,
+            )
         os.rename(tmp, path)  # atomic publish
 
     def _marker_epochs(self) -> list[int]:
@@ -207,7 +226,9 @@ class StateStore:
             return
         self._committed = epochs[-1]
         with open(os.path.join(self.root, "_commits", f"{self._committed:012d}.json")) as f:
-            self.last_batch_id = json.load(f).get("batch_id")
+            marker = json.load(f)
+        self.last_batch_id = marker.get("batch_id")
+        self.last_query_id = marker.get("query_id")
         for name in list(self.namespaces) or self._disk_namespaces():
             self._current[name] = self._reconstruct(name, self._committed)
 
@@ -260,17 +281,29 @@ class StateStore:
         return self.spark.read.option("basePath", path).parquet(os.path.join(path, "epoch=*"))
 
     def _gc_bases(self, ns: str, epoch: int) -> None:
-        """Drop non-durable spill bases older than the retained history
-        (bounded scratch disk; pinned history snapshots keep reading
-        their in-memory frames, not these files)."""
+        """Drop non-durable spill bases no retained snapshot can reach.
+
+        A pinned history frame's lineage roots at the last spill AT OR
+        BEFORE its epoch — with checkpoint_every > 1 that spill can be
+        older than `epoch - history_epochs`, so GC keys off the oldest
+        base any retained history epoch references, not the raw cutoff
+        (deleting it would make reading that snapshot throw
+        FileNotFoundException)."""
         import shutil
 
         base_dir = os.path.join(self.root, ns, "base")
         if not os.path.isdir(base_dir):
             return
-        for d in os.listdir(base_dir):
-            if d.startswith("epoch=") and int(d.split("=")[1]) < epoch - self.history_epochs:
-                shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+        bases = sorted(
+            int(d.split("=")[1]) for d in os.listdir(base_dir) if d.startswith("epoch=")
+        )
+        oldest_retained = epoch - self.history_epochs
+        keep_from = max((b for b in bases if b <= oldest_retained), default=None)
+        if keep_from is None:
+            return
+        for b in bases:
+            if b < keep_from:
+                shutil.rmtree(os.path.join(base_dir, f"epoch={b}"), ignore_errors=True)
 
     def _gc_history(self) -> None:
         cutoff = self._committed - self.history_epochs
