@@ -88,15 +88,28 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
 
 def load_events(spark: SparkSession, sf_dir: str):
     """events.parquet with `ts` normalized to a µs TIMESTAMP column
-    (`ts_ns` keeps the raw nanos). DuckDB reads the same file as
-    TIMESTAMP_NS; epoch_us() there == unix_micros(ts) here.
+    (`ts_ns` keeps raw nanos as BIGINT). The file has shipped with two
+    physical types across testdata generations — TIMESTAMP(NANOS)
+    (Spark: long under nanosAsLong) and TIMESTAMP(MICROS) (Spark:
+    timestamp/ntz) — so sniff the read type and normalize either way.
+    DuckDB reads the same file natively; epoch_us(ts) there ==
+    unix_micros(ts) here in both cases.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     # The driver may hand us a vanilla session without build_spark()'s
     # confs; nanosAsLong is a dynamic SQL conf, safe+idempotent to set here.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # TIMESTAMP(NANOS) read as raw nanos
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    # TIMESTAMP(MICROS): NTZ + UTC session tz makes the cast identity
+    # on the instant (same contract as queries/helpers.micros()).
+    return df.withColumn(
+        "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
     )
