@@ -55,8 +55,9 @@ def main() -> None:
     # the first measured query
     qs["q6_revenue_filter"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
     total = 0.0
+    failed: list[str] = []
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -66,37 +67,48 @@ def main() -> None:
         # the second measures steady-state execution — the same
         # warm-first convention as the tx throughput metrics and the
         # reference's sustained-rate methodology.
-        best, n = None, 0
-        for _ in range(2):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.2f}s rows={n}", file=sys.stderr)
+        #
+        # Per-query isolation: a broken query reports "failed" and the
+        # rest of the bench still runs and emits numbers.
+        try:
+            best, n = None, 0
+            for _ in range(2):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            total += best
+            print(f"# {name}: {best:.2f}s rows={n}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — bench must survive any query
+            timings[name] = "failed"
+            failed.append(name)
+            print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
-    extra = bench_extra(spark, sf_dir)
+    try:
+        extra = bench_extra(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        extra = {"bench_extra": "failed"}
+        print(f"# bench_extra: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
     timings.update(extra)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failed:
+        result["failed"] = failed
+    print(json.dumps(result))
 
 
 def bench_extra(spark, sf_dir) -> dict[str, float]:
     """Non-SQL benchmarks (transactional tx/s etc.) — filled in as the
     engine layers land."""
-    out: dict[str, float] = {}
+    out: dict[str, object] = {}
     try:
         from t_spoon_spark.bench_txn import (
             bank_transfer_tps,
@@ -106,25 +118,43 @@ def bench_extra(spark, sf_dir) -> dict[str, float]:
             sustainable_tps,
             txn_latency_ms_unloaded,
         )
-
-        out["txn_bank_tps_pl3"] = bank_transfer_tps(spark, sf_dir)
-        out["txn_bank_tps_fold"] = bank_transfer_tps_fold(spark, sf_dir)
-        # reference PL4 comparables: 1,000 tx/s (series/pessimistic) and
-        # 500 tx/s (1k-key contended) — start_rates.properties.example:5-6
-        out["txn_bank_tps_pl4"] = bank_transfer_tps_pl4(spark, sf_dir)
-        out["txn_bank_tps_pl4_contended"] = bank_transfer_tps_pl4_contended(spark, sf_dir)
-        # BASELINE.md engine gate: >= 2,500 tx/s measured with a
-        # rate-targeting loop (TunableSource semantics), not a fixed
-        # workload — plus end-to-end commit latency AT that rate (the
-        # reference's latency-at-sustained-rate metric).
-        rate, latency_ms = sustainable_tps(spark, sf_dir, measure_latency=True)
-        out["sustainable_tps_pl3"] = rate
-        out["txn_latency_ms_at_sustained_pl3"] = latency_ms
-        # the reference's latency-unloaded accumulator: commit latency
-        # of a small epoch on an idle engine (the micro-batch floor)
-        out["txn_latency_ms_unloaded"] = txn_latency_ms_unloaded(spark, sf_dir)
     except ImportError:
-        pass
+        return out
+
+    def _run(name: str, fn) -> None:
+        try:
+            out[name] = fn()
+        except Exception as exc:  # noqa: BLE001 — per-metric isolation
+            out[name] = "failed"
+            print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
+
+    _run("txn_bank_tps_pl3", lambda: bank_transfer_tps(spark, sf_dir))
+    _run("txn_bank_tps_fold", lambda: bank_transfer_tps_fold(spark, sf_dir))
+    # reference PL4 comparables: 1,000 tx/s (series/pessimistic) and
+    # 500 tx/s (1k-key contended) — start_rates.properties.example:5-6
+    _run("txn_bank_tps_pl4", lambda: bank_transfer_tps_pl4(spark, sf_dir))
+    _run(
+        "txn_bank_tps_pl4_contended",
+        lambda: bank_transfer_tps_pl4_contended(spark, sf_dir),
+    )
+
+    # BASELINE.md engine gate: >= 2,500 tx/s measured with a
+    # rate-targeting loop (TunableSource semantics), not a fixed
+    # workload — plus end-to-end commit latency AT that rate (the
+    # reference's latency-at-sustained-rate metric).
+    def _sustained() -> None:
+        try:
+            rate, latency_ms = sustainable_tps(spark, sf_dir, measure_latency=True)
+            out["sustainable_tps_pl3"] = rate
+            out["txn_latency_ms_at_sustained_pl3"] = latency_ms
+        except Exception as exc:  # noqa: BLE001
+            out["sustainable_tps_pl3"] = "failed"
+            print(f"# sustainable_tps_pl3: FAILED {exc}", file=sys.stderr)
+
+    _sustained()
+    # the reference's latency-unloaded accumulator: commit latency
+    # of a small epoch on an idle engine (the micro-batch floor)
+    _run("txn_latency_ms_unloaded", lambda: txn_latency_ms_unloaded(spark, sf_dir))
     return out
 
 

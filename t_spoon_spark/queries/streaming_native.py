@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from t_spoon_spark.queries.helpers import dd_fixed, fixed
+from t_spoon_spark.queries.helpers import dd_fixed, fixed, micros
 from t_spoon_spark.queries.relational import t
 from t_spoon_spark.registry import register
 from t_spoon_spark.streaming.windows import (
@@ -118,8 +118,8 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select(
             "click_id",
             "purchase_id",
-            F.unix_micros("c_ts").alias("c_ts_us"),
-            F.unix_micros("p_ts").alias("p_ts_us"),
+            micros("c_ts").alias("c_ts_us"),
+            micros("p_ts").alias("p_ts_us"),
         ),
         output_mode="append",
     )
@@ -176,9 +176,9 @@ def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.filter(F.col("user_id") >= 0)
         .select(
             "user_id",
-            F.unix_micros("first_ts").alias("s_start_us"),
+            micros("first_ts").alias("s_start_us"),
             "n_events",
-            (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias("duration_us"),
+            (micros("last_ts") - micros("first_ts")).alias("duration_us"),
         )
         .orderBy("user_id", "s_start_us")
     )

@@ -109,12 +109,47 @@ def txn_bank_balances_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select("key", F.col("value").cast("bigint").alias("balance_c")).orderBy("key")
 
 
-@register("txn_bank_votes_pl3", None)  # non-SQL-expressible: sequential abort/replay
+@register(
+    "txn_bank_votes_pl3",
+    """
+    WITH RECURSIVE txn AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS step,
+             event_id AS tid,
+             CAST(event_id % 20 AS INT) AS f,
+             CAST((event_id * 3 + 7) % 20 AS INT) AS tt,
+             FLOOR(value) AS amt
+      FROM events WHERE event_id < 40
+    ),
+    replay AS (
+      SELECT CAST(0 AS BIGINT) AS step,
+             CAST(NULL AS BIGINT) AS tid,
+             CAST(NULL AS VARCHAR) AS vote,
+             [100.0 FOR i IN range(20)] AS bal
+      UNION ALL
+      SELECT t.step, t.tid,
+             CASE WHEN r.bal[t.f+1] - t.amt >= 0 AND r.bal[t.tt+1] + t.amt >= 0
+                  THEN 'COMMIT' ELSE 'ABORT' END,
+             CASE WHEN r.bal[t.f+1] - t.amt >= 0 AND r.bal[t.tt+1] + t.amt >= 0
+                  THEN [CASE WHEN i = t.f THEN r.bal[i+1] - t.amt
+                             WHEN i = t.tt THEN r.bal[i+1] + t.amt
+                             ELSE r.bal[i+1] END FOR i IN range(20)]
+                  ELSE r.bal END
+      FROM replay r JOIN txn t ON t.step = r.step + 1
+    )
+    SELECT tid, vote FROM replay WHERE step > 0 ORDER BY tid
+    """,
+)
 def txn_bank_votes_pl3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PL3 with the `value >= 0` invariant over a small high-contention
-    keyspace: vote accounting (COMMIT/ABORT counts and epochs-to-drain).
-    Not SQL-expressible (tgraph/state/PL3Strategy.java semantics);
-    exact-semantics coverage lives in tests/test_tx_core.py's simulator."""
+    keyspace: per-transaction final vote (COMMIT/ABORT) after the abort/
+    replay queue drains. The epoch protocol (min-tid-wins per key,
+    partial winners REPLAY — tgraph/state/PL3Strategy.java:9-13,
+    tgraph/twopc/OpenOperator.java:287-357) converges to the serial
+    tid-order execution where aborted transactions have no effect, so
+    the DuckDB twin replays that serial fold with a recursive CTE over
+    the 20-key balance vector (validated against the python simulator
+    in tests/test_tx_core.py). Epoch/drain accounting is pinned by
+    tests, not the oracle."""
     env = TxEnvironment(spark, isolation="PL3")
     env.create_namespace(
         "balances", "double", 100.0, "value >= 0", py_invariant=lambda v: v >= 0
@@ -133,19 +168,21 @@ def txn_bank_votes_pl3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     epochs = runner.run_to_completion(transfers, max_epochs=128)
-    votes: dict[int, str] = {}
-    for ep in epochs:
-        for r in ep.results.select("_tid", "vote").collect():
-            if r["vote"] != "REPLAY" or r["_tid"] not in votes:
-                votes[r["_tid"]] = r["vote"]
-    counts = {}
-    for v in votes.values():
-        counts[v] = counts.get(v, 0) + 1
-    rows = [(k, counts.get(k, 0)) for k in ("COMMIT", "ABORT")] + [
-        ("EPOCHS", len(epochs)),
-        ("TXNS", len(votes)),
-    ]
-    return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")
+    # fold vote accounting over the materialized per-epoch control
+    # frames (EpochResult.votes) — a txn votes REPLAY (=2) until its
+    # deciding epoch, then exactly one COMMIT (=0) or ABORT (=1), so
+    # the final vote is the per-tid MIN over the vote lattice.
+    from t_spoon_spark.tx.vote import vote_name
+
+    all_votes = epochs[0].votes
+    for ep in epochs[1:]:
+        all_votes = all_votes.unionByName(ep.votes)
+    return (
+        all_votes.groupBy("_tid")
+        .agg(F.min("vote").alias("vote"))
+        .select(F.col("_tid").alias("tid"), vote_name(F.col("vote")).alias("vote"))
+        .orderBy("tid")
+    )
 
 
 @register(

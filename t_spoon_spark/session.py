@@ -108,8 +108,10 @@ def load_events(spark: SparkSession, sf_dir: str):
         return df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    # TIMESTAMP(MICROS): NTZ + UTC session tz makes the cast identity
-    # on the instant (same contract as queries/helpers.micros()).
-    return df.withColumn(
-        "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    # TIMESTAMP(MICROS): Spark reads isAdjustedToUTC=0 as TIMESTAMP_NTZ.
+    # Under the UTC session tz the cast to TIMESTAMP is identity on the
+    # instant (same contract as queries/helpers.micros()); consumers
+    # (window(), withWatermark, unix_micros) require a true TIMESTAMP.
+    return df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
     )
