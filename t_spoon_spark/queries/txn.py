@@ -236,6 +236,58 @@ def txn_window_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_spu_mixed_epoch",
+    f"""
+    WITH moves AS (
+      SELECT 'a' || CAST(user_id % {KEYSPACE} AS VARCHAR) AS account,
+             -FLOOR(value) AS delta
+      FROM events
+      UNION ALL
+      SELECT 'a' || CAST((user_id * 7 + 3) % {KEYSPACE} AS VARCHAR) AS account,
+             FLOOR(value) AS delta
+      FROM events
+      UNION ALL
+      SELECT 'a' || CAST((user_id * 3 + 1) % {KEYSPACE} AS VARCHAR) AS account,
+             CASE WHEN event_id % 2 = 0 THEN FLOOR(value) ELSE -FLOOR(value) END
+      FROM events WHERE event_id % 5 = 0
+    )
+    SELECT account AS key,
+           CAST(100 + SUM(delta) AS BIGINT) AS balance_c
+    FROM moves
+    GROUP BY account
+    ORDER BY key
+    """,
+)
+def txn_spu_mixed_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One epoch carrying BOTH the transfer graph and single-partition
+    updates on the same hot keyspace (mirrors the reference's mixed
+    bank workload, evaluation/BankUseCase.java:72-80,96-100 — transfers
+    interleaved with deposits/withdrawals). The reference interleaves
+    SPUs at version-stability points inside the shard
+    (tgraph/db/Shard.java:113-154); our epoch model applies SPUs after
+    the epoch's transactions — outcome-equivalent here because with no
+    invariant every operation commits and the per-key fold is
+    commutative, which the grouped-sum twin states exactly."""
+    env = TxEnvironment(spark, isolation="PL3")
+    ns = env.create_namespace("balances", "double", 100.0)
+    ns.commands["deposit"] = lambda cur, amt: cur + amt
+    ns.commands["withdrawal"] = lambda cur, amt: cur - amt
+
+    ev = t(spark, sf_dir, "events")
+    spus = ev.filter(F.col("event_id") % 5 == 0).select(
+        F.concat(F.lit("s"), F.col("event_id").cast("string")).alias("spu_id"),
+        F.lit("balances").alias("namespace"),
+        F.concat(F.lit("a"), ((F.col("user_id") * 3 + 1) % KEYSPACE).cast("string")).alias("key"),
+        F.when(F.col("event_id") % 2 == 0, "deposit").otherwise("withdrawal").alias("method"),
+        F.array(F.floor(F.col("value")).cast("double")).alias("args"),
+    )
+    runner = env.runner(_bank_graph(env))
+    runner.run_epoch(_transfers(spark, sf_dir), spus=spus)
+    snap = env.store.read("balances")
+    return snap.select("key", F.col("value").cast("bigint").alias("balance_c")).orderBy("key")
+
+
+@register(
     "txn_spu_final_balances",
     f"""
     WITH spus AS (

@@ -6,10 +6,17 @@ streams (streaming) with the same shapes (FIXTURES.md F1-F3).
 """
 
 from t_spoon_spark.sources.generators import (
+    merge_sources,
     query_requests,
     rate_transfer_stream,
     spu_commands,
     transfers,
 )
 
-__all__ = ["transfers", "spu_commands", "query_requests", "rate_transfer_stream"]
+__all__ = [
+    "transfers",
+    "spu_commands",
+    "query_requests",
+    "rate_transfer_stream",
+    "merge_sources",
+]

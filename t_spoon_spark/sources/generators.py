@@ -93,6 +93,36 @@ def query_requests(
     )
 
 
+def merge_sources(sources: list[DataFrame], offset_col: str = "_offset") -> DataFrame:
+    """Deterministic multi-source merge (SURVEY §7 hard part).
+
+    Each source must carry a stable per-source ``offset_col`` (range id,
+    Kafka offset, file row number — anything replay-stable). The global
+    transaction id is the round-robin interleave
+
+        _tid = offset * n_sources + source_index
+
+    which is (a) deterministic across runs and partitionings — it is
+    pure per-row arithmetic on replay-stable inputs, no shuffle, no
+    sort, no monotonically_increasing_id; (b) order-fair — sources
+    alternate in offset order, matching the reference's intent where it
+    instead forces the open operator to parallelism 1 to get a stable
+    arrival order (tgraph/AbstractTStream.java:69-72); (c) collision-
+    free across sources. PL4's tid-order apply then yields identical
+    outcomes on every run and every cluster layout.
+    """
+    n = len(sources)
+    if n == 0:
+        raise ValueError("merge_sources: need at least one source")
+    merged = None
+    for i, src in enumerate(sources):
+        stamped = src.withColumn(
+            "_tid", F.col(offset_col) * F.lit(n) + F.lit(i)
+        ).drop(offset_col)
+        merged = stamped if merged is None else merged.unionByName(stamped)
+    return merged
+
+
 def rate_transfer_stream(
     spark: SparkSession, rows_per_second: int = 1000, keyspace: int = 100_000
 ) -> DataFrame:

@@ -41,7 +41,9 @@ import time
 from dataclasses import dataclass
 
 _DEBUG = os.environ.get("TSPOON_DEBUG") == "1"
-_MATERIALIZE = os.environ.get("TSPOON_MATERIALIZE", "pandas")
+# None = auto-select per session master (local → pandas, cluster →
+# reliable); an explicit TSPOON_MATERIALIZE always wins.
+_MATERIALIZE = os.environ.get("TSPOON_MATERIALIZE") or None
 
 
 def _dbg(label: str, t0: float) -> float:
@@ -50,22 +52,37 @@ def _dbg(label: str, t0: float) -> float:
     return time.time()
 
 
+def materialize_mode(spark) -> str:
+    """Resolve the materialize mode for this session.
+
+    Explicit TSPOON_MATERIALIZE wins; otherwise key off the master URL:
+    'pandas' on local[*] (single-JVM, control frames trivially fit the
+    driver), 'reliable' on any cluster master — a cluster session must
+    never round-trip epoch control frames through toPandas() without an
+    explicit opt-in."""
+    if _MATERIALIZE is not None:
+        return _MATERIALIZE
+    master = spark.sparkContext.master
+    return "pandas" if master.startswith("local") else "reliable"
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Cut lineage on a per-epoch DataFrame.
 
-    Modes (TSPOON_MATERIALIZE): 'pandas' (default) round-trips through
-    Arrow to a LocalRelation — pathology-free and right-sized for the
-    control-plane frames of an epoch (votes, replay queue, resolved
-    updates), which are bounded by batch size, not state size; 'reliable'
-    uses rdd.checkpoint() to the checkpoint dir (use on a cluster where
-    control frames exceed driver memory); 'ckpt' is eager localCheckpoint
-    (both distributed modes showed super-linear per-epoch job slowdowns
-    over long replay chains in Spark 4.1 local mode — see
-    tools/dbg_epoch.py)."""
+    Modes (TSPOON_MATERIALIZE, default auto — see materialize_mode):
+    'pandas' round-trips through Arrow to a LocalRelation —
+    pathology-free and right-sized for the control-plane frames of an
+    epoch (votes, replay queue, resolved updates), which are bounded by
+    batch size, not state size; 'reliable' uses rdd.checkpoint() to the
+    checkpoint dir (the cluster default: control frames may exceed
+    driver memory); 'ckpt' is eager localCheckpoint (both distributed
+    modes showed super-linear per-epoch job slowdowns over long replay
+    chains in Spark 4.1 local mode — see tools/dbg_epoch.py)."""
     spark = df.sparkSession
-    if _MATERIALIZE == "pandas":
+    mode = materialize_mode(spark)
+    if mode == "pandas":
         return spark.createDataFrame(df.toPandas(), schema=df.schema)
-    if _MATERIALIZE == "reliable":
+    if mode == "reliable":
         if not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
             import tempfile
 

@@ -89,3 +89,30 @@ def test_reliable_mode_multi_epoch_stream(spark, monkeypatch, tmp_path):
     assert metrics.total_results >= 4
     bal = {r["key"]: r["value"] for r in env.store.read("balances").collect()}
     assert bal == {"a1": 70.0, "a2": 80.0, "a3": 90.0, "a4": 160.0}
+
+
+def test_default_mode_keyed_off_master(spark, monkeypatch):
+    """With no explicit TSPOON_MATERIALIZE the mode is auto-selected:
+    pandas on local[*], reliable on any cluster master — a cluster
+    session never drives epoch control frames through toPandas() unless
+    explicitly opted in."""
+    monkeypatch.setattr(runner_mod, "_MATERIALIZE", None)
+    assert runner_mod.materialize_mode(spark) == "pandas"  # local[N]
+
+    class _SC:
+        master = "spark://host:7077"
+
+    class _Cluster:
+        sparkContext = _SC()
+
+    assert runner_mod.materialize_mode(_Cluster()) == "reliable"
+    _SC.master = "yarn"
+    assert runner_mod.materialize_mode(_Cluster()) == "reliable"
+    _SC.master = "k8s://https://host:6443"
+    assert runner_mod.materialize_mode(_Cluster()) == "reliable"
+
+    # explicit env override beats auto-selection in both directions
+    monkeypatch.setattr(runner_mod, "_MATERIALIZE", "pandas")
+    assert runner_mod.materialize_mode(_Cluster()) == "pandas"
+    monkeypatch.setattr(runner_mod, "_MATERIALIZE", "reliable")
+    assert runner_mod.materialize_mode(spark) == "reliable"
