@@ -223,12 +223,24 @@ def txn_latency_ms_unloaded(spark: SparkSession, sf_dir: str, n: int = 5) -> flo
     env = TxEnvironment(spark, isolation="PL3")
     env.create_namespace("balances", "double", 100.0, invariant="value >= 0")
     runner = env.runner(_graph(env, False))
-    transfers = _transfers(spark, sf_dir).localCheckpoint(eager=True)
+    # amounts capped to [1, 100] like the reference's TransferSource
+    # (max_amount = start balance, tgraph/backed/TransferSource.java:59-83):
+    # an unloaded 100-txn epoch on a 100k keyspace then almost never
+    # aborts, so this measures the clean micro-batch floor rather than
+    # the abort-cascade refold path (which the tps benches exercise).
+    transfers = (
+        _transfers(spark, sf_dir)
+        .withColumn("amount", F.col("amount") % 100 + 1)
+        .localCheckpoint(eager=True)
+    )
     total = transfers.count()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        runner.run_epoch(transfers.filter(F.col("_tid") >= total - 1000))  # warm
+        # warm epoch must not overlap the measured tid slices (at small
+        # sf it otherwise re-applies the same transfers and measures the
+        # abort path instead of the clean floor)
+        runner.run_epoch(transfers.filter(F.col("_tid") >= max(total - 1000, n * 100)))
         walls = []
         for i in range(n):
             batch = transfers.filter(

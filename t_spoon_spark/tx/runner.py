@@ -81,7 +81,15 @@ def materialize(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     mode = materialize_mode(spark)
     if mode == "pandas":
-        return spark.createDataFrame(df.toPandas(), schema=df.schema)
+        pdf = df.toPandas()
+        out = spark.createDataFrame(pdf, schema=df.schema)
+        # driver-side twin: control-plane scans (abort counts, the
+        # contamination flag, replay counts) read it for free instead
+        # of launching a Spark job per check — worth ~0.1-0.2 s/job on
+        # the epoch latency floor. Distributed modes skip it and the
+        # callers fall back to Spark actions.
+        out._tspoon_pdf = pdf
+        return out
     if mode == "reliable":
         if not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
             import tempfile
@@ -100,6 +108,37 @@ from t_spoon_spark.tx.namespace import Namespace
 from t_spoon_spark.tx.vote import ABORT, COMMIT, REPLAY, vote_name
 
 EPOCH_TID_SHIFT = 40  # tid = (epoch+1) << 40 | row-id; replays keep old (smaller) tids
+
+
+def _per_key_votes(evaluated: DataFrame) -> DataFrame:
+    """Stage-level vote per tid from the per-(key, tid) evaluation:
+    global vote = lattice MAX; any_commit = did any single key's link
+    commit (per-key granularity — a txn can abort on one key and
+    chain-commit another inside the same stage, which is exactly the
+    contamination the abort cascade must see)."""
+    return evaluated.groupBy("_tid").agg(
+        F.max("vote").alias("vote"),
+        F.max(F.when(F.col("vote") == COMMIT, 1).otherwise(0)).alias("any_commit"),
+    )
+
+
+def _stage_outputs(evaluated: DataFrame, stage_idx: int) -> tuple[DataFrame, DataFrame]:
+    """(link_votes, writes) from a normalized per-(key, tid) evaluation
+    frame (key, _tid, value, vote, _ord, __wr): every state impl reduces
+    its evaluation through this one helper so the abort cascade can
+    rebuild identical outputs from a key-filtered slice of the cached
+    frame. link_votes stays UNGROUPED (one row per key-link) — the close
+    unions all stages' links and reduces them in a single groupBy,
+    saving one shuffle per state stage."""
+    votes = evaluated.select("_tid", "vote")
+    writes = evaluated.filter(F.col("__wr")).select(
+        "key",
+        "value",
+        "_tid",
+        F.col("_ord").cast("long").alias("_ord"),
+        F.lit(stage_idx).alias("_stage"),
+    )
+    return votes, writes
 
 
 @dataclass
@@ -137,6 +176,30 @@ class GraphRunner:
     # ------------------------------------------------------------------
 
     def run_epoch(
+        self,
+        batch: DataFrame | None,
+        spus: DataFrame | None = None,
+        batch_id: int | None = None,
+        query_id: str | None = None,
+    ) -> EpochResult:
+        # Epochs are micro-batches: AQE's per-shuffle re-planning adds
+        # ~40% wall time to small epoch jobs and buys nothing the epoch
+        # path needs (hot-key chains serialize per key by design; the
+        # joins are broadcast-sized control frames). Spark itself
+        # disables AQE inside stateful streaming micro-batches — we
+        # mirror that, restoring the session conf on exit.
+        # TSPOON_EPOCH_AQE=on opts huge batch-mode epochs back in.
+        spark = self.env.spark
+        if os.environ.get("TSPOON_EPOCH_AQE") == "on":
+            return self._run_epoch_inner(batch, spus, batch_id, query_id)
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return self._run_epoch_inner(batch, spus, batch_id, query_id)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    def _run_epoch_inner(
         self,
         batch: DataFrame | None,
         spus: DataFrame | None = None,
@@ -271,11 +334,31 @@ class GraphRunner:
         if persist_ops:
             ops = ops.persist()
             self._epoch_persisted.append(ops)
-        votes, writes = impl(ops, stage, ns, snapshot, stage_idx)
+        votes, writes, evaluated = impl(ops, stage, ns, snapshot, stage_idx)
 
         def rerun(excluded: DataFrame) -> tuple[DataFrame, DataFrame]:
             kept = ops.join(excluded, "_tid", "left_anti")
-            return impl(kept, stage, ns, snapshot, stage_idx)
+            if evaluated is None:
+                v, w, _ = impl(kept, stage, ns, snapshot, stage_idx)
+                return v, w
+            # A cascade pass refolds ONLY the keys some excluded txn
+            # touched — every other key's chain contains no excluded
+            # tid, so its original (cached) evaluation stands verbatim.
+            # Refold cost is therefore proportional to the contended
+            # key set, not the epoch size: at cluster scale an epoch of
+            # 10^7 txns with 100 contended keys refolds 100 chains.
+            affected = (
+                ops.join(excluded, "_tid", "left_semi").select("__key").distinct()
+            )
+            kept_aff = kept.join(F.broadcast(affected), "__key", "left_semi")
+            nv, nw, _ = impl(kept_aff, stage, ns, snapshot, stage_idx)
+            keep_eval = evaluated.join(
+                F.broadcast(affected.select(F.col("__key").alias("key"))),
+                "key",
+                "left_anti",
+            )
+            ov, ow = _stage_outputs(keep_eval, stage_idx)
+            return nv.unionByName(ov), nw.unionByName(ow)
 
         return votes, writes, rerun
 
@@ -286,7 +369,7 @@ class GraphRunner:
         ns: Namespace,
         snapshot: DataFrame,
         stage_idx: int,
-    ) -> tuple[DataFrame, DataFrame]:
+    ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
         """JVM-only path (whole-stage codegen end to end): one window
         aggregate for conflict detection + one join against the
         committed snapshot. This is the 100 TB hot path — no Python."""
@@ -309,21 +392,11 @@ class GraphRunner:
             F.col("__key").alias("key"),
             F.col("__cand").alias("value"),
             vote.alias("vote"),
-            executing.alias("__exec"),
+            F.col("_tid").alias("_ord"),
+            executing.alias("__wr"),
         ).persist()  # consumed by votes, writes, and the results build
         self._epoch_persisted.append(evaluated)
-        votes = evaluated.groupBy("_tid").agg(F.max("vote").alias("vote"))
-        writes = (
-            evaluated.filter(F.col("__exec"))
-            .select(
-                "key",
-                "value",
-                "_tid",
-                F.col("_tid").alias("_ord"),
-                F.lit(stage_idx).alias("_stage"),
-            )
-        )
-        return votes, writes
+        return (*_stage_outputs(evaluated, stage_idx), evaluated)
 
     def _state_chain_expr(
         self,
@@ -332,7 +405,7 @@ class GraphRunner:
         ns: Namespace,
         snapshot: DataFrame,
         stage_idx: int,
-    ) -> tuple[DataFrame, DataFrame]:
+    ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
         """PL3/PL4 serial per-key application in tid order, fully JVM.
 
         collect_list the key's ops sorted by tid, then one SQL
@@ -398,6 +471,11 @@ class GraphRunner:
                 F.col("__v.tid").alias("_tid"),
                 F.col("__v.value").alias("value"),
                 F.col("__v.vote").alias("vote"),
+                F.col("__v.tid").alias("_ord"),
+                # only chain-committed links are writes; the close's
+                # commit filter (global vote) prunes cross-namespace
+                # aborts on top.
+                (F.col("__v.vote") == COMMIT).alias("__wr"),
             )
         )
         # several epoch actions consume this frame (vote merge, writes,
@@ -405,17 +483,7 @@ class GraphRunner:
         # so the collect_list+fold shuffle runs once, not per action.
         evaluated = evaluated.persist()
         self._epoch_persisted.append(evaluated)
-        votes = evaluated.groupBy("_tid").agg(F.max("vote").alias("vote"))
-        # only chain-committed links are writes; the close's commit filter
-        # (global vote) prunes cross-namespace aborts on top.
-        writes = evaluated.filter(F.col("vote") == COMMIT).select(
-            "key",
-            "value",
-            "_tid",
-            F.col("_tid").alias("_ord"),
-            F.lit(stage_idx).alias("_stage"),
-        )
-        return votes, writes
+        return (*_stage_outputs(evaluated, stage_idx), evaluated)
 
     def _state_epoch_combine(
         self,
@@ -424,7 +492,7 @@ class GraphRunner:
         ns: Namespace,
         snapshot: DataFrame,
         stage_idx: int,
-    ) -> tuple[DataFrame, DataFrame]:
+    ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
         """Associative fold of the whole epoch per key: one groupBy with
         map-side partial aggregation + one join against the snapshot.
         Every transaction votes COMMIT (no invariant, no conflicts) —
@@ -447,8 +515,12 @@ class GraphRunner:
             F.lit(0).cast("long").alias("_ord"),
             F.lit(stage_idx).alias("_stage"),
         )
-        votes = ops.select("_tid").distinct().withColumn("vote", F.lit(COMMIT))
-        return votes, writes
+        # link-vote rows (duplicates fine — the close's single groupBy
+        # reduces them); every epoch-combined txn commits
+        votes = ops.select("_tid", F.lit(COMMIT).alias("vote"))
+        # no per-(key, tid) evaluation exists for the associative fold —
+        # a cascade pass always refolds in full (has_ec forces it)
+        return votes, writes, None
 
     def _state_chain_pandas(
         self,
@@ -457,7 +529,7 @@ class GraphRunner:
         ns: Namespace,
         snapshot: DataFrame,
         stage_idx: int,
-    ) -> tuple[DataFrame, DataFrame]:
+    ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
         """Arrow-batched per-key fold — the general path for arbitrary
         Python state functions (reference StateFunction.apply) and for
         the dirty-read chains of PL0/PL1."""
@@ -509,13 +581,14 @@ class GraphRunner:
                 rows, columns=["key", "_tid", "value", "vote", "_ord", "_exec"]
             )
 
-        evaluated = joined.groupBy("__key").applyInPandas(fold, out_schema)
-        votes = evaluated.groupBy("_tid").agg(F.max("vote").alias("vote"))
-        writes = (
-            evaluated.filter(F.col("_exec"))
-            .select("key", "value", "_tid", "_ord", F.lit(stage_idx).alias("_stage"))
+        evaluated = (
+            joined.groupBy("__key")
+            .applyInPandas(fold, out_schema)
+            .withColumnRenamed("_exec", "__wr")
+            .persist()  # the Arrow fold is the expensive part; cache it
         )
-        return votes, writes
+        self._epoch_persisted.append(evaluated)
+        return (*_stage_outputs(evaluated, stage_idx), evaluated)
 
     # -- close ----------------------------------------------------------
 
@@ -523,15 +596,35 @@ class GraphRunner:
         """Global vote per transaction: MAX over the lattice across all
         state stages (ReduceVotesFunction + multi-exit second reduce,
         tgraph/TransactionEnvironment.java:338-366, collapsed into one
-        groupBy because the epoch barrier already saw every record)."""
+        groupBy because the epoch barrier already saw every record).
+
+        Also carries ``any_commit`` (did the txn chain-commit at least
+        one per-key link on some stage?) so the abort-cascade
+        contamination check reads the materialized vote frame instead of
+        re-driving the writes plans — one fewer Spark job per cascade
+        round."""
         if votes_parts:
             all_votes = votes_parts[0]
             for v in votes_parts[1:]:
                 all_votes = all_votes.unionByName(v)
-            merged = all_votes.groupBy("_tid").agg(F.max("vote").alias("vote"))
+            # one reduce over the flat union of every stage's key-links
+            merged = _per_key_votes(all_votes)
         else:
-            merged = tids.withColumn("vote", F.lit(COMMIT)).limit(0)
-        return tids.join(merged, "_tid", "left").fillna(COMMIT, subset=["vote"])
+            merged = tids.withColumn("vote", F.lit(COMMIT)).withColumn(
+                "any_commit", F.lit(0)
+            ).limit(0)
+        # pandas (local) mode collects this frame to the driver right
+        # after the join anyway, so broadcasting it is free and turns
+        # the fill join into a broadcast join (no shuffle); reliable
+        # (cluster) mode keeps the planner's choice — the vote frame
+        # scales with epoch size there.
+        if materialize_mode(tids.sparkSession) == "pandas":
+            merged = F.broadcast(merged)
+        # a tid absent from every state stage wrote nothing: it commits
+        # and cannot contaminate (any_commit = 0)
+        return tids.join(merged, "_tid", "left").fillna(
+            COMMIT, subset=["vote"]
+        ).fillna(0, subset=["any_commit"])
 
     def _close(
         self,
@@ -573,11 +666,17 @@ class GraphRunner:
             n_excluded = 0
             rounds = 0
             while True:
-                # gvotes is materialized, so this is a cheap local scan;
-                # the excluded set stays distributed (broadcast anti-join
-                # in rerun) — no driver collect of tids.
+                # gvotes is materialized, so these are cheap local
+                # scans; the excluded set stays rooted at the local vote
+                # frame (broadcast anti-join in rerun) — no driver
+                # collect of tids, no extra materialize job. In pandas
+                # mode the counts come off the driver-side twin with no
+                # Spark job at all.
+                gpdf = getattr(gvotes, "_tspoon_pdf", None)
                 aborted = gvotes.filter(F.col("vote") == ABORT).select("_tid")
-                n_aborted = aborted.count()
+                n_aborted = (
+                    int((gpdf["vote"] == ABORT).sum()) if gpdf is not None else aborted.count()
+                )
                 if n_aborted == n_excluded:
                     break
                 # Fixpoint, not a fixed cap: aborts are monotone (enforced
@@ -595,12 +694,25 @@ class GraphRunner:
                 # If no aborted txn chain-committed a single link, no
                 # later value embeds an aborted write — the close's
                 # commit filter alone is sufficient; skip the refold.
-                if not has_ec and not any(
-                    _union(parts).join(aborted, "_tid", "left_semi").limit(1).count()
-                    for parts in writes_parts.values()
-                ):
+                # any_commit rides the materialized vote frame (per-key
+                # granularity, computed inside each state fold), so this
+                # is a local scan, not a re-drive of the writes plans.
+                # Previously-excluded tids re-enter with any_commit = 0
+                # (they are anti-joined out of the refold, and the
+                # monotone override below pins their flag), so a stable
+                # abort set always reaches the n_aborted == n_excluded
+                # exit instead of refolding forever.
+                contaminated = (
+                    bool(((gpdf["vote"] == ABORT) & (gpdf["any_commit"] == 1)).any())
+                    if gpdf is not None
+                    else gvotes.filter(
+                        (F.col("vote") == ABORT) & (F.col("any_commit") == 1)
+                    ).limit(1).count()
+                    > 0
+                )
+                if not has_ec and not contaminated:
                     break
-                excluded = materialize(aborted)
+                excluded = aborted
                 n_excluded = n_aborted
                 votes_parts, writes_parts = exec_states(excluded)
                 gv = self._merge_votes(tids, votes_parts)
@@ -610,6 +722,9 @@ class GraphRunner:
                     F.when(F.col("__ex").isNotNull(), F.lit(ABORT))
                     .otherwise(F.col("vote"))
                     .alias("vote"),
+                    F.when(F.col("__ex").isNotNull(), F.lit(0))
+                    .otherwise(F.col("any_commit"))
+                    .alias("any_commit"),
                 )
                 gvotes = materialize(gv)
             t0 = _dbg("abort_cascade", t0)
@@ -656,7 +771,7 @@ class GraphRunner:
             )
         else:
             upd_agg = None
-        results = src.join(gvotes, "_tid").select(
+        results = src.join(gvotes.select("_tid", "vote"), "_tid").select(
             "*", F.col("_tid").alias("_ts")
         ).withColumn("vote", vote_name(F.col("vote")))
         if upd_agg is not None:
@@ -688,7 +803,10 @@ class GraphRunner:
         # the built-in paths emit them any more) — check cheaply on the
         # materialized vote frame before touching src.
         replay_tids = gvotes.filter(F.col("vote") == REPLAY).select("_tid")
-        n_replay = replay_tids.count()
+        gpdf = getattr(gvotes, "_tspoon_pdf", None)
+        n_replay = (
+            int((gpdf["vote"] == REPLAY).sum()) if gpdf is not None else replay_tids.count()
+        )
         if n_replay:
             self._replay = materialize(src.join(replay_tids, "_tid"))
         else:
@@ -789,13 +907,6 @@ class GraphRunner:
         for p in all_results[1:]:
             res = res.unionByName(p)
         return res, new_updates
-
-
-def _union(parts: list[DataFrame]) -> DataFrame:
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 _ACC_TOKEN = "__chain_acc__"

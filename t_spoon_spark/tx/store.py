@@ -145,27 +145,48 @@ class StateStore:
                 merged.write.mode("overwrite").parquet(self._base_path(name, epoch))
                 merged = self.spark.read.parquet(self._base_path(name, epoch))
             elif epoch % self.checkpoint_every == 0:
-                # non-durable lineage cut: spill the snapshot to the
-                # store's scratch dir and read it back — distributed
-                # (executors write/read in parallel), no driver
-                # round-trip of the state, clean lineage. The same
-                # mechanism as the durable base write, minus WAL/markers.
-                # Coalesce small snapshots: per-file/task overhead
-                # dominates a per-epoch write of a few MB; large state
-                # keeps its partitioning (64 MB/file heuristic).
-                n_parts = max(1, self._spill_bytes.get(name, 0) // (64 << 20) + 1)
-                merged.coalesce(n_parts).write.mode("overwrite").parquet(
-                    self._base_path(name, epoch)
-                )
-                self._spill_bytes[name] = _dir_bytes(self._base_path(name, epoch))
-                merged = self.spark.read.parquet(self._base_path(name, epoch))
-                self._gc_bases(name, epoch)
+                merged = self._nondurable_cut(name, epoch, merged)
             self._current[name] = merged
         self._committed = epoch
         if batch_id is not None:
             self.last_batch_id = batch_id
             self.last_query_id = query_id
         self._gc_history()
+
+    # snapshots estimated under this stay on the Arrow fast path; above
+    # it (or on a cluster) the distributed parquet spill takes over
+    SMALL_SNAPSHOT_BYTES = 32 << 20
+
+    def _nondurable_cut(self, name: str, epoch: int, merged: DataFrame) -> DataFrame:
+        """Non-durable lineage cut for one namespace snapshot.
+
+        Two mechanisms, picked per epoch:
+        - small snapshot + local session (pandas materialize mode): one
+          Arrow round-trip to a LocalRelation — no filesystem write, no
+          read-back scan, roughly halves the per-epoch commit floor.
+          The pandas size estimate feeds the next epoch's decision, so
+          growing state self-corrects onto the spill path.
+        - otherwise: spill to the store's scratch dir and read back —
+          distributed (executors write/read in parallel), no driver
+          round-trip of the state. Same mechanism as the durable base
+          write, minus WAL/markers. Small snapshots coalesce (per-file
+          overhead dominates a few-MB write; 64 MB/file heuristic).
+        """
+        from t_spoon_spark.tx.runner import materialize_mode
+
+        est = self._spill_bytes.get(name, 0)
+        if est < self.SMALL_SNAPSHOT_BYTES and materialize_mode(self.spark) == "pandas":
+            pdf = merged.toPandas()
+            self._spill_bytes[name] = int(pdf.memory_usage(deep=True).sum())
+            return self.spark.createDataFrame(pdf, schema=merged.schema)
+        n_parts = max(1, est // (64 << 20) + 1)
+        merged.coalesce(n_parts).write.mode("overwrite").parquet(
+            self._base_path(name, epoch)
+        )
+        self._spill_bytes[name] = _dir_bytes(self._base_path(name, epoch))
+        merged = self.spark.read.parquet(self._base_path(name, epoch))
+        self._gc_bases(name, epoch)
+        return merged
 
     @staticmethod
     def _upsert(prev: DataFrame, updates: DataFrame) -> DataFrame:
