@@ -33,6 +33,7 @@ HEADLINE = [
     "sessionization_user_stats",
     "w2_sliding_topk_users",
     "dedup_minhash_lsh",
+    "dedup_clusters_connected",
     "similarity_lsh_topk",
     "text_quality_scores",
 ]

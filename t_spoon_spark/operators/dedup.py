@@ -295,3 +295,71 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3)
     return cand.withColumn("hamming", ham.cast("int")).filter(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-dup cluster assignment: connected components over an
+    undirected pair list via min-label propagation, returning
+    (doc_id, cluster_id) where cluster_id = MIN doc_id of the component
+    (only docs that appear in >= 1 pair are labeled — singletons need
+    no dedup decision).
+
+    The canonical post-pass of every near-dup detector (MinHash/SimHash/
+    embedding pairs → clusters → keep one doc per cluster). Scale
+    design: per iteration one join + one groupBy (2 shuffles on doc_id),
+    iterations = component diameter (near-dup clusters are shallow — a
+    handful of rounds); labels are lineage-cut between rounds through
+    the engine's materialize() (Arrow locally, distributed checkpoint on
+    a cluster), so the plan never grows with iterations. Convergence
+    checks ride the driver-side pandas twin when available (zero extra
+    jobs locally).
+    """
+    from t_spoon_spark.tx.runner import materialize
+
+    # cut the pair-generation lineage ONCE — every iteration joins the
+    # edge list, and without this the whole upstream candidate DAG
+    # (shingles/bands/verify) would re-execute per round
+    edges = materialize(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).unionByName(
+            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+        )
+    )
+    labels = materialize(edges.select("u").distinct().withColumn("label", F.col("u")))
+
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(labels.select(F.col("u").alias("v"), "label"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = materialize(
+            labels.join(nmin, "u", "left").select(
+                "u",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+        )
+        opdf = getattr(labels, "_tspoon_pdf", None)
+        npdf = getattr(new_labels, "_tspoon_pdf", None)
+        if opdf is not None and npdf is not None:
+            a = opdf.sort_values("u").reset_index(drop=True)
+            b = npdf.sort_values("u").reset_index(drop=True)
+            changed = int((a["label"].values != b["label"].values).sum())
+        else:
+            changed = (
+                labels.withColumnRenamed("label", "old")
+                .join(new_labels, "u")
+                .filter(F.col("old") != F.col("label"))
+                .count()
+            )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - diameter > max_iter means a pathological graph
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))

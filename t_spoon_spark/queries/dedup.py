@@ -16,6 +16,7 @@ from t_spoon_spark.operators.dedup import (
     PERMS,
     SIMHASH_BANDS,
     SIMHASH_BITS,
+    connected_components,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
@@ -159,10 +160,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold_c=30).orderBy("doc_a", "doc_b")
 
 
-@register(
-    "dedup_simhash",
-    f"""
-    WITH tok AS (
+# shared CTE chain for the SimHash family (pairs gate + clusters gate)
+_DD_SIMHASH_CTES = f"""
+    tok AS (
       SELECT doc_id, {dd_md5_long('w.w')} AS h
       FROM documents, unnest(list_distinct({DD_TOKS})) AS w(w)
     ),
@@ -187,6 +187,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bands a JOIN bands b USING (band, band_key)
       WHERE a.doc_id < b.doc_id
     )
+"""
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {_DD_SIMHASH_CTES}
     SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
     FROM cand
     WHERE bit_count(xor(sim_a, sim_b)) <= 3
@@ -199,3 +206,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole)."""
     docs = t(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_clusters_connected",
+    f"""
+    WITH RECURSIVE {_DD_SIMHASH_CTES},
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    ),
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+    FROM reach GROUP BY u
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the SimHash pair
+    graph via min-label propagation (the canonical post-pass that turns
+    pairwise near-dup hits into keep-one-per-cluster decisions). The
+    DuckDB twin computes the same components by recursive transitive
+    closure + MIN over the reachable set — exact agreement pins both
+    the pair generation and the clustering."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, max_hamming=3)
+    return connected_components(pairs).orderBy("doc_id")

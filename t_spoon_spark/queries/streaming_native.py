@@ -127,6 +127,37 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_exact",
+    """
+    SELECT DISTINCT md5(text) AS content_hash
+    FROM documents
+    ORDER BY content_hash
+    """,
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over the documents table replayed as a
+    2-micro-batch stream: dropDuplicatesWithinWatermark on the content
+    hash (state bounded by the watermark horizon, not all-time distinct
+    keys). Only the hash is emitted — which physical duplicate row
+    arrives first is batch-order dependent, the surviving key set is
+    not — so the drained result equals batch DISTINCT exactly."""
+    from t_spoon_spark.streaming.windows import dedup_stream
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.md5("text").alias("content_hash"),
+        # synthetic arrival time = 1970-01-02 + doc_id seconds: a row AT
+        # the epoch origin would sit exactly on the initial watermark
+        # and be dropped as late, so offset away from t=0
+        F.timestamp_micros((F.col("doc_id") + 86_400) * 1_000_000).alias("ts"),
+    )
+    stream = file_stream(spark, docs, n_slices=2, time_ordered="ts")
+    out = drain_stream(
+        dedup_stream(stream, ("content_hash",)), output_mode="append"
+    )
+    return out.select("content_hash").distinct().orderBy("content_hash")
+
+
+@register(
     "streaming_session_stats",
     """
     WITH gaps AS (

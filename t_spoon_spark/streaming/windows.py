@@ -220,3 +220,19 @@ def session_stats_stream(
             F.max(ts_col).alias("last_ts"),
         )
     )
+
+
+def dedup_stream(
+    src: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: emit the first-seen row per key,
+    holding one state entry per key only within the watermark horizon
+    (dropDuplicatesWithinWatermark) — the scale-correct streaming dedup
+    for ingest pipelines, where unbounded dropDuplicates state would
+    grow with all-time distinct keys instead of the horizon's."""
+    return src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -248,3 +248,21 @@ def test_hll_registers_merge_by_max(spark):
     direct = hll_registers(a.unionByName(b), "v")
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_connected_components_fixpoint_and_labels(spark):
+    """CC over a known graph: two components + an isolated pair; labels
+    are the component minima; chain diameter > 1 exercises multiple
+    propagation rounds."""
+    from t_spoon_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} as a chain, component {10,11}, {20,21,22} star
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

@@ -85,3 +85,35 @@ def test_group_state_accumulates_across_batches(spark):
     assert by_user[1] == [(30, 2), (100, 3)], by_user  # cumulative, not per-batch
     assert by_user[2] == [(5, 1)], by_user
     assert by_user[3] == [(1, 1)], by_user
+
+
+def test_streaming_dedup_bounds_state_and_keeps_first(spark):
+    """dedup_stream emits one row per key and holds state only within
+    the watermark horizon: a duplicate arriving after its key's state
+    expired is re-emitted (the documented horizon contract), while
+    in-horizon duplicates are suppressed."""
+    import pyspark.sql.functions as F
+
+    from t_spoon_spark.streaming.windows import dedup_stream, drain_stream, file_stream
+
+    rows = [
+        # (key, seconds) — key "a" repeats in-horizon (t=10) and far
+        # beyond the 1-minute horizon (t=100000). Eviction lags the
+        # data by two micro-batches (batch N evicts with the watermark
+        # computed from batches <= N-1), so the middle batches advance
+        # the watermark past a's state expiry before a's re-arrival.
+        ("a", 5), ("b", 6), ("a", 10),
+        ("d", 2_000), ("c", 2_500),
+        ("e", 3_000),
+        ("a", 100_000),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long").select(
+        "k", F.timestamp_micros((F.col("s") + 86_400) * 1_000_000).alias("ts")
+    )
+    stream = file_stream(spark, df, n_slices=4, time_ordered="ts")
+    out = drain_stream(
+        dedup_stream(stream, ("k",), watermark="1 minute"), output_mode="append"
+    )
+    got = sorted((r["k"]) for r in out.collect())
+    # "a" appears twice: once at t=5, once after state expiry at t=100000
+    assert got == ["a", "a", "b", "c", "d", "e"]
