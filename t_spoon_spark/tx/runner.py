@@ -109,6 +109,11 @@ from t_spoon_spark.tx.vote import ABORT, COMMIT, REPLAY, vote_name
 
 EPOCH_TID_SHIFT = 40  # tid = (epoch+1) << 40 | row-id; replays keep old (smaller) tids
 
+# cascade refold strategy threshold: key-local refold below this abort
+# fraction, plain full refold above (module-level so tests can pin
+# either path and assert result identity)
+FULL_REFOLD_FRAC = 0.05
+
 
 def _per_key_votes(evaluated: DataFrame) -> DataFrame:
     """Stage-level vote per tid from the per-(key, tid) evaluation:
@@ -708,7 +713,9 @@ class GraphRunner:
                 # the extra semi/anti joins cost more than the refold
                 # they avoid — use the plain full refold there.
                 n_txns = len(gpdf) if gpdf is not None else None
-                full_refold = n_txns is not None and n_aborted * 20 > n_txns
+                full_refold = (
+                    n_txns is not None and n_aborted > FULL_REFOLD_FRAC * n_txns
+                )
                 votes_parts, writes_parts = exec_states(excluded, full_refold)
                 gv = self._merge_votes(tids, votes_parts)
                 # monotone: every previously-aborted txn stays aborted
