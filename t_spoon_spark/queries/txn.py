@@ -236,6 +236,44 @@ def txn_window_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_streaming_bank_fold",
+    f"""
+    WITH movements AS (
+      SELECT 'a' || CAST(user_id % {KEYSPACE} AS VARCHAR) AS account,
+             -FLOOR(value) AS delta
+      FROM events
+      UNION ALL
+      SELECT 'a' || CAST((user_id * 7 + 3) % {KEYSPACE} AS VARCHAR) AS account,
+             FLOOR(value) AS delta
+      FROM events
+    )
+    SELECT account AS key,
+           CAST(100 + SUM(delta) AS BIGINT) AS balance_c
+    FROM movements
+    GROUP BY account
+    ORDER BY key
+    """,
+)
+def txn_streaming_bank_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional graph under Structured Streaming: the transfer
+    workload replays as a 3-micro-batch file stream through StreamRunner
+    (each micro-batch = one atomic epoch, the foreachBatch barrier is
+    the commit point), and the final committed snapshot equals the batch
+    grouped sum — end-to-end driver evidence for the streaming
+    transactional mode (SURVEY M3), not just its pytest coverage."""
+    from t_spoon_spark.streaming import StreamRunner
+    from t_spoon_spark.streaming.windows import file_stream
+
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace("balances", "double", 100.0)
+    stream = file_stream(spark, _transfers(spark, sf_dir), n_slices=3)
+    sr = StreamRunner(env, _bank_graph(env))
+    sr.process_all(stream)
+    snap = env.store.read("balances")
+    return snap.select("key", F.col("value").cast("bigint").alias("balance_c")).orderBy("key")
+
+
+@register(
     "txn_spu_mixed_epoch",
     f"""
     WITH moves AS (
