@@ -61,33 +61,73 @@ _HIGH_RISK_PREFIXES = (
 )
 
 
-def _rotation_offset() -> int:
-    """Deterministic per-round rotation for the stable (non-high-risk)
-    entries.  The driver drops a ``CORRECTNESS_r{N}.json`` artifact in the
-    repo root after each round, so their count is a monotone round clock;
-    shifting by 15 (the truncation width at 65 entries) per round walks
-    the unchecked tail across the whole stable suite.  Falls back to 0
-    anywhere the artifacts aren't visible (unit tests, vanilla sessions)
-    — ordering stays valid either way, only the rotation phase changes.
+def _correctness_history() -> tuple[set[str], set[str], int]:
+    """Parse the driver's ``CORRECTNESS_r*.json`` artifacts.
+
+    Returns ``(ever_checked, last_run_red, round_count)``:
+      - *ever_checked*: names that have at least one driver-side row;
+      - *last_run_red*: names whose most recent driver row failed
+        (rows/schema/hash mismatch or an error);
+      - *round_count*: number of artifacts seen (monotone round clock,
+        drives the rotation phase for the stable tail).
+
+    Falls back to empty/zero anywhere the artifacts aren't visible
+    (unit tests, vanilla sessions) — ordering stays valid either way.
     """
     try:
         import glob
+        import json
         import os
 
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        return 15 * len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+        files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+        ever: set[str] = set()
+        latest: dict[str, bool] = {}
+        for path in files:
+            try:
+                with open(path) as fh:
+                    data = json.load(fh)
+            except Exception:
+                continue
+            for name, row in data.items():
+                ever.add(name)
+                ok = (
+                    bool(row.get("rows_match"))
+                    and bool(row.get("schema_match"))
+                    and row.get("hash_match") in (True, None)
+                    and row.get("err") in (None, "")
+                )
+                latest[name] = ok
+        red = {n for n, ok in latest.items() if not ok}
+        return ever, red, len(files)
     except Exception:
-        return 0
+        return set(), set(), 0
 
 
 def _ordered() -> list[QueryEntry]:
+    """Risk-ordered registry: the driver checks only a 50-entry prefix
+    per round, so order = high-risk mechanisms, then entries with *no*
+    driver evidence yet, then entries whose last driver run was red,
+    then the long-stable rest on a per-round rotation.  This guarantees
+    a new or last-known-broken entry is never left out of the checked
+    window (round-4 verdict, "What's wrong" #3).
+    """
     entries = list(_REGISTRY.values())
+    ever, red, rounds = _correctness_history()
     high = [e for e in entries if e.name.startswith(_HIGH_RISK_PREFIXES)]
-    rest = [e for e in entries if not e.name.startswith(_HIGH_RISK_PREFIXES)]
+    high_names = {e.name for e in high}
+    never = [e for e in entries if e.name not in high_names and e.name not in ever]
+    red_entries = [
+        e
+        for e in entries
+        if e.name not in high_names and e.name in ever and e.name in red
+    ]
+    taken = high_names | {e.name for e in never} | {e.name for e in red_entries}
+    rest = [e for e in entries if e.name not in taken]
     if rest:
-        k = _rotation_offset() % len(rest)
+        k = (15 * rounds) % len(rest)
         rest = rest[k:] + rest[:k]
-    return high + rest
+    return high + never + red_entries + rest
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
