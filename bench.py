@@ -94,15 +94,19 @@ def main() -> None:
         print(f"# bench_extra: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
     timings.update(extra)
 
+    # A partial sum would under-report (look *better*) when a slow query
+    # crashed, so a run with failures emits value=null + valid=false and
+    # cross-round consumers can't mis-rank it (ADVICE r4).
     result = {
         "metric": "headline_total",
-        "value": round(total, 3),
+        "value": None if failed else round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
     if failed:
         result["failed"] = failed
+        result["valid"] = False
     print(json.dumps(result))
 
 

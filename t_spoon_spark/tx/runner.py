@@ -63,7 +63,10 @@ def materialize_mode(spark) -> str:
     if _MATERIALIZE is not None:
         return _MATERIALIZE
     master = spark.sparkContext.master
-    return "pandas" if master.startswith("local") else "reliable"
+    # Match single-JVM masters precisely: 'local', 'local[4]',
+    # 'local[*,2]'. 'local-cluster[...]' is multi-JVM and must take
+    # the no-driver-round-trip branch like any real cluster.
+    return "pandas" if re.match(r"local(\[|$)", master) else "reliable"
 
 
 def materialize(df: DataFrame) -> DataFrame:

@@ -193,6 +193,10 @@ class StateStore:
         if small and materialize_mode(self.spark) == "pandas":
             pdf = merged.toPandas()
             self._spill_bytes[name] = ("mem", int(pdf.memory_usage(deep=True).sum()))
+            # A namespace that spilled to parquet in an earlier epoch and
+            # shrank back under the threshold must still drop its stale
+            # base dirs — the in-memory frame supersedes them (ADVICE r4).
+            self._gc_bases(name, epoch)
             return self.spark.createDataFrame(pdf, schema=merged.schema)
         est_b = est if kind == "parquet" else est // 6  # ~parquet compression
         n_parts = max(1, est_b // (64 << 20) + 1)
