@@ -348,27 +348,48 @@ def connected_components(
             "u",
             F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
         )
-        # pointer jumping (path halving): follow label -> label(label)
-        # once per round, so a length-d chain converges in O(log d)
-        # rounds instead of d — the difference between ~6 and ~50
-        # rounds on real near-dup graphs. Sound because every label is
-        # itself a node (component minima are their own labels), and
-        # label values only ever decrease toward the minimum.
-        jumped = stepped.join(
-            stepped.select(
-                F.col("u").alias("label"), F.col("label").alias("label2")
-            ),
-            "label",
-            "left",
-        ).select("u", F.coalesce("label2", "label").alias("label"))
-        new_labels = materialize(jumped)
-        opdf = getattr(labels, "_tspoon_pdf", None)
-        npdf = getattr(new_labels, "_tspoon_pdf", None)
-        if opdf is not None and npdf is not None:
-            a = opdf.sort_values("u").reset_index(drop=True)
-            b = npdf.sort_values("u").reset_index(drop=True)
-            changed = int((a["label"].values != b["label"].values).sum())
+        spdf = getattr(materialize(stepped), "_tspoon_pdf", None)
+        if spdf is not None:
+            # Labels already live driver-side (the pandas materialize
+            # twin, control-sized: one row per doc in >=1 pair).
+            # Compress pointer chains to saturation in pandas — a pure
+            # dict walk over the control frame, zero extra Spark jobs —
+            # instead of one join-per-halving. Near-dup graphs then
+            # converge in 2-3 edge-join rounds total (vs ~6 with
+            # single-hop jumping); each skipped round saved 3 joins.
+            mapping = dict(zip(spdf["u"].tolist(), spdf["label"].tolist()))
+            while True:
+                nxt = {u: mapping.get(lab, lab) for u, lab in mapping.items()}
+                if nxt == mapping:
+                    break
+                mapping = nxt
+            spdf = spdf.assign(label=spdf["u"].map(mapping))
+            opdf = getattr(labels, "_tspoon_pdf", None)
+            if opdf is not None:
+                a = opdf.sort_values("u").reset_index(drop=True)
+                b = spdf.sort_values("u").reset_index(drop=True)
+                changed = int((a["label"].values != b["label"].values).sum())
+            else:  # first round after a non-twin frame
+                changed = 1
+            new_labels = labels.sparkSession.createDataFrame(
+                spdf, schema=labels.schema
+            )
+            new_labels._tspoon_pdf = spdf
         else:
+            # Cluster path: pointer jumping (path halving) as a join —
+            # follow label -> label(label) once per round, so a
+            # length-d chain converges in O(log d) rounds instead of d.
+            # Sound because every label is itself a node (component
+            # minima are their own labels), and label values only ever
+            # decrease toward the minimum.
+            jumped = stepped.join(
+                stepped.select(
+                    F.col("u").alias("label"), F.col("label").alias("label2")
+                ),
+                "label",
+                "left",
+            ).select("u", F.coalesce("label2", "label").alias("label"))
+            new_labels = materialize(jumped)
             changed = (
                 labels.withColumnRenamed("label", "old")
                 .join(new_labels, "u")
