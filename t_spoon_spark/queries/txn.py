@@ -362,3 +362,105 @@ def txn_spu_final_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     runner.run_epoch(empty, spus=spus)
     snap = env.store.read("balances")
     return snap.select("key", F.col("value").cast("bigint").alias("balance_c")).orderBy("key")
+
+
+@register(
+    "txn_two_graphs_interleaved",
+    f"""
+    WITH m1 AS (
+      SELECT 'a' || CAST(user_id % {KEYSPACE} AS VARCHAR) AS key,
+             -FLOOR(value) AS delta
+      FROM events
+      UNION ALL
+      SELECT 'a' || CAST((user_id * 7 + 3) % {KEYSPACE} AS VARCHAR) AS key,
+             FLOOR(value) AS delta
+      FROM events
+    )
+    SELECT * FROM (
+      SELECT 'g1_balances' AS ns, key, CAST(100 + SUM(delta) AS BIGINT) AS value_c
+      FROM m1 GROUP BY key
+      UNION ALL
+      SELECT 'g2_type_totals' AS ns, event_type AS key,
+             CAST(SUM(FLOOR(value)) AS BIGINT) AS value_c
+      FROM events GROUP BY event_type
+    ) ORDER BY ns, key
+    """,
+)
+def txn_two_graphs_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-TGraph topology (reference: n independent transactional
+    graphs per environment — `tGraphID` in Metadata,
+    tgraph/TransactionEnvironment.java:66-100; `series_ntg` /
+    `parallel_ntg` composition, evaluation/EvaluationGraphComposer.java:34-59).
+
+    Two GraphRunners share ONE environment and ONE state store: graph 1
+    folds bank transfers into `g1_balances`, graph 2 folds per-type
+    value totals into `g2_type_totals`. Their epochs interleave on the
+    store's single committed-epoch line (g1 e1, g2 e2, g1 e3, g2 e4) —
+    exactly the shared-runtime/independent-state contract of the
+    reference's multi-graph mode. The grouped-sum oracle spans both
+    graphs' namespaces, so a cross-graph epoch-sequencing bug (lost
+    update, stale snapshot base, history GC dropping the other graph's
+    frontier) breaks the hash."""
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace("g1_balances", "double", 100.0)
+    env.create_namespace("g2_type_totals", "double", 0.0)
+    r1 = env.runner(
+        env.graph()
+        .flat_map(
+            lambda df: F.array(
+                F.struct(
+                    F.col("from_account").alias("account"),
+                    (-F.col("amount")).alias("delta"),
+                ),
+                F.struct(F.col("to_account").alias("account"), F.col("amount").alias("delta")),
+            )
+        )
+        .state(
+            "g1_balances",
+            key=lambda df: F.col("account"),
+            update=lambda v: v + F.col("delta"),
+            pre_combine={"delta": "sum"},
+            epoch_combine=True,
+        )
+    )
+    r2 = env.runner(
+        env.graph()
+        .map(
+            lambda df: {
+                "etype": F.col("event_type"),
+                "delta": F.floor(F.col("value")).cast("double"),
+            }
+        )
+        .state(
+            "g2_type_totals",
+            key=lambda df: F.col("etype"),
+            update=lambda v: v + F.col("delta"),
+            pre_combine={"delta": "sum"},
+            epoch_combine=True,
+        )
+    )
+
+    transfers = _transfers(spark, sf_dir)
+    ev = t(spark, sf_dir, "events").select(
+        # distinct tid range per graph — the epoch model's stand-in for
+        # the reference's tGraphID disambiguation in Metadata
+        (F.col("event_id") + F.lit(1 << 40)).alias("_tid"),
+        "event_type",
+        "value",
+    )
+    # interleave epochs on the shared store's single epoch line
+    for i in range(2):
+        r1.run_to_completion(transfers.filter(F.col("_tid") % 2 == i))
+        r2.run_to_completion(ev.filter(F.col("_tid") % 2 == i))
+
+    snap1 = env.store.read("g1_balances").select(
+        F.lit("g1_balances").alias("ns"),
+        "key",
+        F.col("value").cast("bigint").alias("value_c"),
+    )
+    snap2 = env.store.read("g2_type_totals").select(
+        F.lit("g2_type_totals").alias("ns"),
+        "key",
+        F.col("value").cast("bigint").alias("value_c"),
+    )
+    return snap1.unionByName(snap2).orderBy("ns", "key")

@@ -135,11 +135,18 @@ class StateStore:
             if wal is not None:
                 wal.write.mode("overwrite").parquet(os.path.join(self.root, "wal", f"epoch={epoch}"))
             self._write_marker(epoch, sorted(updates), batch_id, query_id)
+        # history covers EVERY registered namespace, not only the updated
+        # ones: with multiple TGraphs interleaving epochs on one store, a
+        # namespace untouched this epoch must still be readable at this
+        # epoch boundary (snapshot-consistent reads pin an epoch, not a
+        # graph). For untouched namespaces this is a frame reference,
+        # not a copy — zero cost.
+        for name, cur in self._current.items():
+            self._history[(name, epoch - 1)] = cur
         for name, df in updates.items():
             if df is None:
                 continue
             prev = self._current[name]
-            self._history[(name, epoch - 1)] = prev
             merged = self._upsert(prev, df)
             if self.durable and epoch % self.checkpoint_every == 0:
                 # cut both the DAG lineage and the log-reconstruction
