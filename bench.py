@@ -148,12 +148,21 @@ def bench_extra(spark, sf_dir) -> dict[str, float]:
     # workload — plus end-to-end commit latency AT that rate (the
     # reference's latency-at-sustained-rate metric).
     def _sustained() -> None:
+        curve: list = []
         try:
-            rate, latency_ms = sustainable_tps(spark, sf_dir, measure_latency=True)
+            rate, latency_ms = sustainable_tps(
+                spark, sf_dir, measure_latency=True, curve=curve
+            )
             out["sustainable_tps_pl3"] = rate
             out["txn_latency_ms_at_sustained_pl3"] = latency_ms
+            # the full probe trace (reference: `targeting-curve`
+            # accumulator, evaluation/TunableSource.java:29-33) — makes
+            # the sustained-rate claim auditable from the bench artifact
+            out["sustainable_tps_pl3_curve"] = curve
         except Exception as exc:  # noqa: BLE001
             out["sustainable_tps_pl3"] = "failed"
+            if curve:
+                out["sustainable_tps_pl3_curve"] = curve
             print(f"# sustainable_tps_pl3: FAILED {exc}", file=sys.stderr)
 
     _sustained()

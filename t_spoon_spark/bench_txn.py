@@ -95,10 +95,17 @@ def bank_transfer_tps(spark: SparkSession, sf_dir: str) -> float:
 
 
 def _probe(env_factory, transfers, total: int, rate: float,
-           epoch_seconds: float, n_epochs: int) -> bool | None:
+           epoch_seconds: float, n_epochs: int,
+           curve: list | None = None) -> bool | None:
     """One rate probe: feed n_epochs epochs of rate*epoch_seconds txns
     and check the engine drains them inside the wall budget (no growing
-    backlog = no backpressure). None = not enough data to probe."""
+    backlog = no backpressure). None = not enough data to probe.
+
+    When `curve` is given, every attempt appends
+    {rate, drained, wall_sec, budget_sec} — the reference's
+    `targeting-curve` accumulator (evaluation/TunableSource.java:29-33)
+    publishes the same probe trace so a sustained-rate claim is
+    auditable, not just an end point."""
     per_epoch = int(rate * epoch_seconds)
     warm = min(1000, max(1, total // 10))
     if per_epoch < 1 or per_epoch * n_epochs + warm > total:
@@ -118,7 +125,18 @@ def _probe(env_factory, transfers, total: int, rate: float,
             runner.run_epoch(batch)
         while runner._replay is not None:
             runner.run_epoch(None)
-        if (time.time() - t0) <= n_epochs * epoch_seconds:
+        wall = time.time() - t0
+        drained = wall <= n_epochs * epoch_seconds
+        if curve is not None:
+            curve.append(
+                {
+                    "rate": round(rate, 1),
+                    "drained": drained,
+                    "wall_sec": round(wall, 2),
+                    "budget_sec": round(n_epochs * epoch_seconds, 2),
+                }
+            )
+        if drained:
             return True
     return False
 
@@ -133,6 +151,7 @@ def sustainable_tps(
     isolation: str = "PL3",
     keyspace: int = KEYSPACE,
     measure_latency: bool = False,
+    curve: list | None = None,
 ) -> float | tuple[float, float]:
     """Max sustainable rate by targeting loop — the reference's
     TunableSource methodology (evaluation/TunableSource.java:26-45:
@@ -174,14 +193,18 @@ def sustainable_tps(
         lo, hi = 0.0, None
         rate = max(1.0, min(1000.0, max_rate / 2))
         while hi is None:
-            ok = _probe(env_factory, transfers, total, rate, epoch_seconds, n_epochs)
+            ok = _probe(
+                env_factory, transfers, total, rate, epoch_seconds, n_epochs, curve
+            )
             if ok:
                 lo, rate = rate, rate * 2
             else:  # failed probe or data-limited: bracket found
                 hi = rate
         for _ in range(iters):
             mid = (lo + hi) / 2
-            if _probe(env_factory, transfers, total, mid, epoch_seconds, n_epochs):
+            if _probe(
+                env_factory, transfers, total, mid, epoch_seconds, n_epochs, curve
+            ):
                 lo = mid
             else:
                 hi = mid
