@@ -638,7 +638,103 @@ class GraphRunner:
         t0 = time.time()
         tids = src.select("_tid")
         votes_parts, writes_parts = exec_states(None)
-        gvotes = materialize(self._merge_votes(tids, votes_parts))
+
+        # Fused no-abort fast path: ONE Spark job per epoch instead of
+        # two. The votes materialize and the commit's state cut are the
+        # two per-epoch actions; here they ride a single union frame
+        # (tids ∪ link votes ∪ OPTIMISTIC per-key finals — the resolved
+        # state assuming every transaction commits). Driver-side we
+        # check the votes: all COMMIT → the optimistic finals are exact
+        # and the store merges them in pandas with zero further jobs;
+        # any ABORT/REPLAY → discard the finals and fall through to the
+        # standard cascade + commit path (the wasted work is one window
+        # over the already-cached evaluation frame). Only engaged on
+        # the local pandas materialize path with a single small
+        # namespace — a cluster session never routes epoch state
+        # through the driver (materialize_mode 'reliable').
+        fused_updates_pdf = None
+        fuse_ns = (
+            list(writes_parts)[0]
+            if len(writes_parts) == 1 and spus is None and votes_parts
+            else None
+        )
+        spark = tids.sparkSession
+        if (
+            fuse_ns is not None
+            and materialize_mode(spark) == "pandas"
+            and store.can_commit_pandas(fuse_ns)
+        ):
+            ns = env.namespaces[fuse_ns]
+            w = writes_parts[fuse_ns][0]
+            for p in writes_parts[fuse_ns][1:]:
+                w = w.unionByName(p)
+            rn = F.row_number().over(
+                W.partitionBy("key").orderBy(F.desc("_stage"), F.desc("_ord"))
+            )
+            finals = w.withColumn("__rn", rn).filter(F.col("__rn") == 1)
+            links = votes_parts[0]
+            for v in votes_parts[1:]:
+                links = links.unionByName(v)
+            vt = ns.value_type
+            combined = (
+                tids.select(
+                    F.lit(0).alias("__part"),
+                    "_tid",
+                    F.lit(None).cast("int").alias("vote"),
+                    F.lit(None).cast("string").alias("key"),
+                    F.lit(None).cast(vt).alias("value"),
+                )
+                .unionByName(
+                    links.select(
+                        F.lit(1).alias("__part"),
+                        "_tid",
+                        F.col("vote").cast("int"),
+                        F.lit(None).cast("string").alias("key"),
+                        F.lit(None).cast(vt).alias("value"),
+                    )
+                )
+                .unionByName(
+                    finals.select(
+                        F.lit(2).alias("__part"),
+                        F.lit(None).cast("long").alias("_tid"),
+                        F.lit(None).cast("int").alias("vote"),
+                        "key",
+                        F.col("value").cast(vt),
+                    )
+                )
+            )
+            cpdf = getattr(materialize(combined), "_tspoon_pdf", None)
+            if cpdf is not None:
+                import pandas as pd
+
+                lk = cpdf[cpdf["__part"] == 1]
+                gv = (
+                    lk.groupby("_tid", as_index=False)
+                    .agg(
+                        vote=("vote", "max"),
+                        any_commit=("vote", lambda s: int((s == COMMIT).any())),
+                    )
+                    if len(lk)
+                    else pd.DataFrame(columns=["_tid", "vote", "any_commit"])
+                )
+                all_tids = cpdf[cpdf["__part"] == 0][["_tid"]].drop_duplicates()
+                gv_pdf = all_tids.merge(gv, on="_tid", how="left")
+                gv_pdf["vote"] = gv_pdf["vote"].fillna(COMMIT).astype("int32")
+                gv_pdf["any_commit"] = (
+                    gv_pdf["any_commit"].fillna(0).astype("int32")
+                )
+                gvotes = spark.createDataFrame(
+                    gv_pdf, schema="_tid long, vote int, any_commit int"
+                )
+                gvotes._tspoon_pdf = gv_pdf
+                if int((gv_pdf["vote"] != COMMIT).sum()) == 0:
+                    fused_updates_pdf = cpdf[cpdf["__part"] == 2][
+                        ["key", "value"]
+                    ].reset_index(drop=True)
+            else:  # pragma: no cover - pandas mode always yields a twin
+                gvotes = materialize(self._merge_votes(tids, votes_parts))
+        else:
+            gvotes = materialize(self._merge_votes(tids, votes_parts))
         t0 = _dbg("gvotes", t0)
 
         # Forward abort cascade (the epoch-model analogue of the
@@ -790,13 +886,24 @@ class GraphRunner:
             "_tid", "_ts", "vote", F.to_json(F.col("updates")).alias("updates_json")
         )
         t0 = _dbg("build_updates", t0)
-        store.commit(
-            epoch,
-            updates,
-            wal if env.store.durable else None,
-            batch_id=getattr(self, "_batch_id", None),
-            query_id=getattr(self, "_query_id", None),
-        )
+        if fused_updates_pdf is not None:
+            # all votes committed and the resolved finals already rode
+            # the fused materialize — pandas merge, zero Spark jobs
+            store.commit_pandas(
+                epoch,
+                fuse_ns,
+                fused_updates_pdf,
+                batch_id=getattr(self, "_batch_id", None),
+                query_id=getattr(self, "_query_id", None),
+            )
+        else:
+            store.commit(
+                epoch,
+                updates,
+                wal if env.store.durable else None,
+                batch_id=getattr(self, "_batch_id", None),
+                query_id=getattr(self, "_query_id", None),
+            )
         t0 = _dbg("commit", t0)
 
         # REPLAY queue: original source rows re-enter the next epoch

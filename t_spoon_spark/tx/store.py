@@ -79,6 +79,11 @@ class StateStore:
         # per-namespace size estimate for the non-durable cut:
         # ("mem", deep-pandas-bytes) or ("parquet", on-disk bytes)
         self._spill_bytes: dict[str, tuple[str, int]] = {}
+        # driver-side pandas twin of small in-memory snapshots — the
+        # no-abort fused commit merges state here with ZERO Spark jobs.
+        # Only populated on the pandas materialize path; absent (None)
+        # means the namespace is on the distributed spill path.
+        self._current_pdf: dict[str, "object"] = {}
         if durable:
             os.makedirs(os.path.join(self.root, "_commits"), exist_ok=True)
             self._recover()
@@ -89,6 +94,12 @@ class StateStore:
         self.namespaces[ns.name] = ns
         if ns.name not in self._current:
             self._current[ns.name] = self._empty(ns)
+            if not self.durable:
+                import pandas as pd
+
+                self._current_pdf[ns.name] = pd.DataFrame(
+                    {"key": pd.Series(dtype="object"), "value": pd.Series(dtype="object")}
+                )
 
     def _empty(self, ns: Namespace) -> DataFrame:
         return self.spark.createDataFrame([], schema=f"key string, value {ns.value_type}")
@@ -153,9 +164,75 @@ class StateStore:
                 # chain: persist a compacted base.
                 merged.write.mode("overwrite").parquet(self._base_path(name, epoch))
                 merged = self.spark.read.parquet(self._base_path(name, epoch))
+                self._current_pdf.pop(name, None)
             elif epoch % self.checkpoint_every == 0:
                 merged = self._nondurable_cut(name, epoch, merged)
+            else:
+                # lazy merged plan — the pandas twin no longer mirrors it
+                self._current_pdf.pop(name, None)
             self._current[name] = merged
+        self._committed = epoch
+        if batch_id is not None:
+            self.last_batch_id = batch_id
+            self.last_query_id = query_id
+        self._gc_history()
+
+    def can_commit_pandas(self, name: str) -> bool:
+        """True when the fused driver-side commit is valid for this
+        namespace: non-durable store, pandas twin present (small
+        in-memory snapshot on the local materialize path), and the cut
+        cadence is per-epoch (the twin mirrors `_current` exactly)."""
+        if self.durable or self.checkpoint_every != 1:
+            return False
+        pdf = self._current_pdf.get(name)
+        if pdf is None:
+            return False
+        kind, est = self._spill_bytes.get(name, ("mem", 0))
+        limit = (
+            self.SMALL_SNAPSHOT_MEM_BYTES
+            if kind == "mem"
+            else self.SMALL_SNAPSHOT_PARQUET_BYTES
+        )
+        return est < limit
+
+    def commit_pandas(
+        self,
+        epoch: int,
+        name: str,
+        updates_pdf,
+        batch_id: int | None = None,
+        query_id: str | None = None,
+    ) -> None:
+        """Fused no-abort commit: merge one namespace's resolved epoch
+        updates (already driver-side via the epoch's single fused
+        materialize) into the pandas snapshot twin — ZERO Spark jobs.
+        Semantics identical to commit() + _nondurable_cut on the pandas
+        path: last-writer-wins upsert, per-epoch lineage cut (the new
+        current IS a LocalRelation), full history bookkeeping. Guarded
+        by can_commit_pandas(); local-mode only by construction (the
+        twin exists only on the pandas materialize path — a cluster
+        session never takes this branch)."""
+        import pandas as pd
+
+        if epoch != self._committed + 1:
+            raise ValueError(f"epoch {epoch} != committed {self._committed} + 1")
+        for n, cur in self._current.items():
+            self._history[(n, epoch - 1)] = cur
+        prev_pdf = self._current_pdf[name]
+        kept = prev_pdf[~prev_pdf["key"].isin(updates_pdf["key"])]
+        merged_pdf = pd.concat(
+            [kept, updates_pdf[["key", "value"]]], ignore_index=True
+        )
+        self._spill_bytes[name] = (
+            "mem",
+            int(merged_pdf.memory_usage(deep=True).sum()),
+        )
+        self._current_pdf[name] = merged_pdf
+        ns = self.namespaces[name]
+        self._current[name] = self.spark.createDataFrame(
+            merged_pdf, schema=f"key string, value {ns.value_type}"
+        )
+        self._gc_bases(name, epoch)
         self._committed = epoch
         if batch_id is not None:
             self.last_batch_id = batch_id
@@ -200,11 +277,13 @@ class StateStore:
         if small and materialize_mode(self.spark) == "pandas":
             pdf = merged.toPandas()
             self._spill_bytes[name] = ("mem", int(pdf.memory_usage(deep=True).sum()))
+            self._current_pdf[name] = pdf
             # A namespace that spilled to parquet in an earlier epoch and
             # shrank back under the threshold must still drop its stale
             # base dirs — the in-memory frame supersedes them (ADVICE r4).
             self._gc_bases(name, epoch)
             return self.spark.createDataFrame(pdf, schema=merged.schema)
+        self._current_pdf.pop(name, None)
         est_b = est if kind == "parquet" else est // 6  # ~parquet compression
         n_parts = max(1, est_b // (64 << 20) + 1)
         merged.coalesce(n_parts).write.mode("overwrite").parquet(
