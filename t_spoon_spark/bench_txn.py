@@ -71,19 +71,28 @@ def _run(
     total = transfers.count()
     per_epoch = total // n_epochs + 1
 
-    # warmup epoch outside the timed window (JIT/codegen)
-    warm = transfers.filter(F.col("_tid") < 0)
-    n_done = 0
-    t0 = time.time()
-    for i in range(n_epochs):
-        batch = transfers.filter(
-            (F.col("_tid") >= i * per_epoch) & (F.col("_tid") < (i + 1) * per_epoch)
-        )
-        res = runner.run_epoch(batch)
-        n_done += sum(res.vote_counts().values())
-    while runner._replay is not None:
-        res = runner.run_epoch(None)
-    wall = time.time() - t0
+    # Epoch control frames are small (tens of k rows); 32-way shuffles
+    # on them are pure task overhead in local mode — size to the
+    # workload, as sustainable_tps and the latency bench already do.
+    # A cluster sizes this to cores.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # warmup epoch outside the timed window (JIT/codegen)
+        warm = transfers.filter(F.col("_tid") < 0)
+        n_done = 0
+        t0 = time.time()
+        for i in range(n_epochs):
+            batch = transfers.filter(
+                (F.col("_tid") >= i * per_epoch) & (F.col("_tid") < (i + 1) * per_epoch)
+            )
+            res = runner.run_epoch(batch)
+            n_done += sum(res.vote_counts().values())
+        while runner._replay is not None:
+            res = runner.run_epoch(None)
+        wall = time.time() - t0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return n_done / wall if wall > 0 else 0.0
 
 

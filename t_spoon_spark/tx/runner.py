@@ -828,6 +828,12 @@ class GraphRunner:
                     .alias("any_commit"),
                 )
                 gvotes = materialize(gv)
+                if _DEBUG:
+                    t0 = _dbg(
+                        f"cascade_round {rounds} aborted={n_aborted} "
+                        f"full={full_refold}",
+                        t0,
+                    )
             t0 = _dbg("abort_cascade", t0)
 
         commit_tids = gvotes.filter(F.col("vote") == COMMIT).select("_tid")
