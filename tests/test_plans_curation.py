@@ -1,0 +1,49 @@
+"""Plan-shape gates for the round-5 curation/similarity operators —
+what must survive a 100x scale-up: no cartesian products, broadcast on
+the intended small side, no Python in the data plane.
+"""
+
+from __future__ import annotations
+
+from t_spoon_spark.plans.explain import executed_plan, has_broadcast_join
+from tests.conftest import SF_SMALL
+
+
+def test_sq8_topk_broadcasts_queries_no_cartesian(spark):
+    from t_spoon_spark.queries.similarity import similarity_sq8_topk
+
+    df = similarity_sq8_topk(spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+    # integer SQ8 distance is pure column work — no Python workers
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_boilerplate_fraction_no_cartesian_no_python(spark):
+    from t_spoon_spark.queries.curation import dedup_boilerplate_fraction
+
+    df = dedup_boilerplate_fraction(spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_repetition_scores_partial_aggregation(spark):
+    from t_spoon_spark.queries.curation import text_repetition_scores
+
+    df = text_repetition_scores(spark, SF_SMALL)
+    plan = executed_plan(df)
+    # the (doc_id, tok) count must partial-aggregate map-side before its
+    # shuffle — at 100 TB the exploded token stream is the big frame
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_pii_scrub_single_scan_no_shuffle(spark):
+    from t_spoon_spark.plans.explain import count_shuffles
+    from t_spoon_spark.queries.curation import text_pii_scrub
+
+    df = text_pii_scrub(spark, SF_SMALL)
+    # orderBy adds one exchange; the scrub itself must add none
+    assert count_shuffles(df) <= 1, executed_plan(df)
