@@ -128,3 +128,49 @@ def sessionization_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "skew_salted_join_nation_revenue",
+    """
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_customers_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def skew_salted_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-management join, gate-checked against the PLAIN join's
+    answer: orders x customer runs through `salted_join` (facts salted
+    by a deterministic row hash across 16 reducers, the dim side
+    replicated per salt), then the nation rollup. Result-identical to
+    an unsalted join BY CONSTRUCTION — that identity is exactly what
+    the oracle pins, so the structural skew tool carries driver-side
+    correctness evidence, not just plan tests. At 100 TB this is the
+    shape for a Zipf-headed fact key joining a dimension (shuffle:
+    facts unchanged, dims x 16)."""
+    from t_spoon_spark.operators.skew import salted_join
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    customer = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    joined = salted_join(orders, customer, "c_custkey", n_salts=16)
+    full = joined.join(F.broadcast(nation), "c_nationkey")
+    return (
+        full.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("revenue_c"),
+        )
+        .orderBy("nation")
+    )

@@ -8,6 +8,7 @@ same IEEE ops in both engines).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from t_spoon_spark.operators.dedup import MINHASH_P, PERMS
@@ -100,3 +101,64 @@ def sketch_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("user_id")
     threshold = max(ev.count() // 100, 1)
     return cms_heavy_hitters(ev, "user_id", threshold).orderBy("value")
+
+
+@register(
+    "sketch_histogram_quantiles",
+    """
+    WITH h AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(value / 4.0) AS BIGINT), 0), 127) AS bin,
+             COUNT(*) AS c
+      FROM events GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cum, SUM(c) OVER () AS total
+      FROM h
+    ),
+    q AS (SELECT unnest([50, 90, 99]) AS q_pct)
+    SELECT q_pct,
+           MIN(bin) AS bin,
+           CAST(MIN(bin) * 4 AS BIGINT) AS est_value_lo
+    FROM q JOIN cum ON cum.cum * 100 >= q.q_pct * cum.total
+    GROUP BY q_pct
+    ORDER BY q_pct
+    """,
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-mergeable quantile sketch: a fixed 128-bin equi-width
+    histogram over events.value (bin width 4.0, domain clamped) — the
+    constant-size, commutative-merge state family of HLL/count-min; at
+    100 TB each partition folds its own histogram and the merge is a
+    128-long vector add, with NO per-value state. Quantile estimate =
+    lower edge of the first bin whose cumulative count reaches the
+    rank; the oracle recomputes the identical estimator, so the
+    approximation itself is pinned exactly (same sketch -> same
+    answer), not compared against exact quantiles."""
+    ev = t(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.least(
+                F.greatest(F.floor(F.col("value") / 4.0).cast("long"), F.lit(0)),
+                F.lit(127),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = h.select(
+        "bin",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("total"),
+    )
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q_pct int")
+    return (
+        qs.join(cum, F.col("cum") * 100 >= F.col("q_pct") * F.col("total"))
+        .groupBy("q_pct")
+        .agg(
+            F.min("bin").alias("bin"),
+            (F.min("bin") * 4).cast("long").alias("est_value_lo"),
+        )
+        .orderBy("q_pct")
+    )

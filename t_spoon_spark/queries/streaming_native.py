@@ -273,3 +273,69 @@ def streaming_w2_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w_start_us", "event_type", "user_id", "cnt", "rnk")
         .orderBy("w_start_us", "event_type", "rnk")
     )
+
+
+from t_spoon_spark.queries.dedup import _DD_SIMHASH_CTES  # shared CTE (no cycle)
+
+_SIMHASH_DEDUP_ORACLE = f"""
+    WITH {_DD_SIMHASH_CTES},
+    dups AS (
+      SELECT DISTINCT doc_b AS doc_id FROM cand
+      WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    )
+    SELECT s.doc_id,
+           CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+    FROM sim s LEFT JOIN dups d USING (doc_id)
+    ORDER BY s.doc_id
+    """
+
+
+@register(
+    "streaming_dedup_simhash",
+    _SIMHASH_DEDUP_ORACLE,
+)
+def streaming_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup membership: SimHash signatures (computed at
+    ingest, as a production pipeline does) replayed as a doc_id-ordered
+    2-micro-batch stream; per-band-bucket GroupState compares each
+    arriving doc against all earlier docs in its bucket (exhaustive at
+    hamming <= 3 by the 4x12-bit banded pigeonhole — recall 1.0, not
+    approximate). A doc is a duplicate iff some strictly-earlier doc is
+    within hamming 3; the DuckDB oracle recomputes that definition
+    directly from the pair CTE. The batch dedup_simhash finds the
+    pairs; this entry is its arrival-ordered streaming twin (keep-first
+    policy)."""
+    from t_spoon_spark.operators.dedup import (
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+        simhash,
+    )
+    from t_spoon_spark.streaming.windows import (
+        drain_stream,
+        file_stream,
+        simhash_dedup_stateful,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sh = simhash(docs)  # (doc_id, sim) — ingest-side signature pass
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    bands = sh.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sim"), b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    stream = file_stream(spark, bands, n_slices=2, time_ordered="doc_id")
+    per_band = drain_stream(simhash_dedup_stateful(stream), output_mode="update")
+    return (
+        per_band.groupBy("doc_id")
+        .agg(F.max("is_dup").cast("int").alias("is_dup"))
+        .orderBy("doc_id")
+    )

@@ -245,3 +245,51 @@ def dedup_stream(
     return src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def simhash_dedup_stateful(src: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Streaming NEAR-dup membership (the stateful twin of the batch
+    SimHash pair detector): input rows are (doc_id, sim, band,
+    band_key) — one row per signature band, signatures computed at
+    ingest — grouped by band bucket with applyInPandasWithState. Each
+    bucket's GroupState holds the (doc_id, sim) list seen so far; an
+    arriving doc is a duplicate if ANY strictly-earlier doc within
+    hamming <= 3 exists — and by the banded pigeonhole (4x12-bit bands,
+    radius 3) such a doc is guaranteed to share at least one band
+    bucket, so per-bucket comparison is exhaustive, not approximate.
+    Emit (doc_id, is_dup) per band; callers OR the bands (groupBy max).
+
+    State shape: per-bucket id/sim arrays — the production deployment
+    bounds them with a watermark horizon exactly like dedup_stream
+    (evict entries older than the horizon); the gate replay keeps full
+    state, matching the batch oracle over the whole corpus."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "doc_id bigint, is_dup int"
+    state_schema = "ids array<bigint>, sims array<bigint>"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        ids, sims = state.get if state.exists else ([], [])
+        ids, sims = list(ids), list(sims)
+        rows = pd.concat(list(pdfs))
+        if len(rows):
+            rows = rows.sort_values("doc_id")
+        outs = []
+        for doc_id, sim in zip(rows["doc_id"], rows["sim"]):
+            doc_id, sim = int(doc_id), int(sim)
+            dup = any(
+                i < doc_id and bin(sim ^ s).count("1") <= max_hamming
+                for i, s in zip(ids, sims)
+            )
+            outs.append((doc_id, int(dup)))
+            ids.append(doc_id)
+            sims.append(sim)
+        state.update((ids, sims))
+        yield pd.DataFrame(outs, columns=["doc_id", "is_dup"])
+
+    return src.groupBy("band", "band_key").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,94 @@
+"""True multi-JVM smoke: the engine end-to-end on a local-cluster
+master (2 executor JVMs), where driver-side shortcuts (pandas
+materialize twins, LocalRelation state) are NOT available — the
+'reliable' branch everywhere. Runs in a subprocess because one JVM
+allows one SparkContext and the session fixture owns local[*].
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+SCRIPT = r"""
+import json, sys
+sys.path.insert(0, ".")
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,1,1536]")
+    .appName("tspoon_cluster_smoke")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.executor.memory", "1g")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+)
+
+from t_spoon_spark.tx import TxEnvironment
+from t_spoon_spark.tx.runner import materialize_mode
+
+out = {"materialize_mode": materialize_mode(spark)}
+
+env = TxEnvironment(spark, isolation="PL3")
+env.create_namespace("balances", "double", 100.0, invariant="value >= 0")
+graph = (
+    env.graph()
+    .flat_map(
+        lambda df: F.array(
+            F.struct(F.col("from_account").alias("account"), (-F.col("amount")).alias("delta")),
+            F.struct(F.col("to_account").alias("account"), F.col("amount").alias("delta")),
+        )
+    )
+    .state(
+        "balances",
+        key=lambda df: F.col("account"),
+        update=lambda v: v + F.col("delta"),
+        pre_combine={"delta": "sum"},
+    )
+)
+rows = [(1, "a", "b", 30.0), (2, "b", "c", 20.0), (3, "c", "a", 500.0), (4, "a", "c", 10.0)]
+batch = spark.createDataFrame(
+    rows, "_tid long, from_account string, to_account string, amount double"
+)
+res = env.runner(graph).run_epoch(batch)
+out["votes"] = res.vote_counts()
+out["balances"] = {
+    r["key"]: r["value"] for r in env.store.read("balances").orderBy("key").collect()
+}
+
+from t_spoon_spark.queries.relational import q1_pricing_summary
+out["q1_rows"] = q1_pricing_summary(spark, "/root/testdata/sf0.001").count()
+
+from t_spoon_spark.queries.dedup import dedup_exact_md5
+out["dedup_rows"] = dedup_exact_md5(spark, "/root/testdata/sf0.001").count()
+
+print("RESULT " + json.dumps(out))
+spark.stop()
+"""
+
+
+def test_engine_on_multi_jvm_local_cluster():
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+    assert lines, f"no RESULT line.\nstdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
+    out = json.loads(lines[0][len("RESULT "):])
+    # multi-JVM master must route epoch control frames off the driver
+    assert out["materialize_mode"] == "reliable"
+    # tid 3 overdraws (c starts at 100+20-?... c receives 20 from tid 2 ->
+    # 120, then sends 500 -> abort); others commit in tid order
+    assert out["votes"].get("ABORT", 0) == 1
+    assert out["votes"].get("COMMIT", 0) == 3
+    assert out["balances"]["a"] == 100.0 - 30.0 - 10.0
+    assert out["balances"]["b"] == 100.0 + 30.0 - 20.0
+    assert out["balances"]["c"] == 100.0 + 20.0 + 10.0
+    assert out["q1_rows"] > 0
+    assert out["dedup_rows"] > 0
