@@ -1,0 +1,192 @@
+"""Product-analytics operators over the events table: SCD2 interval
+maintenance, funnel stages, cohort retention. The reference has no
+analytics library (its evaluation graphs are bank transfers); these are
+the queries a warehouse user of the engine runs daily, expressed as
+pure window/join/aggregate plans with bit-exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from t_spoon_spark.queries.helpers import micros
+from t_spoon_spark.queries.relational import t
+from t_spoon_spark.registry import register
+
+DAY_US = 86_400_000_000
+
+
+@register(
+    "scd2_user_state_intervals",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts_us, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    iv AS (
+      SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+             LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               AS valid_to_us
+      FROM changes
+    )
+    SELECT user_id, state, valid_from_us,
+           COALESCE(valid_to_us, 0) AS valid_to_us,
+           CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM iv
+    ORDER BY user_id, valid_from_us
+    """,
+)
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval build: each user's
+    event_type stream collapses into effective-dated (state,
+    valid_from, valid_to] rows — change detection by LAG, interval
+    close by LEAD, open intervals flagged current. Two window passes
+    over one shuffle on user_id; the canonical dimension-maintenance
+    pattern a warehouse runs on every load. Ties break on event_id so
+    both engines order identically."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", micros("ts").alias("ts_us"), "event_id"
+    )
+    w_ord = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = ev.withColumn("prev_type", F.lag("event_type").over(w_ord))
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w_iv = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    iv = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(
+            W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        ).alias("valid_to_us"),
+    )
+    return iv.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.coalesce("valid_to_us", F.lit(0)).alias("valid_to_us"),
+        F.when(F.col("valid_to_us").isNull(), 1).otherwise(0).alias("is_current"),
+    ).orderBy("user_id", "valid_from_us")
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT 'view>click', COUNT(*) FROM c
+    UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM p
+    ORDER BY n_users DESC, stage
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked after the first
+    view, then purchased after that first click. Each stage is a
+    filtered min-aggregate joined to the previous stage's frontier —
+    three shuffles on user_id that AQE coalesces, with the stage
+    frontier always the (shrinking) build side. The standard product
+    funnel, stage times strictly increasing so both engines agree
+    exactly."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", micros("ts").alias("ts_us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_us"))
+    )
+    out = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view").alias("stage"), "n_users")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view>click").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view>click>purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+    return out.orderBy(F.desc("n_users"), "stage")
+
+
+@register(
+    "retention_cohort_weeks",
+    f"""
+    WITH first_day AS (
+      SELECT user_id, MIN(epoch_us(ts) // {7 * DAY_US}) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             (epoch_us(e.ts) // {7 * DAY_US}) - f.cohort_week AS week_offset
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def retention_cohort_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each later week they return. First-touch aggregate +
+    distinct-activity join + matrix groupBy — the cohort frame is one
+    row per user (broadcast-sized relative to events at scale). The
+    analytics table every growth dashboard reads."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", (micros("ts") / (7 * DAY_US)).cast("long").alias("week")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
