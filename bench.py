@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_clusters_connected",
     "similarity_lsh_topk",
+    "similarity_sq8_topk",
+    "dedup_boilerplate_fraction",
     "text_quality_scores",
 ]
 

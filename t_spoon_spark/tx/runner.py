@@ -649,38 +649,39 @@ class GraphRunner:
         # any ABORT/REPLAY → discard the finals and fall through to the
         # standard cascade + commit path (the wasted work is one window
         # over the already-cached evaluation frame). Only engaged on
-        # the local pandas materialize path with a single small
-        # namespace — a cluster session never routes epoch state
-        # through the driver (materialize_mode 'reliable').
-        fused_updates_pdf = None
-        fuse_ns = (
-            list(writes_parts)[0]
-            if len(writes_parts) == 1 and spus is None and votes_parts
-            else None
+        # the local pandas materialize path with small namespaces that
+        # share one value type (one union frame needs one value column
+        # type) — a cluster session never routes epoch state through
+        # the driver (materialize_mode 'reliable').
+        fused_updates_pdf = None  # {ns_name: finals pdf} when the fast path lands
+        fuse_types = {env.namespaces[n].value_type for n in writes_parts}
+        fusable = (
+            spus is None
+            and bool(votes_parts)
+            and len(fuse_types) == 1  # one union frame needs one value type
+            and all(store.can_commit_pandas(n) for n in writes_parts)
         )
         spark = tids.sparkSession
-        if (
-            fuse_ns is not None
-            and materialize_mode(spark) == "pandas"
-            and store.can_commit_pandas(fuse_ns)
-        ):
-            ns = env.namespaces[fuse_ns]
-            w = writes_parts[fuse_ns][0]
-            for p in writes_parts[fuse_ns][1:]:
-                w = w.unionByName(p)
+        if fusable and materialize_mode(spark) == "pandas":
+            vt = next(iter(fuse_types))
+            w = None
+            for ns_name, parts in writes_parts.items():
+                for p in parts:
+                    tagged = p.withColumn("__ns", F.lit(ns_name))
+                    w = tagged if w is None else w.unionByName(tagged)
             rn = F.row_number().over(
-                W.partitionBy("key").orderBy(F.desc("_stage"), F.desc("_ord"))
+                W.partitionBy("__ns", "key").orderBy(F.desc("_stage"), F.desc("_ord"))
             )
             finals = w.withColumn("__rn", rn).filter(F.col("__rn") == 1)
             links = votes_parts[0]
             for v in votes_parts[1:]:
                 links = links.unionByName(v)
-            vt = ns.value_type
             combined = (
                 tids.select(
                     F.lit(0).alias("__part"),
                     "_tid",
                     F.lit(None).cast("int").alias("vote"),
+                    F.lit(None).cast("string").alias("__ns"),
                     F.lit(None).cast("string").alias("key"),
                     F.lit(None).cast(vt).alias("value"),
                 )
@@ -689,6 +690,7 @@ class GraphRunner:
                         F.lit(1).alias("__part"),
                         "_tid",
                         F.col("vote").cast("int"),
+                        F.lit(None).cast("string").alias("__ns"),
                         F.lit(None).cast("string").alias("key"),
                         F.lit(None).cast(vt).alias("value"),
                     )
@@ -698,6 +700,7 @@ class GraphRunner:
                         F.lit(2).alias("__part"),
                         F.lit(None).cast("long").alias("_tid"),
                         F.lit(None).cast("int").alias("vote"),
+                        "__ns",
                         "key",
                         F.col("value").cast(vt),
                     )
@@ -728,9 +731,12 @@ class GraphRunner:
                 )
                 gvotes._tspoon_pdf = gv_pdf
                 if int((gv_pdf["vote"] != COMMIT).sum()) == 0:
-                    fused_updates_pdf = cpdf[cpdf["__part"] == 2][
-                        ["key", "value"]
-                    ].reset_index(drop=True)
+                    fin = cpdf[cpdf["__part"] == 2]
+                    fused_updates_pdf = {
+                        ns_name: fin[fin["__ns"] == ns_name][["key", "value"]]
+                        .reset_index(drop=True)
+                        for ns_name in writes_parts
+                    }
             else:  # pragma: no cover - pandas mode always yields a twin
                 gvotes = materialize(self._merge_votes(tids, votes_parts))
         else:
@@ -897,7 +903,6 @@ class GraphRunner:
             # the fused materialize — pandas merge, zero Spark jobs
             store.commit_pandas(
                 epoch,
-                fuse_ns,
                 fused_updates_pdf,
                 batch_id=getattr(self, "_batch_id", None),
                 query_id=getattr(self, "_query_id", None),

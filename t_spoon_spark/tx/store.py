@@ -198,41 +198,42 @@ class StateStore:
     def commit_pandas(
         self,
         epoch: int,
-        name: str,
-        updates_pdf,
+        updates_pdfs: dict,
         batch_id: int | None = None,
         query_id: str | None = None,
     ) -> None:
-        """Fused no-abort commit: merge one namespace's resolved epoch
-        updates (already driver-side via the epoch's single fused
-        materialize) into the pandas snapshot twin — ZERO Spark jobs.
-        Semantics identical to commit() + _nondurable_cut on the pandas
-        path: last-writer-wins upsert, per-epoch lineage cut (the new
-        current IS a LocalRelation), full history bookkeeping. Guarded
-        by can_commit_pandas(); local-mode only by construction (the
-        twin exists only on the pandas materialize path — a cluster
-        session never takes this branch)."""
+        """Fused no-abort commit: merge the epoch's resolved updates
+        ({namespace: pandas frame}, already driver-side via the epoch's
+        single fused materialize) into the pandas snapshot twins — ZERO
+        Spark jobs. Semantics identical to commit() + _nondurable_cut
+        on the pandas path: last-writer-wins upsert, per-epoch lineage
+        cut (the new current IS a LocalRelation), full history
+        bookkeeping. Guarded by can_commit_pandas() per namespace;
+        local-mode only by construction (the twin exists only on the
+        pandas materialize path — a cluster session never takes this
+        branch)."""
         import pandas as pd
 
         if epoch != self._committed + 1:
             raise ValueError(f"epoch {epoch} != committed {self._committed} + 1")
         for n, cur in self._current.items():
             self._history[(n, epoch - 1)] = cur
-        prev_pdf = self._current_pdf[name]
-        kept = prev_pdf[~prev_pdf["key"].isin(updates_pdf["key"])]
-        merged_pdf = pd.concat(
-            [kept, updates_pdf[["key", "value"]]], ignore_index=True
-        )
-        self._spill_bytes[name] = (
-            "mem",
-            int(merged_pdf.memory_usage(deep=True).sum()),
-        )
-        self._current_pdf[name] = merged_pdf
-        ns = self.namespaces[name]
-        self._current[name] = self.spark.createDataFrame(
-            merged_pdf, schema=f"key string, value {ns.value_type}"
-        )
-        self._gc_bases(name, epoch)
+        for name, updates_pdf in updates_pdfs.items():
+            prev_pdf = self._current_pdf[name]
+            kept = prev_pdf[~prev_pdf["key"].isin(updates_pdf["key"])]
+            merged_pdf = pd.concat(
+                [kept, updates_pdf[["key", "value"]]], ignore_index=True
+            )
+            self._spill_bytes[name] = (
+                "mem",
+                int(merged_pdf.memory_usage(deep=True).sum()),
+            )
+            self._current_pdf[name] = merged_pdf
+            ns = self.namespaces[name]
+            self._current[name] = self.spark.createDataFrame(
+                merged_pdf, schema=f"key string, value {ns.value_type}"
+            )
+            self._gc_bases(name, epoch)
         self._committed = epoch
         if batch_id is not None:
             self.last_batch_id = batch_id

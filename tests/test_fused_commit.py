@@ -109,3 +109,54 @@ def test_fused_history_and_time_travel(spark):
         for r in env.store.read("balances", epoch=e0 + 1).collect()
     }
     assert past == {"x": -7.0, "y": 7.0}
+
+
+def _two_ns_graph(env):
+    return (
+        env.graph()
+        .flat_map(
+            lambda df: F.array(
+                F.struct(
+                    F.col("from_account").alias("account"),
+                    (-F.col("amount")).alias("delta"),
+                ),
+                F.struct(F.col("to_account").alias("account"), F.col("amount").alias("delta")),
+            )
+        )
+        .state(
+            "balances",
+            key=lambda df: F.col("account"),
+            update=lambda v: v + F.col("delta"),
+            pre_combine={"delta": "sum"},
+        )
+        .state(
+            "touch_counts",
+            key=lambda df: F.col("account"),
+            update=lambda v: v + F.lit(1.0),
+            epoch_combine=False,
+        )
+    )
+
+
+def test_fused_multi_namespace_parallel_states(spark):
+    """The fused path generalizes to multiple namespaces sharing one
+    value type: a parallel two-state graph commits both snapshots from
+    ONE fused materialize, matching the standard path exactly."""
+    rows = [("a", "b", 10.0), ("b", "c", 5.0)]
+
+    def run(checkpoint_every):
+        kw = {} if checkpoint_every is None else {"checkpoint_every": checkpoint_every}
+        env = TxEnvironment(spark, isolation="PL3", **kw)
+        env.create_namespace("balances", "double", 100.0, invariant="value >= 0")
+        env.create_namespace("touch_counts", "double", 0.0)
+        runner = env.runner(_two_ns_graph(env))
+        res = runner.run_epoch(_batch(spark, rows, 1))
+        bal = {r["key"]: r["value"] for r in env.store.read("balances").collect()}
+        tc = {r["key"]: r["value"] for r in env.store.read("touch_counts").collect()}
+        return res.vote_counts(), bal, tc
+
+    v_f, bal_f, tc_f = run(None)  # fused-eligible
+    v_s, bal_s, tc_s = run(2)  # standard path
+    assert v_f == v_s
+    assert bal_f == bal_s == {"a": 90.0, "b": 105.0, "c": 105.0}
+    assert tc_f == tc_s == {"a": 1.0, "b": 2.0, "c": 1.0}
