@@ -190,3 +190,71 @@ def retention_cohort_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "temporal_table_join_purchases",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts_us, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    iv AS (
+      SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+             COALESCE(LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+                      9223372036854775807) AS valid_to_us
+      FROM changes
+    )
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, iv.state AS state_at_purchase
+    FROM events p JOIN iv
+      ON p.user_id = iv.user_id
+     AND epoch_us(p.ts) >= iv.valid_from_us
+     AND epoch_us(p.ts) < iv.valid_to_us
+    WHERE p.event_type = 'purchase'
+    ORDER BY p.event_id
+    """,
+)
+def temporal_table_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal table join (the Flink signature join the reference's
+    ecosystem provides; reference itself has none): each purchase event
+    joins the versioned user-state dimension row VALID AT the event's
+    time — SCD2 intervals built by the same LAG/LEAD pass as
+    scd2_user_state_intervals, then an interval-containment join.
+    Spark shape: equi-join on user_id + range predicate, which AQE
+    executes as a hash join with the (smaller) interval side built —
+    at 100 TB the dimension intervals are bucketed by user_id next to
+    the fact for a shuffle-free sort-merge. A purchase's containing
+    interval is unique (intervals partition each user's timeline), so
+    the join is 1:1 and both engines agree exactly."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", micros("ts").alias("ts_us"), "event_id"
+    )
+    w_ord = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w_ord)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    iv = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.coalesce(
+            F.lead("ts_us").over(W.partitionBy("user_id").orderBy("ts_us", "event_id")),
+            F.lit(9223372036854775807),
+        ).alias("valid_to_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    joined = purchases.join(iv, "user_id").filter(
+        (F.col("ts_us") >= F.col("valid_from_us"))
+        & (F.col("ts_us") < F.col("valid_to_us"))
+    )
+    return joined.select(
+        "event_id", "user_id", "ts_us", F.col("state").alias("state_at_purchase")
+    ).orderBy("event_id")
