@@ -69,7 +69,11 @@ def _run(
     runner = env.runner(_graph(env, fold))
     transfers = _transfers(spark, sf_dir, keyspace).localCheckpoint(eager=True)
     total = transfers.count()
-    per_epoch = total // n_epochs + 1
+    # the warm slice is the tail the timed loop never touches (same
+    # no-overlap rule as the latency bench: re-applying warmed
+    # transfers would measure the abort path, not the clean rate)
+    warm_n = min(1000, max(1, total // 10))
+    per_epoch = (total - warm_n) // n_epochs + 1
 
     # Epoch control frames are small (tens of k rows); 32-way shuffles
     # on them are pure task overhead in local mode — size to the
@@ -78,13 +82,16 @@ def _run(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        # warmup epoch outside the timed window (JIT/codegen)
-        warm = transfers.filter(F.col("_tid") < 0)
+        # warmup epoch outside the timed window (JIT/codegen, plan
+        # compilation, first store cut) — a REAL epoch over the
+        # reserved tail slice, as in _probe and the latency bench
+        runner.run_epoch(transfers.filter(F.col("_tid") >= total - warm_n))
         n_done = 0
         t0 = time.time()
         for i in range(n_epochs):
+            hi = min((i + 1) * per_epoch, total - warm_n)  # never re-apply warm txns
             batch = transfers.filter(
-                (F.col("_tid") >= i * per_epoch) & (F.col("_tid") < (i + 1) * per_epoch)
+                (F.col("_tid") >= i * per_epoch) & (F.col("_tid") < hi)
             )
             res = runner.run_epoch(batch)
             n_done += sum(res.vote_counts().values())

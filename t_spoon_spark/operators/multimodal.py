@@ -57,22 +57,37 @@ def _decode_image_headers(payload: bytes) -> tuple[int, int, int] | None:
         return int(w), int(h), 1
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         w, h = struct.unpack("<HH", payload[6:10])
-        # frame count = number of image descriptors (0x2C separators at
-        # block boundaries is format-involved; count conservatively)
-        return int(w), int(h), max(1, payload.count(b"\x00\x2c"))
+        # frame counting requires a full block walk (descriptors are
+        # only identifiable at block boundaries — a bare byte scan
+        # miscounts on palette/LZW data); the header decode reports 1
+        # and the Pillow branch reports the true animated count
+        return int(w), int(h), 1
     if payload[:2] == b"BM" and len(payload) >= 26:
         w, h = struct.unpack("<ii", payload[18:26])
         return int(w), abs(int(h)), 1
     if payload[:3] == b"\xff\xd8\xff":  # JPEG: walk segments to SOFn
         i = 2
-        while i + 9 < len(payload):
+        while i + 1 < len(payload):
             if payload[i] != 0xFF:
-                break
+                return None  # lost sync — malformed stream
+            # 0xFF fill bytes may pad between segments
+            while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 1 >= len(payload):
+                return None
             marker = payload[i + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                # standalone markers (TEM, RSTn, SOI, EOI): no length
+                i += 2
+                continue
+            if i + 9 >= len(payload):
+                return None
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                 return int(w), int(h), 1
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if seg_len < 2:
+                return None
             i += 2 + seg_len
         return None
     return None

@@ -243,14 +243,43 @@ def dedup_clusters_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     invocations (the bench's best-of-2, a pipeline re-run) must not pay
     SimHash candidate generation again — a persist() on the verified
     pairs is exactly what a production pipeline would do between its
-    pair stage and its cluster stage."""
+    pair stage and its cluster stage. The cache key carries the source
+    files' (mtime, size) signature, so regenerated data invalidates the
+    entry (the stale frame is unpersisted) instead of serving stale
+    clusters."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    pairs = _SIMHASH_PAIR_CACHE.get(key)
-    if pairs is None:
+    sig = _documents_signature(sf_dir)
+    cached = _SIMHASH_PAIR_CACHE.get(key)
+    if cached is not None and cached[0] != sig:
+        cached[1].unpersist()
+        cached = None
+    if cached is None:
         docs = t(spark, sf_dir, "documents")
         pairs = simhash_pairs(docs, max_hamming=3).persist()
-        _SIMHASH_PAIR_CACHE[key] = pairs
+        _SIMHASH_PAIR_CACHE[key] = (sig, pairs)
+    else:
+        pairs = cached[1]
     return connected_components(pairs).orderBy("doc_id")
 
 
-_SIMHASH_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+def _documents_signature(sf_dir: str) -> tuple:
+    """(path, mtime_ns, size) fingerprint of the documents parquet
+    (file or directory of part files) — cheap stat-level staleness
+    detection for the pair cache."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            out = []
+            for f in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, f))
+                out.append((f, st.st_mtime_ns, st.st_size))
+            return tuple(out)
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
+
+
+_SIMHASH_PAIR_CACHE: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}

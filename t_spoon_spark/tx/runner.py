@@ -676,11 +676,16 @@ class GraphRunner:
             links = votes_parts[0]
             for v in votes_parts[1:]:
                 links = links.unionByName(v)
+            # _tid and vote use -1 sentinels (never nulls) on the parts
+            # that don't carry them: a null in an int64 Arrow column
+            # degrades the whole pandas column to float64, and stamped
+            # tids ((epoch+1)<<40 | row) exceed 2^53 from epoch ~8191 —
+            # adjacent tids would then collide in the driver-side merge.
             combined = (
                 tids.select(
                     F.lit(0).alias("__part"),
                     "_tid",
-                    F.lit(None).cast("int").alias("vote"),
+                    F.lit(-1).cast("int").alias("vote"),
                     F.lit(None).cast("string").alias("__ns"),
                     F.lit(None).cast("string").alias("key"),
                     F.lit(None).cast(vt).alias("value"),
@@ -698,8 +703,8 @@ class GraphRunner:
                 .unionByName(
                     finals.select(
                         F.lit(2).alias("__part"),
-                        F.lit(None).cast("long").alias("_tid"),
-                        F.lit(None).cast("int").alias("vote"),
+                        F.lit(-1).cast("long").alias("_tid"),
+                        F.lit(-1).cast("int").alias("vote"),
                         "__ns",
                         "key",
                         F.col("value").cast(vt),

@@ -160,3 +160,28 @@ def test_fused_multi_namespace_parallel_states(spark):
     assert v_f == v_s
     assert bal_f == bal_s == {"a": 90.0, "b": 105.0, "c": 105.0}
     assert tc_f == tc_s == {"a": 1.0, "b": 2.0, "c": 1.0}
+
+
+def test_fused_preserves_large_tids_exactly(spark):
+    """Stamped tids exceed 2^53 from epoch ~8191 ((epoch+1)<<40 | row).
+    The fused frame must keep _tid int64 end-to-end — a null-bearing
+    Arrow int column degrades to float64, where adjacent huge tids
+    collide and votes merge across transactions. Two adjacent tids just
+    past 2^53, one aborting: the abort must land on the right tid."""
+    base = 1 << 53
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace("balances", "double", 100.0, invariant="value >= 0")
+    runner = env.runner(_graph(env))
+    batch = spark.createDataFrame(
+        [
+            (base + 1, "a", "b", 500.0),  # overdraws -> ABORT
+            (base + 2, "c", "d", 10.0),  # clean -> COMMIT
+        ],
+        "_tid long, from_account string, to_account string, amount double",
+    )
+    res = runner.run_epoch(batch)
+    votes = {r["_tid"]: r["vote"] for r in res.votes.collect()}
+    assert votes[base + 1] == 1  # ABORT
+    assert votes[base + 2] == 0  # COMMIT
+    snap = {r["key"]: r["value"] for r in env.store.read("balances").collect()}
+    assert snap == {"c": 90.0, "d": 110.0}

@@ -86,3 +86,37 @@ def test_decode_real_pillow_branch():
     # Pillow decodes the same generated PNG through its own codec
     img = _decode_real(make_png(123, 77), "image")
     assert (img["width"], img["height"]) == (123, 77)
+
+
+def test_jpeg_header_walk_with_fill_bytes_and_rst():
+    """A spec-valid JPEG may pad between segments with 0xFF fill bytes
+    and carry standalone markers; the header walk must skip both and
+    still find SOF0."""
+    import struct
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, 77, 123, 3) + b"\x00" * 9)
+    payload = (
+        b"\xff\xd8"  # SOI
+        + seg(0xE0, b"JFIF\x00")  # APP0
+        + b"\xff"  # fill byte
+        + b"\xff\x01"  # TEM standalone marker
+        + sof0
+        + b"\xff\xd9"  # EOI
+    )
+    assert payload[:3] == b"\xff\xd8\xff"
+    img = _decode_real(bytes(payload), "image")
+    assert (img["width"], img["height"]) == (123, 77)
+
+
+def test_gif_header_reports_single_frame():
+    """Pure header decode cannot count GIF frames reliably (a byte scan
+    miscounts on palette/LZW data) — it reports 1; Pillow reports the
+    true animated count when installed."""
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 40, 30) + b"\x00" * 20 + b"\x00\x2c" * 3
+    img = _decode_real(gif, "image")
+    assert (img["width"], img["height"], img["n_frames"]) == (40, 30, 1)
