@@ -221,8 +221,14 @@ class StateStore:
         for name, updates_pdf in updates_pdfs.items():
             prev_pdf = self._current_pdf[name]
             kept = prev_pdf[~prev_pdf["key"].isin(updates_pdf["key"])]
-            merged_pdf = pd.concat(
-                [kept, updates_pdf[["key", "value"]]], ignore_index=True
+            # concat only non-empty frames: an empty (object-dtype) side
+            # would both trip pandas' empty-entry dtype FutureWarning and
+            # skew the merged dtypes
+            frames = [f for f in (kept, updates_pdf[["key", "value"]]) if len(f)]
+            merged_pdf = (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else updates_pdf[["key", "value"]]
             )
             self._spill_bytes[name] = (
                 "mem",
