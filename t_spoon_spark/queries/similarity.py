@@ -276,3 +276,78 @@ def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "c_id", F.col("d2").cast("long").alias("d2"), "rnk").orderBy(
         "q_id", "rnk"
     )
+
+
+@register(
+    "knn_label_vote_accuracy",
+    f"""
+    {_dd_base()},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    q AS (SELECT * FROM normed WHERE vec_id < 50),
+    scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             CAST(FLOOR(CAST({DD_DOT_AB} AS DOUBLE) * 1e6 / (a.norm * b.norm) + 0.5) AS BIGINT) AS cos_c
+      FROM q a JOIN normed b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_c DESC, c_id) AS rnk
+      FROM scored
+    ),
+    votes AS (
+      SELECT r.q_id, l.label, COUNT(*) AS n_votes
+      FROM ranked r JOIN lab l ON r.c_id = l.vec_id
+      WHERE r.rnk <= 5
+      GROUP BY r.q_id, l.label
+    ),
+    pred AS (
+      SELECT q_id, label AS pred_label,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS vr
+      FROM votes
+    )
+    SELECT ql.label AS true_label,
+           COUNT(*) AS n_queries,
+           COUNT(*) FILTER (WHERE p.pred_label = ql.label) AS n_correct
+    FROM pred p JOIN lab ql ON p.q_id = ql.vec_id
+    WHERE p.vr = 1
+    GROUP BY ql.label
+    ORDER BY true_label
+    """,
+)
+def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality evaluation: 5-NN majority-label vote for the
+    first 50 vectors, scored against their own labels per class — the
+    eval loop a training pipeline runs to sanity-check an embedding
+    space (kNN probe). Deterministic end to end: fixed-point cosine,
+    (score, id) neighbour tiebreak, (votes, label) vote tiebreak. Reuses
+    the broadcast-queries brute-force scan; at 100 TB the same vote
+    composes over the IVF/SQ8 candidate generators instead."""
+    from pyspark.sql import Window as PW
+
+    emb = t(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", "label")
+    topk = brute_force_topk(emb, emb.filter(F.col("vec_id") < 50), k=5)
+    votes = (
+        topk.join(lab.withColumnRenamed("vec_id", "c_id"), "c_id")
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    vr = F.row_number().over(
+        PW.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    )
+    pred = votes.withColumn("vr", vr).filter(F.col("vr") == 1).select(
+        "q_id", F.col("label").alias("pred_label")
+    )
+    scored = pred.join(
+        lab.select(F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")),
+        "q_id",
+    )
+    return (
+        scored.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .orderBy("true_label")
+    )
