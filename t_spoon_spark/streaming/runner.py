@@ -22,6 +22,18 @@ from pyspark.sql import DataFrame
 from t_spoon_spark.tx.runner import GraphRunner
 
 
+def already_applied(store, query_ident: str | None, batch_id: int) -> bool:
+    """Idempotence check for a redelivered micro-batch: true when this
+    query's frontier (per-query — multiple streaming queries may
+    interleave epochs on one store) already covers `batch_id`. A fresh
+    query (no checkpoint identity, or none recorded) is never skipped —
+    its batch ids restart at 0 and an old frontier must not drop them."""
+    if query_ident is None:
+        return False
+    last = store.batch_frontiers.get(query_ident)
+    return last is not None and batch_id <= last
+
+
 @dataclass
 class StreamMetrics:
     epochs: list[dict] = field(default_factory=list)
@@ -94,13 +106,7 @@ class StreamRunner:
             # batch_id. The store's commit marker records the applied
             # frontier + the query identity it belongs to.
             store = self.runner.env.store
-            last = store.last_batch_id
-            if (
-                query_ident is not None
-                and last is not None
-                and store.last_query_id == query_ident
-                and batch_id <= last
-            ):
+            if already_applied(store, query_ident, batch_id):
                 return
             has_replays = self.runner._replay is not None
             if batch_df.isEmpty() and not has_replays:

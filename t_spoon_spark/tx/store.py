@@ -76,6 +76,12 @@ class StateStore:
         # would silently drop every micro-batch.
         self.last_batch_id: int | None = None
         self.last_query_id: str | None = None
+        # per-query frontiers: with MULTIPLE streaming queries (multi-
+        # TGraph streaming) interleaving epochs on one store, a single
+        # (last_batch_id, last_query_id) slot forgets query A's frontier
+        # as soon as query B commits — a redelivered A batch would then
+        # double-apply. Keyed by query identity (checkpoint location).
+        self.batch_frontiers: dict[str, int] = {}
         # per-namespace size estimate for the non-durable cut:
         # ("mem", deep-pandas-bytes) or ("parquet", on-disk bytes)
         self._spill_bytes: dict[str, tuple[str, int]] = {}
@@ -175,6 +181,8 @@ class StateStore:
         if batch_id is not None:
             self.last_batch_id = batch_id
             self.last_query_id = query_id
+            if query_id is not None:
+                self.batch_frontiers[query_id] = batch_id
         self._gc_history()
 
     def can_commit_pandas(self, name: str) -> bool:
@@ -244,6 +252,8 @@ class StateStore:
         if batch_id is not None:
             self.last_batch_id = batch_id
             self.last_query_id = query_id
+            if query_id is not None:
+                self.batch_frontiers[query_id] = batch_id
         self._gc_history()
 
     # snapshots estimated under these stay on the Arrow fast path;
@@ -362,8 +372,15 @@ class StateStore:
         if not epochs:
             return
         self._committed = epochs[-1]
-        with open(os.path.join(self.root, "_commits", f"{self._committed:012d}.json")) as f:
-            marker = json.load(f)
+        # rebuild the per-query frontiers from EVERY marker (multiple
+        # streaming queries interleave epochs, so the last marker alone
+        # only carries one query's frontier)
+        for k in epochs:
+            with open(os.path.join(self.root, "_commits", f"{k:012d}.json")) as f:
+                marker = json.load(f)
+            bid, qid = marker.get("batch_id"), marker.get("query_id")
+            if bid is not None and qid is not None:
+                self.batch_frontiers[qid] = max(self.batch_frontiers.get(qid, -1), bid)
         self.last_batch_id = marker.get("batch_id")
         self.last_query_id = marker.get("query_id")
         for name in list(self.namespaces) or self._disk_namespaces():

@@ -90,3 +90,43 @@ def test_two_graphs_shared_namespace_sequential_epochs(spark):
     r2.run_epoch(_mk_batch(spark, [("y", "x", 3.0)], 100))
     vals = {r["key"]: r["value"] for r in env.store.read("shared").collect()}
     assert vals == {"x": -7.0, "y": 7.0}
+
+
+def test_per_query_frontiers_interleaved_streams(spark, tmp_path):
+    """Two streaming queries interleaving epochs on one durable store:
+    each keeps its OWN idempotence frontier, so a redelivered batch of
+    query A is skipped even after query B committed later epochs (a
+    single-slot frontier forgets A as soon as B commits)."""
+    from t_spoon_spark.streaming.runner import already_applied
+    from t_spoon_spark.tx import TxEnvironment
+
+    env = TxEnvironment(spark, durable=True, store_dir=str(tmp_path / "store"))
+    env.create_namespace("ga", "double", 0.0)
+    env.create_namespace("gb", "double", 0.0)
+    r1 = env.runner(_transfer_graph(env, "ga"))
+    r2 = env.runner(_transfer_graph(env, "gb"))
+
+    qa, qb = "ckpt/A", "ckpt/B"
+    r1.run_epoch(_mk_batch(spark, [("x", "y", 1.0)], 1), batch_id=0, query_id=qa)
+    r2.run_epoch(_mk_batch(spark, [("p", "q", 2.0)], 100), batch_id=0, query_id=qb)
+    r1.run_epoch(_mk_batch(spark, [("x", "y", 3.0)], 200), batch_id=1, query_id=qa)
+    r2.run_epoch(_mk_batch(spark, [("p", "q", 4.0)], 300), batch_id=1, query_id=qb)
+
+    store = env.store
+    assert store.batch_frontiers == {qa: 1, qb: 1}
+    # A's batch 1 redelivered AFTER B's later commit: still skipped
+    assert already_applied(store, qa, 1)
+    assert already_applied(store, qb, 0)
+    # genuinely new batches run
+    assert not already_applied(store, qa, 2)
+    # a fresh query identity is never skipped
+    assert not already_applied(store, "ckpt/C", 0)
+    assert not already_applied(store, None, 0)
+
+    # recovery rebuilds BOTH frontiers from the marker history
+    env2 = TxEnvironment(spark, durable=True, store_dir=str(tmp_path / "store"))
+    env2.create_namespace("ga", "double", 0.0)
+    env2.create_namespace("gb", "double", 0.0)
+    assert env2.store.batch_frontiers == {qa: 1, qb: 1}
+    assert already_applied(env2.store, qa, 1)
+    assert already_applied(env2.store, qb, 1)
