@@ -34,8 +34,16 @@ class TxEnvironment:
         store_dir: str | None = None,
         checkpoint_every: int | None = None,
     ):
+        import threading
+
         if isolation not in ISOLATION_LEVELS:
             raise ValueError(f"isolation must be one of {ISOLATION_LEVELS}")
+        # serializes epochs across runners: CONCURRENT streaming queries
+        # (multi-TGraph streaming) invoke run_epoch from separate
+        # foreachBatch threads, and the store's committed-epoch line
+        # admits exactly one in-flight epoch (commit asserts
+        # epoch == committed + 1). Uncontended cost is a no-op.
+        self.epoch_lock = threading.Lock()
         # `strategy` is kept for config parity (tgraph/Strategy.java:6-8);
         # in micro-batch execution optimistic vs pessimistic collapse to
         # the same per-key ordered application (SURVEY.md §4.3).

@@ -190,6 +190,19 @@ class GraphRunner:
         batch_id: int | None = None,
         query_id: str | None = None,
     ) -> EpochResult:
+        # one in-flight epoch per environment: concurrent streaming
+        # queries (multi-TGraph) call this from separate foreachBatch
+        # threads, and the store admits exactly one epoch at a time
+        with self.env.epoch_lock:
+            return self._run_epoch_locked(batch, spus, batch_id, query_id)
+
+    def _run_epoch_locked(
+        self,
+        batch: DataFrame | None,
+        spus: DataFrame | None = None,
+        batch_id: int | None = None,
+        query_id: str | None = None,
+    ) -> EpochResult:
         # Session AQE setting is respected as-is: AQE's per-shuffle
         # re-planning costs ~40% wall on SMALL epochs (a latency-floor
         # deployment should disable it on the session, as the latency

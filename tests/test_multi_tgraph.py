@@ -130,3 +130,67 @@ def test_per_query_frontiers_interleaved_streams(spark, tmp_path):
     assert env2.store.batch_frontiers == {qa: 1, qb: 1}
     assert already_applied(env2.store, qa, 1)
     assert already_applied(env2.store, qb, 1)
+
+
+def test_concurrent_streaming_graphs_one_store(spark, tmp_path):
+    """TRUE concurrent multi-TGraph streaming: two Structured Streaming
+    queries, two graphs, ONE environment/store. foreachBatch callbacks
+    arrive on separate threads; the env epoch lock serializes them onto
+    the store's single committed-epoch line, and each query keeps its
+    own idempotence frontier. Final snapshots equal the grouped sums of
+    each side's input."""
+    import os
+
+    from t_spoon_spark.streaming import StreamRunner
+
+    schema = "_tid long, from_account string, to_account string, amount double"
+
+    def write_stream_dir(name, batches, tid0):
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                [(tid0 + 10 * i + j, f, t, float(a)) for j, (f, t, a) in enumerate(rows)],
+                schema,
+            ).coalesce(1).write.mode("overwrite").parquet(f"{d}/tmp")
+            import glob
+            import shutil
+
+            part = glob.glob(f"{d}/tmp/part-*.parquet")[0]
+            shutil.copy(part, f"{d}/batch_{i}.parquet")
+            shutil.rmtree(f"{d}/tmp")
+        return d
+
+    da = write_stream_dir(
+        "sa", [[("x", "y", 10.0), ("y", "z", 4.0)], [("z", "x", 6.0)]], 1
+    )
+    db = write_stream_dir(
+        "sb", [[("p", "q", 8.0)], [("q", "p", 3.0), ("p", "q", 1.0)]], 1000
+    )
+
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace("ga", "double", 0.0)
+    env.create_namespace("gb", "double", 0.0)
+    sra = StreamRunner(env, _transfer_graph(env, "ga"), collect_votes=False)
+    srb = StreamRunner(env, _transfer_graph(env, "gb"), collect_votes=False)
+
+    def rd(d):
+        return (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        )
+
+    qa = sra.start(rd(da))
+    qb = srb.start(rd(db))
+    try:
+        qa.processAllAvailable()
+        qb.processAllAvailable()
+    finally:
+        qa.stop()
+        qb.stop()
+
+    ga = {r["key"]: r["value"] for r in env.store.read("ga").collect()}
+    gb = {r["key"]: r["value"] for r in env.store.read("gb").collect()}
+    assert ga == {"x": -4.0, "y": 6.0, "z": -2.0}
+    assert gb == {"p": -6.0, "q": 6.0}
+    # both queries' epochs landed on one strictly-increasing line
+    assert env.store.committed_epoch() >= 3
