@@ -61,15 +61,15 @@ _HIGH_RISK_PREFIXES = (
 )
 
 
-def _correctness_history() -> tuple[set[str], set[str], int]:
+def _correctness_history() -> tuple[dict[str, int], set[str], int]:
     """Parse the driver's ``CORRECTNESS_r*.json`` artifacts.
 
-    Returns ``(ever_checked, last_run_red, round_count)``:
-      - *ever_checked*: names that have at least one driver-side row;
+    Returns ``(last_round, last_run_red, round_count)``:
+      - *last_round*: name -> index of the most recent artifact carrying
+        a row for it (ever-checked = membership in this dict);
       - *last_run_red*: names whose most recent driver row failed
         (rows/schema/hash mismatch or an error);
-      - *round_count*: number of artifacts seen (monotone round clock,
-        drives the rotation phase for the stable tail).
+      - *round_count*: number of artifacts seen.
 
     Falls back to empty/zero anywhere the artifacts aren't visible
     (unit tests, vanilla sessions) — ordering stays valid either way.
@@ -81,16 +81,16 @@ def _correctness_history() -> tuple[set[str], set[str], int]:
 
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-        ever: set[str] = set()
+        last_round: dict[str, int] = {}
         latest: dict[str, bool] = {}
-        for path in files:
+        for i, path in enumerate(files):
             try:
                 with open(path) as fh:
                     data = json.load(fh)
             except Exception:
                 continue
             for name, row in data.items():
-                ever.add(name)
+                last_round[name] = i
                 ok = (
                     bool(row.get("rows_match"))
                     and bool(row.get("schema_match"))
@@ -99,34 +99,37 @@ def _correctness_history() -> tuple[set[str], set[str], int]:
                 )
                 latest[name] = ok
         red = {n for n, ok in latest.items() if not ok}
-        return ever, red, len(files)
+        return last_round, red, len(files)
     except Exception:
-        return set(), set(), 0
+        return {}, set(), 0
 
 
 def _ordered() -> list[QueryEntry]:
     """Risk-ordered registry: the driver checks only a 50-entry prefix
     per round, so order = high-risk mechanisms, then entries with *no*
     driver evidence yet, then entries whose last driver run was red,
-    then the long-stable rest on a per-round rotation.  This guarantees
-    a new or last-known-broken entry is never left out of the checked
-    window (round-4 verdict, "What's wrong" #3).
+    then everything else by STALENESS (oldest driver evidence first —
+    an entry checked this round becomes the freshest and cycles to the
+    back, so the whole stable suite rotates through the window without
+    any entry starving).  Guarantees a new or last-known-broken entry
+    is never left out of the checked window (round-4 verdict).
     """
     entries = list(_REGISTRY.values())
-    ever, red, rounds = _correctness_history()
+    last_round, red, _rounds = _correctness_history()
     high = [e for e in entries if e.name.startswith(_HIGH_RISK_PREFIXES)]
     high_names = {e.name for e in high}
-    never = [e for e in entries if e.name not in high_names and e.name not in ever]
+    never = [
+        e for e in entries if e.name not in high_names and e.name not in last_round
+    ]
     red_entries = [
         e
         for e in entries
-        if e.name not in high_names and e.name in ever and e.name in red
+        if e.name not in high_names and e.name in last_round and e.name in red
     ]
     taken = high_names | {e.name for e in never} | {e.name for e in red_entries}
     rest = [e for e in entries if e.name not in taken]
-    if rest:
-        k = (15 * rounds) % len(rest)
-        rest = rest[k:] + rest[:k]
+    order_idx = {e.name: i for i, e in enumerate(entries)}
+    rest.sort(key=lambda e: (last_round.get(e.name, -1), order_idx[e.name]))
     return high + never + red_entries + rest
 
 
