@@ -46,18 +46,16 @@ def register(name: str, duckdb_sql: str | None = None):
 
 
 # The driver checks only the first 50 registry entries per round.  Order
-# by *risk*: the transactional / streaming-native / multimodal / pipeline /
-# sketch entries are the novel components that most need driver-side
-# correctness evidence, so they always come first.  The long-stable
-# relational/window/text suites (hash-identical across rounds) absorb the
-# truncation — and rotate each round so every entry gets periodic driver
-# evidence rather than the same tail being permanently unchecked.
+# by *risk*: the transactional and streaming entries exercise the
+# engine's novel mechanisms (epoch commit, isolation, stateful
+# streaming) whose code moves most rounds, so they always come first.
+# Everything else is covered by the never-checked / last-red tiers and
+# the staleness rotation below — a stable suite that hasn't changed
+# does not need a permanent reservation, it needs periodic evidence,
+# which staleness ordering guarantees.
 _HIGH_RISK_PREFIXES = (
     "txn_",
     "streaming_",
-    "multimodal_",
-    "pipeline",
-    "sketch_",
 )
 
 
