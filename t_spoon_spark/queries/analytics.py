@@ -258,3 +258,132 @@ def temporal_table_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame
     return joined.select(
         "event_id", "user_id", "ts_us", F.col("state").alias("state_at_purchase")
     ).orderBy("event_id")
+
+
+HOUR_US = 3_600_000_000
+
+
+@register(
+    "timeseries_gap_fill_hourly",
+    f"""
+    WITH hourly AS (
+      SELECT user_id,
+             epoch_us(ts) // {HOUR_US} AS hour_idx,
+             CAST(FLOOR(100 * value + 0.5) AS BIGINT) AS v_c,
+             epoch_us(ts) AS ts_us,
+             event_id
+      FROM events WHERE user_id < 20
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, hour_idx
+                                   ORDER BY ts_us DESC, event_id DESC) AS rnk,
+             COUNT(*) OVER (PARTITION BY user_id, hour_idx) AS n_events
+      FROM hourly
+    ),
+    last_per_hour AS (
+      SELECT user_id, hour_idx, v_c, n_events FROM ranked WHERE rnk = 1
+    ),
+    bounds AS (
+      SELECT user_id, MIN(hour_idx) AS h_lo, MAX(hour_idx) AS h_hi
+      FROM last_per_hour GROUP BY user_id
+    ),
+    spine AS (
+      SELECT b.user_id, g.h AS hour_idx
+      FROM bounds b, unnest(range(b.h_lo, b.h_hi + 1)) AS g(h)
+    ),
+    joined AS (
+      SELECT s.user_id, s.hour_idx, l.v_c, COALESCE(l.n_events, 0) AS n_events
+      FROM spine s LEFT JOIN last_per_hour l USING (user_id, hour_idx)
+    )
+    SELECT user_id, hour_idx,
+           LAST_VALUE(v_c IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled_c,
+           n_events
+    FROM joined
+    ORDER BY user_id, hour_idx
+    """,
+)
+def timeseries_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per user, an hourly spine from
+    first to last activity, each hour carrying the hour's LAST observed
+    value (ties broken by event_id) forward-filled across silent hours
+    — the standard sensor/metrics densification. Spine generation is
+    sequence+explode (linear in hours), the fill one last_value
+    IGNORE NULLS window per user. Restricted to 20 users to keep the
+    gate spine small; at scale the spine is bounded by
+    users x active-hours, not events."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20).select(
+        "user_id",
+        (micros("ts") / HOUR_US).cast("long").alias("hour_idx"),
+        F.floor(100 * F.col("value") + F.lit(0.5)).cast("long").alias("v_c"),
+        micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w_last = W.partitionBy("user_id", "hour_idx").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    w_cnt = W.partitionBy("user_id", "hour_idx")
+    last_per_hour = (
+        ev.withColumn("rnk", F.row_number().over(w_last))
+        .withColumn("n_events", F.count(F.lit(1)).over(w_cnt))
+        .filter(F.col("rnk") == 1)
+        .select("user_id", "hour_idx", "v_c", "n_events")
+    )
+    bounds = last_per_hour.groupBy("user_id").agg(
+        F.min("hour_idx").alias("h_lo"), F.max("hour_idx").alias("h_hi")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("h_lo", "h_hi")).alias("hour_idx")
+    )
+    joined = spine.join(last_per_hour, ["user_id", "hour_idx"], "left").select(
+        "user_id", "hour_idx", "v_c", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+    w_fill = (
+        W.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour_idx",
+        F.last("v_c", ignorenulls=True).over(w_fill).alias("v_filled_c"),
+        "n_events",
+    ).orderBy("user_id", "hour_idx")
+
+
+@register(
+    "markov_event_transitions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions
+    FROM ordered
+    WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY from_type, to_type
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition counts (the Markov matrix behind
+    next-action prediction and funnel diagnostics): LEAD over each
+    user's time-ordered stream, then one grouped count. One shuffle on
+    user_id for the window, one tiny (|types|^2-row) aggregate."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", micros("ts").alias("ts_us"), "event_id"
+    )
+    w_ord = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = ev.withColumn("next_type", F.lead("event_type").over(w_ord))
+    return (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )

@@ -283,3 +283,70 @@ def _documents_signature(sf_dir: str) -> tuple:
 
 
 _SIMHASH_PAIR_CACHE: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}
+
+
+@register(
+    "dedup_keep_best_per_cluster",
+    f"""
+    WITH RECURSIVE {_DD_SIMHASH_CTES},
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    ),
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    clusters AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rnk
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS keep
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION table — the step that actually shrinks a
+    training corpus: within each near-dup cluster keep the best
+    document (longest by n_chars, doc_id tiebreak), drop the rest.
+    Composes the cached SimHash pair list -> connected components ->
+    a per-cluster rank join against document metadata. At 100 TB the
+    rank is one window over the (clustered docs x metadata) join —
+    clustered docs are a small fraction of the corpus, so the join's
+    build side is the cluster assignment, not the documents table."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sig = _documents_signature(sf_dir)
+    cached = _SIMHASH_PAIR_CACHE.get(key)
+    if cached is not None and cached[0] == sig:
+        pairs = cached[1]
+    else:
+        pairs = simhash_pairs(docs, max_hamming=3).persist()
+        _SIMHASH_PAIR_CACHE[key] = (sig, pairs)
+    clusters = connected_components(pairs)
+    ranked = clusters.join(docs.select("doc_id", "n_chars"), "doc_id").withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        ),
+    )
+    return ranked.select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("rnk") == 1, 1).otherwise(0).alias("keep"),
+    ).orderBy("doc_id")
