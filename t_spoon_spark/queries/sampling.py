@@ -1,0 +1,199 @@
+"""Deterministic sampling operators for corpus construction: Bernoulli
+hash sampling, stratified per-language rates, priority ("reservoir")
+bottom-k, and temperature-scaled language-mixture targets — the
+operations that turn a raw corpus into a training mixture with
+reproducible membership.
+
+Randomness is replaced everywhere by the engine's portable hash
+(md5 -> BIGINT, `operators/text.md5_long`): membership is a pure
+function of the row key, so the same sample falls out on any cluster
+size, any partitioning, any engine — the property production pipelines
+need for resumable / auditable corpus builds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from t_spoon_spark.operators.text import dd_md5_long, md5_long, tokens
+from t_spoon_spark.queries.relational import t
+from t_spoon_spark.registry import register
+
+_DD_H = dd_md5_long("CAST(doc_id AS VARCHAR)")
+_DD_BUCKET = f"({_DD_H} % 1000)"
+
+# stratified keep-rate per thousand: downsample the dominant language,
+# keep the low-resource tail (the usual rebalancing move)
+LANG_RATES = {"en": 250, "de": 800, "es": 800, "fr": 800, "zh": 800}
+_DEFAULT_RATE = 500
+
+
+@register(
+    "sample_bernoulli_docs",
+    f"""
+    SELECT doc_id, lang, {_DD_BUCKET} AS bucket
+    FROM documents
+    WHERE {_DD_BUCKET} < 200
+    ORDER BY doc_id
+    """,
+)
+def sample_bernoulli_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20% Bernoulli sample gated on md5(doc_id) mod 1000 — membership
+    is row-local (no shuffle, no state), the filter lives inside the
+    parquet scan's codegen stage, and the sampled set is identical
+    across engines, runs, and cluster layouts. This is the scalable
+    substitute for `rand() < p`, whose membership changes per run and
+    per partitioning."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(1000))
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < 200)
+        .orderBy("doc_id")
+    )
+
+
+def _dd_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {rate}" for lang, rate in LANG_RATES.items()
+    )
+    return f"CASE {whens} ELSE {_DEFAULT_RATE} END"
+
+
+@register(
+    "sample_stratified_lang",
+    f"""
+    WITH gated AS (
+      SELECT lang,
+             CASE WHEN {_DD_BUCKET} < {_dd_rate_case()} THEN 1 ELSE 0 END AS kept,
+             len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS n_tok
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(FLOOR(SUM(kept) * 1000.0 / COUNT(*)) AS BIGINT) AS kept_frac_c
+    FROM gated
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-language keep rates (downsample the
+    dominant language, keep the tail) — the rate lookup is a CASE
+    expression folded into the scan, the hash gate is row-local, and
+    only the per-stratum report aggregates (a few rows after map-side
+    combine). The achieved fraction converges on the configured rate
+    with corpus size; the report carries both so drift is visible."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(1000))
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in reversed(LANG_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    gated = docs.select(
+        "lang",
+        F.when(bucket < rate, 1).otherwise(0).alias("kept"),
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+    )
+    return (
+        gated.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("kept") == 1, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.floor(F.sum("kept") * 1000.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("kept_frac_c"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "sample_reservoir_priority",
+    f"""
+    WITH pri AS (
+      SELECT doc_id, lang, {_DD_H} AS priority FROM documents
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rnk FROM pri
+    )
+    SELECT rnk, doc_id, lang, priority FROM ranked WHERE rnk <= 50
+    ORDER BY rnk
+    """,
+)
+def sample_reservoir_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample as priority sampling: the 50 rows with
+    the smallest md5 priority — the distributed, deterministic
+    equivalent of reservoir sampling (identical marginal distribution,
+    but mergeable: bottom-k of a union = bottom-k of per-partition
+    bottom-ks, which is exactly Spark's TakeOrderedAndProject — each
+    partition keeps only k candidates, no global sort materializes)."""
+    docs = t(spark, sf_dir, "documents")
+    pri = docs.select(
+        "doc_id", "lang", md5_long(F.col("doc_id").cast("string")).alias("priority")
+    )
+    # orderBy + limit compiles to TakeOrderedAndProject (partial top-k
+    # per partition, k-merge at the driver) — the scale-safe plan
+    top = pri.orderBy("priority", "doc_id").limit(50)
+    w = Window.orderBy("priority", "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "rnk", "doc_id", "lang", "priority"
+    ).orderBy("rnk")
+
+
+MIX_TARGET = 200  # total docs the mixture should draw
+
+
+@register(
+    "sample_mixture_temperature",
+    f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+    scaled AS (
+      SELECT lang, n_l,
+             CAST(FLOOR(sqrt(CAST(n_l AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w_c
+      FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(w_c) AS BIGINT) AS w_tot FROM scaled)
+    SELECT s.lang, s.n_l, s.w_c,
+           ({MIX_TARGET} * s.w_c) // t.w_tot AS target_docs,
+           LEAST(s.n_l, ({MIX_TARGET} * s.w_c) // t.w_tot) AS achievable_docs
+    FROM scaled s CROSS JOIN tot t
+    ORDER BY s.lang
+    """,
+)
+def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture targets (T=2, i.e. weight ~ n^(1/2) —
+    the multilingual-training rebalancing rule): per-language draw
+    counts proportional to sqrt(n_lang). sqrt is IEEE-correctly-rounded
+    in both engines, so rounding it once per stratum to a BIGINT weight
+    makes the normalization (integer multiply + integer divide) exact —
+    no order-dependent float summation anywhere. The stratum table is
+    tiny; everything after the one groupBy is driver-trivial."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    scaled = counts.select(
+        "lang",
+        "n_l",
+        F.floor(F.sqrt(F.col("n_l").cast("double")) * 1000 + 0.5)
+        .cast("long")
+        .alias("w_c"),
+    )
+    tot = scaled.select(F.sum("w_c").cast("long").alias("w_tot"))
+    return (
+        scaled.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_l",
+            "w_c",
+            F.expr(f"({MIX_TARGET} * w_c) div w_tot").alias("target_docs"),
+            F.least(
+                F.col("n_l"), F.expr(f"({MIX_TARGET} * w_c) div w_tot")
+            ).alias("achievable_docs"),
+        )
+        .orderBy("lang")
+    )

@@ -165,5 +165,6 @@ def _load_all() -> None:
     import t_spoon_spark.queries.udx  # noqa: F401
     import t_spoon_spark.queries.analytics  # noqa: F401
     import t_spoon_spark.queries.retrieval  # noqa: F401
+    import t_spoon_spark.queries.sampling  # noqa: F401
 
     _LOADED = True
