@@ -1,0 +1,227 @@
+"""Graph analytics over the TPC-H trade graph: integer-arithmetic
+PageRank on the nation-to-nation trade network and degree-oriented
+triangle counting on the parts-co-ordered graph.
+
+Near-dup clustering (operators/dedup.py) already covers connected
+components; these add the other two staple distributed-graph kernels.
+Determinism: ranks and contributions are pure BIGINT arithmetic
+(integer division per edge, exact integer sums), so iteration results
+are bit-identical across engines and partitionings — no float
+summation anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from t_spoon_spark.queries.relational import t
+from t_spoon_spark.registry import register
+
+PR_SCALE = 1_000_000_000  # rank fixed-point scale
+PR_ITERS = 10
+PR_N = 25  # nations
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed trade edges: customer nation -> supplier nation, one
+    unit of weight per lineitem. Reference semantics: the cross-nation
+    volume matrix of TPC-H Q7, reused as a graph. One shuffle per join
+    key plus the final (u, v) aggregate; dimension joins broadcast."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            cust.c_nationkey.alias("u"), supp.s_nationkey.alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
+_DD_EDGES = """
+    edges_real AS (
+      SELECT c.c_nationkey AS u, s.s_nationkey AS v, CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    edges AS (
+      SELECT u, v, w FROM edges_real
+      UNION ALL
+      SELECT n_nationkey, n_nationkey, CAST(0 AS BIGINT) FROM nation
+    ),
+    outw AS (
+      SELECT u, GREATEST(CAST(SUM(w) AS BIGINT), 1) AS ow FROM edges GROUP BY u
+    )
+"""
+
+
+@register(
+    "graph_pagerank_nations",
+    f"""
+    WITH RECURSIVE
+    {_DD_EDGES},
+    rk(it, v, r) AS (
+      SELECT 0, n_nationkey, CAST({PR_SCALE} // {PR_N} AS BIGINT) FROM nation
+      UNION ALL
+      SELECT rk.it + 1, e.v,
+             CAST((15 * CAST({PR_SCALE} AS BIGINT)) // (100 * {PR_N})
+                  + SUM((85 * rk.r * e.w) // (100 * o.ow)) AS BIGINT)
+      FROM rk
+      JOIN edges e ON rk.v = e.u
+      JOIN outw o ON o.u = e.u
+      WHERE rk.it < {PR_ITERS}
+      GROUP BY rk.it, e.v
+    )
+    SELECT v AS nationkey, r AS rank_c,
+           ROW_NUMBER() OVER (ORDER BY r DESC, v) AS rnk
+    FROM rk WHERE it = {PR_ITERS}
+    ORDER BY rnk
+    """,
+)
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 10 synchronous iterations) over the
+    nation trade graph, in exact BIGINT fixed-point: each edge
+    contributes (85 * r_u * w) div (100 * outw_u), summed as integers —
+    bit-stable under any partitioning, which float PageRank is not.
+    Zero-weight self-loops keep sink nations in the recurrence (their
+    leaked mass is the standard "leaky" formulation). Scale shape: the
+    edge aggregation is the only corpus-sized work; each iteration then
+    shuffles a nodes-sized frame on the destination key — the textbook
+    Pregel schedule, with the node frame small enough to broadcast
+    against the edge list at any realistic node count."""
+    nations = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("v")
+    )
+    self_loops = nations.select("v").select(
+        F.col("v").alias("u"), F.col("v"), F.lit(0).cast("long").alias("w")
+    )
+    edges = _trade_edges(spark, sf_dir).unionByName(self_loops).cache()
+    outw = edges.groupBy("u").agg(
+        F.greatest(F.sum("w"), F.lit(1)).cast("long").alias("ow")
+    )
+    ew = edges.join(outw, "u").cache()
+    ew.count()  # materialize once; iterations reuse
+    base = (15 * PR_SCALE) // (100 * PR_N)
+    ranks = nations.select(
+        "v", F.lit(PR_SCALE // PR_N).cast("long").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = ew.join(
+            ranks.select(F.col("v").alias("u"), "r"), "u"
+        ).select("v", F.expr("(85 * r * w) div (100 * ow)").alias("c"))
+        ranks = contrib.groupBy("v").agg(
+            (F.lit(base) + F.sum("c")).cast("long").alias("r")
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("r"), F.asc("v"))
+    return (
+        ranks.withColumn("rnk", F.row_number().over(w))
+        .select(
+            F.col("v").alias("nationkey"),
+            F.col("r").alias("rank_c"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
+
+
+@register(
+    "graph_triangle_parts",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS x,
+                      GREATEST(a.l_partkey, b.l_partkey) AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT x AS v FROM pairs UNION ALL SELECT y AS v FROM pairs
+      ) GROUP BY v
+    ),
+    oriented AS (
+      SELECT CASE WHEN (dx.d, p.x) < (dy.d, p.y) THEN p.x ELSE p.y END AS src,
+             CASE WHEN (dx.d, p.x) < (dy.d, p.y) THEN p.y ELSE p.x END AS dst
+      FROM pairs p JOIN deg dx ON p.x = dx.v JOIN deg dy ON p.y = dy.v
+    ),
+    wedges AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1 JOIN oriented e2 ON e1.dst = e2.src
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM wedges w
+    WHERE EXISTS (
+      SELECT 1 FROM oriented e3 WHERE e3.src = w.a AND e3.dst = w.c
+    )
+    """,
+)
+def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the parts-co-ordered graph (edge = two parts
+    appearing in the same order). Uses degree orientation — every edge
+    points from the (degree, id)-smaller endpoint — so wedge generation
+    is bounded by out-degree, which orientation caps near sqrt(m): the
+    standard trick that makes distributed triangle counting survive
+    power-law degree skew. Plan: one self-join on the order key for
+    edges, one on the shared wedge vertex, one semi-join to close the
+    triangle — all equi-joins on graph keys, no cartesian anywhere."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("x").alias("v"))
+        .unionAll(pairs.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oriented = (
+        pairs.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
+            F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        )
+        .cache()
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(
+        e2, F.col("e1.dst") == F.col("e2.src")
+    ).select(
+        F.col("e1.src").alias("a"),
+        F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+    )
+    closer = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closer, ["a", "c"], "left_semi")
+    n_edges = pairs.select(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return n_edges.crossJoin(
+        tri.select(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

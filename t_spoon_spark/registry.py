@@ -166,5 +166,7 @@ def _load_all() -> None:
     import t_spoon_spark.queries.analytics  # noqa: F401
     import t_spoon_spark.queries.retrieval  # noqa: F401
     import t_spoon_spark.queries.sampling  # noqa: F401
+    import t_spoon_spark.queries.graph  # noqa: F401
+    import t_spoon_spark.queries.packing  # noqa: F401
 
     _LOADED = True
