@@ -339,3 +339,133 @@ def streaming_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("is_dup").cast("int").alias("is_dup"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "streaming_interval_join_left_outer",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS c_ts_us,
+           CAST(epoch_us(p.ts) AS BIGINT) AS p_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits — with
+    its purchase when one lands within the hour, null-padded otherwise.
+    The null-padded rows only materialize when the watermark passes the
+    click's match horizon, so a far-future sentinel row on EACH side
+    (the query watermark is the min across inputs) closes the tail;
+    sentinels filter out of the result. State on both sides stays
+    watermark-bounded — the unmatched-left buffer is exactly the
+    eviction horizon, the contract that makes outer stream joins
+    runnable indefinitely."""
+    from t_spoon_spark.streaming.windows import interval_join_stream
+
+    ev = t(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    far = F.expr("INTERVAL 20 HOURS")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c_sent = spark.createDataFrame(
+        [(-1, -1, max_ts)], "user_id long, click_id long, c_ts timestamp"
+    ).select("user_id", "click_id", (F.col("c_ts") + far).alias("c_ts"))
+    p_sent = spark.createDataFrame(
+        [(-1, -1, max_ts)], "user_id long, purchase_id long, p_ts timestamp"
+    ).select("user_id", "purchase_id", (F.col("p_ts") + far).alias("p_ts"))
+    cs = file_stream(
+        spark, clicks.unionByName(c_sent), n_slices=3, time_ordered="c_ts"
+    )
+    ps = file_stream(
+        spark, purchases.unionByName(p_sent), n_slices=3, time_ordered="p_ts"
+    )
+    j = interval_join_stream(cs, ps, "user_id", "c_ts", "p_ts", how="left_outer")
+    # sentinels filter AFTER the drain: a pre-drain filter on click_id
+    # pushes down into the left input, removing the left sentinel — the
+    # left watermark then stalls at the last real click and the final
+    # unmatched click's null row never flushes
+    out = drain_stream(
+        j.select(
+            "click_id",
+            "purchase_id",
+            micros("c_ts").alias("c_ts_us"),
+            micros("p_ts").alias("p_ts_us"),
+        ),
+        output_mode="append",
+    )
+    return (
+        out.filter(F.col("click_id") >= 0)
+        .orderBy("click_id", "purchase_id")
+    )
+
+
+@register(
+    "streaming_cdc_latest_state",
+    f"""
+    WITH ops AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+             {dd_fixed('value')} AS value_c
+      FROM events
+    ),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM ops
+    ),
+    counts AS (
+      SELECT user_id,
+             CAST(SUM(1 - is_del) AS BIGINT) AS n_upserts,
+             CAST(SUM(is_del) AS BIGINT) AS n_deletes
+      FROM ops GROUP BY user_id
+    )
+    SELECT l.user_id, l.value_c AS last_value_c, c.n_upserts, c.n_deletes
+    FROM latest l JOIN counts c USING (user_id)
+    WHERE l.rn = 1 AND l.is_del = 0
+    ORDER BY l.user_id
+    """,
+)
+def streaming_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert/delete materialized view: the events table replayed
+    as a 3-micro-batch change stream ('error' = delete tombstone,
+    everything else = upsert); per-key GroupState folds last-writer-wins
+    by (ts, event_id) across batches and counts ops. Keys whose latest
+    op is a tombstone are absent from the final view; a later upsert
+    would revive them. The drained final update per key equals the
+    batch argmax — the streaming materialization and the warehouse
+    backfill agree bit-for-bit."""
+    from t_spoon_spark.queries.helpers import fixed
+    from t_spoon_spark.streaming.windows import cdc_latest_stateful
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        fixed("value").alias("value_c"),
+    )
+    stream = file_stream(spark, ev, n_slices=3, time_ordered="ts_us")
+    upd = drain_stream(cdc_latest_stateful(stream), output_mode="update")
+    final = upd.groupBy("user_id").agg(
+        F.max_by("last_value_c", F.col("n_upserts") + F.col("n_deletes")).alias(
+            "last_value_c"
+        ),
+        F.max_by("alive", F.col("n_upserts") + F.col("n_deletes")).alias("alive"),
+        F.max("n_upserts").alias("n_upserts"),
+        F.max("n_deletes").alias("n_deletes"),
+    )
+    return (
+        final.filter(F.col("alive") == 1)
+        .select("user_id", "last_value_c", "n_upserts", "n_deletes")
+        .orderBy("user_id")
+    )

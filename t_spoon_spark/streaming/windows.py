@@ -188,6 +188,7 @@ def interval_join_stream(
     right_ts: str,
     interval: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner interval join: right rows within
     [left_ts, left_ts + interval] of a matching-key left row. Both
@@ -197,7 +198,14 @@ def interval_join_stream(
     that makes a stream-stream join runnable indefinitely.
 
     With a `time_ordered` bounded replay (no late rows), the drained
-    append output equals the batch interval join exactly."""
+    append output equals the batch interval join exactly.
+
+    `how="left_outer"`: unmatched left rows emit null-padded once the
+    watermark passes their match horizon (left_ts + interval +
+    watermark delay) — callers draining a bounded replay must advance
+    the watermark past the last real row (far-future sentinel on BOTH
+    sides, since the query watermark is the min across inputs) or
+    unmatched tails never flush."""
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = (
@@ -205,7 +213,7 @@ def interval_join_stream(
         & (r[right_ts] >= l[left_ts])
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {interval}"))
     )
-    return l.join(r, cond, "inner").drop(r[key])
+    return l.join(r, cond, how).drop(r[key])
 
 
 def session_stats_stream(
@@ -291,5 +299,70 @@ def simhash_dedup_stateful(src: DataFrame, max_hamming: int = 3) -> DataFrame:
         yield pd.DataFrame(outs, columns=["doc_id", "is_dup"])
 
     return src.groupBy("band", "band_key").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def cdc_latest_stateful(src: DataFrame) -> DataFrame:
+    """CDC materialization: fold an upsert/delete change stream into a
+    latest-state view per key (the streaming half of a Debezium-style
+    pipeline; the reference's queryable state serves the same role for
+    its transactional graphs — tgraph/QueryableState reads the last
+    committed value per key).
+
+    Input rows: (user_id BIGINT, event_id BIGINT, ts_us BIGINT,
+    op STRING in {'upsert','delete'}, value_c BIGINT). Last-writer-wins
+    by (ts_us, event_id); a delete tombstones the key until a later
+    upsert revives it. State per key is a constant-size tuple, so
+    executor memory scales with live keys, not stream length. Emits the
+    key's current view per batch (update mode); callers take each key's
+    final update.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, last_value_c bigint, alive int, "
+        "n_upserts bigint, n_deletes bigint"
+    )
+    state_schema = (
+        "best_ts bigint, best_eid bigint, value_c bigint, alive int, "
+        "n_up bigint, n_del bigint"
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        best_ts, best_eid, value_c, alive, n_up, n_del = (
+            state.get if state.exists else (-1, -1, 0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for eid, ts_us, op, vc in zip(
+                pdf["event_id"], pdf["ts_us"], pdf["op"], pdf["value_c"]
+            ):
+                eid, ts_us, vc = int(eid), int(ts_us), int(vc)
+                if op == "delete":
+                    n_del += 1
+                else:
+                    n_up += 1
+                if (ts_us, eid) >= (best_ts, best_eid):
+                    best_ts, best_eid = ts_us, eid
+                    alive = 0 if op == "delete" else 1
+                    value_c = 0 if op == "delete" else vc
+        state.update((best_ts, best_eid, value_c, alive, n_up, n_del))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_value_c": [value_c],
+                "alive": [alive],
+                "n_upserts": [n_up],
+                "n_deletes": [n_del],
+            }
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
