@@ -114,8 +114,35 @@ def main() -> None:
 
 def bench_extra(spark, sf_dir) -> dict[str, float]:
     """Non-SQL benchmarks (transactional tx/s etc.) — filled in as the
-    engine layers land."""
+    engine layers land. Also times one representative per round-5
+    operator family (retrieval / graph / clustering / decontamination)
+    WITHOUT adding them to headline_total, so cross-round totals stay
+    comparable while the new families still get measured."""
     out: dict[str, object] = {}
+
+    from t_spoon_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in (
+        "text_bm25_search",
+        "graph_pagerank_nations",
+        "clustering_kmeans_fixed",
+        "decontamination_ngram_overlap",
+    ):
+        if name not in qs:
+            continue
+        try:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            out[f"x_{name}_sec"] = round(best, 3)
+            print(f"# x_{name}: {best:.2f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — per-metric isolation
+            out[f"x_{name}_sec"] = "failed"
+            print(f"# x_{name}: FAILED {exc}", file=sys.stderr)
     try:
         from t_spoon_spark.bench_txn import (
             bank_transfer_tps,

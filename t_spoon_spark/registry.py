@@ -104,31 +104,35 @@ def _correctness_history() -> tuple[dict[str, int], set[str], int]:
 
 def _ordered() -> list[QueryEntry]:
     """Risk-ordered registry: the driver checks only a 50-entry prefix
-    per round, so order = high-risk mechanisms, then entries with *no*
-    driver evidence yet, then entries whose last driver run was red,
-    then everything else by STALENESS (oldest driver evidence first —
-    an entry checked this round becomes the freshest and cycles to the
-    back, so the whole stable suite rotates through the window without
-    any entry starving).  Guarantees a new or last-known-broken entry
-    is never left out of the checked window (round-4 verdict).
+    per round, so order = high-risk mechanisms, then entries whose last
+    driver run was RED (last-known-broken is the worst state — it must
+    outrank merely-unchecked when the two tiers together overflow the
+    window), then entries with *no* driver evidence yet, then everything
+    else by STALENESS (oldest driver evidence first — an entry checked
+    this round becomes the freshest and cycles to the back, so the
+    whole stable suite rotates through the window without any entry
+    starving).  A never-checked entry that overflows the window is
+    pytest-oracle-green and simply waits one round; a red entry never
+    waits (round-4 verdict, tightened in round 5 when the new-entry
+    tier first outgrew the window).
     """
     entries = list(_REGISTRY.values())
     last_round, red, _rounds = _correctness_history()
     high = [e for e in entries if e.name.startswith(_HIGH_RISK_PREFIXES)]
     high_names = {e.name for e in high}
-    never = [
-        e for e in entries if e.name not in high_names and e.name not in last_round
-    ]
     red_entries = [
         e
         for e in entries
         if e.name not in high_names and e.name in last_round and e.name in red
     ]
+    never = [
+        e for e in entries if e.name not in high_names and e.name not in last_round
+    ]
     taken = high_names | {e.name for e in never} | {e.name for e in red_entries}
     rest = [e for e in entries if e.name not in taken]
     order_idx = {e.name: i for i, e in enumerate(entries)}
     rest.sort(key=lambda e: (last_round.get(e.name, -1), order_idx[e.name]))
-    return high + never + red_entries + rest
+    return high + red_entries + never + rest
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -171,5 +175,6 @@ def _load_all() -> None:
     import t_spoon_spark.queries.clustering  # noqa: F401
     import t_spoon_spark.queries.chunking  # noqa: F401
     import t_spoon_spark.queries.io_formats  # noqa: F401
+    import t_spoon_spark.queries.bloomq  # noqa: F401
 
     _LOADED = True

@@ -1,9 +1,12 @@
 """Driver-window ordering policy (registry._ordered): high-risk
-mechanisms first, then entries with no driver evidence, then entries
-whose last driver run was red, then the rest by staleness (oldest
-driver evidence first) — so a new or last-known-broken entry can never
-sit outside the checked window indefinitely, and the stable suite
-cycles through it without starving (round-4 verdict, "What's wrong" #3).
+mechanisms first, then entries whose last driver run was red
+(last-known-broken outranks merely-unchecked — when both tiers overflow
+the 50-entry window, the red ones must stay inside it), then entries
+with no driver evidence, then the rest by staleness (oldest driver
+evidence first) — so a last-known-broken entry never sits outside the
+checked window, a new entry waits at most until the new-entry tier
+drains, and the stable suite cycles without starving (round-4 verdict
+"What's wrong" #3, tightened round 5).
 """
 
 from __future__ import annotations
@@ -11,7 +14,7 @@ from __future__ import annotations
 from t_spoon_spark import registry
 
 
-def test_priority_order_high_never_red_then_stalest(monkeypatch):
+def test_priority_order_high_red_never_then_stalest(monkeypatch):
     registry._load_all()
     names = list(registry._REGISTRY)
     high = [n for n in names if n.startswith(registry._HIGH_RISK_PREFIXES)]
@@ -28,12 +31,33 @@ def test_priority_order_high_never_red_then_stalest(monkeypatch):
 
     n_high = len(high)
     assert set(ordered[:n_high]) == set(high)
-    assert ordered[n_high] == never
-    assert ordered[n_high + 1] == red
+    assert ordered[n_high] == red
+    assert ordered[n_high + 1] == never
     # the stalest stable entry leads the remainder
     assert ordered[n_high + 2] == stale
     assert ordered.index(stale) < ordered.index(fresh)
     assert len(ordered) == len(names) == len(set(ordered))
+
+
+def test_red_entries_inside_window_even_when_never_tier_overflows(monkeypatch):
+    """With more never-checked entries than window slots, the red
+    entries still land inside the first 50 (the round-5 regression this
+    policy exists for)."""
+    registry._load_all()
+    names = list(registry._REGISTRY)
+    high = {n for n in names if n.startswith(registry._HIGH_RISK_PREFIXES)}
+    non_high = [n for n in names if n not in high]
+    reds = set(non_high[:4])
+    # history: the 4 reds have evidence (round 3, red); 45 others have
+    # none (never tier overflows the window together with high+red)
+    never = set(non_high[4:49])
+    last_round = {n: 3 for n in names if n not in never}
+    monkeypatch.setattr(
+        registry, "_correctness_history", lambda: (last_round, reds, 4)
+    )
+    ordered = [e.name for e in registry._ordered()]
+    window = set(ordered[:50])
+    assert reds <= window, sorted(reds - window)
 
 
 def test_checked_entries_cycle_to_the_back(monkeypatch):
