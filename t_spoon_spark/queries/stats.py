@@ -1,0 +1,223 @@
+"""Statistical analytics with exact integer moment arithmetic: per-user
+spend-trend slopes (OLS on day index), Pearson correlation between
+event value and hour-of-day, and a multi-resolution time-series rollup
+(daily built FROM hourly, not from raw — the incremental-rollup pattern
+of hypertable engines).
+
+Moment sums (Σx, Σy, Σxy, Σx², Σy²) over integer-scaled inputs are
+exact BIGINTs, so the only floating steps are the final one-shot
+divisions/sqrt — the same single-rounding discipline as the cosine and
+idf operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from t_spoon_spark.queries.helpers import dd_fixed, fixed
+from t_spoon_spark.queries.relational import t
+from t_spoon_spark.registry import register
+
+
+@register(
+    "stats_user_spend_slope",
+    f"""
+    WITH daily AS (
+      SELECT user_id,
+             (epoch_us(ts) // 86400000000) AS day,
+             CAST(SUM({dd_fixed('value')}) AS BIGINT) AS y
+      FROM events
+      GROUP BY user_id, day
+    ),
+    m AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             CAST(SUM(day) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(day * y) AS BIGINT) AS sxy,
+             CAST(SUM(day * day) AS BIGINT) AS sxx
+      FROM daily GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+           END AS slope_c
+    FROM m
+    WHERE n >= 3
+    ORDER BY user_id
+    """,
+)
+def stats_user_spend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend trend: OLS slope of daily spend over the day
+    index, assembled purely from integer moment sums — slope =
+    (nΣxy − ΣxΣy) / (nΣxx − Σx²), scaled 1e6 and integer-divided, so
+    the result is exact. Two partial-aggregated shuffles ((user, day)
+    then user); moments are the mergeable form, which is why this
+    survives any re-partitioning — the identical trick classical
+    distributed regression uses. Degenerate (single-day) users report
+    NULL slope."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+                "day"
+            ),
+            fixed("value").alias("v"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("v").cast("long").alias("y"))
+    )
+    m = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("day") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).cast("long").alias("sxx"),
+    )
+    slope = F.when(
+        F.expr("n * sxx - sx * sx") == 0, F.lit(None).cast("long")
+    ).otherwise(F.expr("(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"))
+    return (
+        m.filter(F.col("n") >= 3)
+        .select("user_id", "n", slope.alias("slope_c"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "stats_pearson_value_hour",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             ((epoch_us(ts) // 3600000000) % 24) AS x,
+             {dd_fixed('value')} AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(FLOOR(
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * 1000000
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             + 0.5) AS BIGINT) AS pearson_c
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def stats_pearson_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between event value and hour-of-day per
+    event type, from the same exact integer moments; the final
+    covariance/sqrt(var*var) is one rounded division over exact
+    integers — the cosine_c pattern. One shuffle (event_type), moments
+    merge associatively. (Spark's built-in corr() is a float
+    aggregation whose result depends on partition order — unusable
+    under an exact-hash gate; this formulation is the engine's
+    deterministic replacement.)"""
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24").alias(
+            "x"
+        ),
+        fixed("value").alias("y"),
+    )
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) * 1e6
+    den = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        F.col("n").cast("double") * F.col("syy")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.floor(num / den + 0.5).cast("long").alias("pearson_c"),
+    ).orderBy("event_type")
+
+
+@register(
+    "timeseries_multires_rollup",
+    f"""
+    WITH hourly AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) AS hour_idx,
+             COUNT(*) AS n,
+             CAST(SUM({dd_fixed('value')}) AS BIGINT) AS sum_c,
+             CAST(MAX({dd_fixed('value')}) AS BIGINT) AS max_c
+      FROM events GROUP BY event_type, hour_idx
+    ),
+    daily AS (
+      SELECT event_type,
+             hour_idx // 24 AS day_idx,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(sum_c) AS BIGINT) AS sum_c,
+             CAST(MAX(max_c) AS BIGINT) AS max_c,
+             COUNT(*) AS n_hours_present
+      FROM hourly GROUP BY event_type, day_idx
+    )
+    SELECT event_type, day_idx, n, sum_c, max_c, n_hours_present
+    FROM daily
+    ORDER BY event_type, day_idx
+    """,
+)
+def timeseries_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup: daily aggregates computed FROM the
+    hourly aggregates (merge of partial states), never from raw — the
+    hypertable continuous-aggregate pattern. Works because every
+    statistic carried (count, sum, max) is mergeable; the hourly level
+    is what a production system persists, and each coarser level costs
+    a groupBy over the previous level's (already tiny) output instead
+    of a second raw scan. The oracle performs the identical two-level
+    cascade."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias(
+                "hour_idx"
+            ),
+            fixed("value").alias("v"),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("long").alias("sum_c"),
+            F.max("v").cast("long").alias("max_c"),
+        )
+    )
+    daily = (
+        hourly.withColumn("day_idx", F.expr("hour_idx div 24"))
+        .groupBy("event_type", "day_idx")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_c").cast("long").alias("sum_c"),
+            F.max("max_c").cast("long").alias("max_c"),
+            F.count(F.lit(1)).alias("n_hours_present"),
+        )
+    )
+    return daily.select(
+        "event_type", "day_idx", "n", "sum_c", "max_c", "n_hours_present"
+    ).orderBy("event_type", "day_idx")
