@@ -464,3 +464,60 @@ def txn_two_graphs_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("bigint").alias("value_c"),
     )
     return snap1.unionByName(snap2).orderBy("ns", "key")
+
+
+@register(
+    "txn_time_travel_snapshot",
+    f"""
+    WITH movements AS (
+      SELECT 'a' || CAST(user_id % {KEYSPACE} AS VARCHAR) AS account,
+             -FLOOR(value) AS delta, event_id
+      FROM events
+      UNION ALL
+      SELECT 'a' || CAST((user_id * 7 + 3) % {KEYSPACE} AS VARCHAR) AS account,
+             FLOOR(value) AS delta, event_id
+      FROM events
+    ),
+    mid AS (
+      SELECT 'mid' AS snap, account AS key,
+             CAST(100 + SUM(delta) AS BIGINT) AS balance_c
+      FROM movements WHERE event_id % 2 = 0 GROUP BY account
+    ),
+    fin AS (
+      SELECT 'final' AS snap, account AS key,
+             CAST(100 + SUM(delta) AS BIGINT) AS balance_c
+      FROM movements GROUP BY account
+    )
+    SELECT * FROM mid UNION ALL SELECT * FROM fin
+    ORDER BY snap, key
+    """,
+)
+def txn_time_travel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 snapshot-consistent time travel, driver-visible: run the bank
+    fold in two batches, pin the committed epoch after the first, and
+    read BOTH the pinned mid-state and the final state from the same
+    store (`store.read(ns, epoch)` — the MVCC epoch column the close
+    protocol maintains; reference analogue:
+    tgraph/query/QueryableState reads at the transaction-index
+    watermark). The mid snapshot must equal the grouped sum over only
+    the first batch's transfers — proving committed versions stay
+    readable after later epochs commit, which is what makes queryable
+    state repeatable-read (SURVEY §2.4 Q4)."""
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace("balances", "double", 100.0)
+    runner = env.runner(_bank_graph(env))
+    tr = _transfers(spark, sf_dir)
+    runner.run_to_completion(tr.filter(F.col("_tid") % 2 == 0))
+    e_mid = env.watermark()
+    runner.run_to_completion(tr.filter(F.col("_tid") % 2 == 1))
+    mid = env.store.read("balances", e_mid).select(
+        F.lit("mid").alias("snap"),
+        "key",
+        F.col("value").cast("bigint").alias("balance_c"),
+    )
+    fin = env.store.read("balances").select(
+        F.lit("final").alias("snap"),
+        "key",
+        F.col("value").cast("bigint").alias("balance_c"),
+    )
+    return mid.unionByName(fin).orderBy("snap", "key")
