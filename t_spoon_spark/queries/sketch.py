@@ -162,3 +162,89 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_pct")
     )
+
+
+_DD_TOKS = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+_HT = dd_md5_long("term")
+
+
+@register(
+    "sketch_hll_grouped_merge",
+    f"""
+    WITH tok AS (SELECT source, unnest({_DD_TOKS}) AS term FROM documents),
+    h AS (SELECT source, {_HT} AS h FROM tok),
+    reg AS (
+      SELECT source, h % {HLL_M} AS bucket,
+             MAX(CASE WHEN (h // {HLL_M}) % {1 << HLL_W} = 0 THEN {HLL_W + 1}
+                      ELSE {HLL_W} + 1 - length(bin((h // {HLL_M}) % {1 << HLL_W}))
+                 END) AS rho_max
+      FROM h GROUP BY source, bucket
+    ),
+    merged AS (
+      SELECT '__all__' AS source, bucket, MAX(rho_max) AS rho_max
+      FROM reg GROUP BY bucket
+    ),
+    allreg AS (SELECT * FROM reg UNION ALL SELECT * FROM merged),
+    s AS (
+      SELECT source, COUNT(*) AS used,
+             CAST(SUM(CAST(power(2, {SCALE_POW} - rho_max) AS BIGINT)) AS BIGINT) AS s_used
+      FROM allreg GROUP BY source
+    )
+    SELECT source,
+           used AS n_buckets_used,
+           CAST(FLOOR({HLL_ALPHA_NUM} /
+                CAST(s_used + ({HLL_M} - used) * {1 << SCALE_POW} AS DOUBLE)) AS BIGINT) AS est
+    FROM s
+    ORDER BY source
+    """,
+)
+def sketch_hll_grouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL + lossless merge: one distinct-term sketch per
+    source (a (source, bucket) groupBy — m rows of state per group),
+    and a corpus-wide '__all__' estimate obtained by MERGING the
+    per-source registers (bucket-wise MAX), never re-scanning the data.
+    That register-merge IS the property that makes HLL the 100 TB
+    distinct-count primitive: per-day/per-shard sketches roll up to any
+    coarser grouping with a tiny aggregate. The oracle rebuilds both
+    levels identically."""
+    docs = t(spark, sf_dir, "documents")
+    from t_spoon_spark.operators.text import md5_long, tokens
+
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    h = tok.select("source", md5_long(F.col("term")).alias("__h"))
+    w = F.expr(f"(__h div {HLL_M}) % {1 << HLL_W}")
+    bits = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = (
+        F.when(w == 0, F.lit(HLL_W + 1))
+        .otherwise(F.lit(HLL_W) + 1 - bits)
+        .cast("long")
+    )
+    reg = (
+        h.select(
+            "source", (F.col("__h") % F.lit(HLL_M)).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    merged = (
+        reg.groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+        .select(F.lit("__all__").alias("source"), "bucket", "rho_max")
+    )
+    allreg = reg.unionByName(merged)
+    term = F.pow(F.lit(2.0), F.lit(SCALE_POW) - F.col("rho_max")).cast("long")
+    s = allreg.groupBy("source").agg(
+        F.count(F.lit(1)).alias("used"), F.sum(term).alias("s_used")
+    )
+    s_total = F.col("s_used") + (F.lit(HLL_M) - F.col("used")) * F.lit(
+        1 << SCALE_POW
+    )
+    return s.select(
+        "source",
+        F.col("used").alias("n_buckets_used"),
+        F.floor(F.expr(HLL_ALPHA_NUM) / s_total.cast("double"))
+        .cast("long")
+        .alias("est"),
+    ).orderBy("source")
