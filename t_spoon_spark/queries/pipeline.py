@@ -111,3 +111,140 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_pred")
     )
+
+
+DECON_N = 8
+BENCH_DOCS = 5
+PACK_B = 512
+V2_RATES = {"en": 250, "de": 800, "es": 800, "fr": 800, "zh": 800}
+
+
+def _dd_v2_rate_case() -> str:
+    whens = " ".join(f"WHEN lang = '{lang}' THEN {r}" for lang, r in V2_RATES.items())
+    return f"CASE {whens} ELSE 500 END"
+
+
+@register(
+    "pipeline_corpus_build_v2",
+    f"""
+    WITH tok0 AS (
+      SELECT doc_id, lang, source, text, {DD_TOKS} AS toks FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, lang, source, text, toks, len(toks) AS n_tok
+      FROM tok0
+      WHERE len(toks) >= {MIN_TOKENS}
+        AND CAST(FLOOR(len(list_distinct(toks)) * 10000.0 / len(toks)) AS BIGINT)
+              >= {MIN_UNIQ_C}
+    ),
+    keep_exact AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+    deduped AS (SELECT q.* FROM quality q JOIN keep_exact USING (doc_id)),
+    bench AS (
+      SELECT DISTINCT md5(array_to_string(list_slice(toks, i, i + {DECON_N} - 1), ' ')) AS gh
+      FROM tok0, LATERAL unnest(range(1, len(toks) - {DECON_N} + 2)) AS r(i)
+      WHERE doc_id < {BENCH_DOCS} AND len(toks) >= {DECON_N}
+    ),
+    contaminated AS (
+      SELECT DISTINCT d.doc_id
+      FROM deduped d,
+           LATERAL unnest(range(1, len(d.toks) - {DECON_N} + 2)) AS r(i)
+      JOIN bench b
+        ON md5(array_to_string(list_slice(d.toks, i, i + {DECON_N} - 1), ' ')) = b.gh
+      WHERE d.doc_id >= {BENCH_DOCS} AND len(d.toks) >= {DECON_N}
+    ),
+    clean AS (
+      SELECT * FROM deduped
+      WHERE doc_id >= {BENCH_DOCS}
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    sampled AS (
+      SELECT * FROM clean
+      WHERE ({dd_md5_long("CAST(doc_id AS VARCHAR)")} % 1000) < {_dd_v2_rate_case()}
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           (CAST(SUM(n_tok) AS BIGINT) + {PACK_B - 1}) // {PACK_B} AS n_packs
+    FROM sampled
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pipeline_corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 composed corpus build: quality gate -> exact dedup
+    -> benchmark decontamination (drop docs sharing any 8-gram with the
+    held-out docs 0-4, and the held-out docs themselves) -> stratified
+    language downsampling (hash-gated, en downsampled) -> per-source
+    manifest with concat-chunk pack counts (ceil(tokens/512) — the
+    zero-waste packer needs no window for the count).
+
+    Stage order is the 100 TB cost order: row-local gates first (shrink
+    before shuffling), the one content-hash shuffle next, then the
+    broadcast decontamination semi-join over the survivors, then a
+    row-local sampling gate, and a final partial-aggregated manifest.
+    Every stage reuses the standalone operator's exact definition, so
+    this entry pins that the operators COMPOSE without semantic drift —
+    the property a real pipeline depends on."""
+    docs = t(spark, sf_dir, "documents")
+    comps = quality_components(F.col("text"))
+    toks = tokens(F.col("text"))
+    quality = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        toks.alias("toks"),
+        comps["n_tokens"].alias("n_tok"),
+        comps["uniq_ratio_c"].alias("uniq_ratio_c"),
+    ).filter(
+        (F.col("n_tok") >= MIN_TOKENS) & (F.col("uniq_ratio_c") >= MIN_UNIQ_C)
+    )
+    keep_exact = quality.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = quality.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
+
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - DECON_N),
+        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i + 1, DECON_N), " ")),
+    )
+    raw_toks = docs.select("doc_id", toks.alias("toks"))
+    bench = (
+        raw_toks.filter(
+            (F.col("doc_id") < BENCH_DOCS) & (F.size("toks") >= DECON_N)
+        )
+        .select(F.explode(F.array_distinct(grams)).alias("gh"))
+        .distinct()
+    )
+    contaminated = (
+        deduped.filter(
+            (F.col("doc_id") >= BENCH_DOCS) & (F.size("toks") >= DECON_N)
+        )
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gh"))
+        .join(F.broadcast(bench), "gh")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.filter(F.col("doc_id") >= BENCH_DOCS).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    from t_spoon_spark.operators.text import md5_long
+
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(1000))
+    rate = F.lit(500)
+    for lang, r in reversed(V2_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    sampled = clean.filter(bucket < rate)
+
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.expr(f"(cast(sum(n_tok) as bigint) + {PACK_B - 1}) div {PACK_B}").alias(
+                "n_packs"
+            ),
+        )
+        .orderBy("source")
+    )
