@@ -304,3 +304,76 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk")
         .limit(20)
     )
+
+
+LM_V_SMOOTH = 50  # Laplace smoothing: vocabulary-size constant
+
+
+@register(
+    "text_lm_bigram_score",
+    f"""
+    WITH tok AS (SELECT doc_id, {DD_TOKS} AS toks FROM documents),
+    big AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM tok, LATERAL unnest(range(1, len(toks))) AS r(i)
+      WHERE len(toks) >= 2
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2),
+    cu AS (SELECT w1, COUNT(*) AS cu FROM big GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(FLOOR(ln((cb.cb + 1.0) / (cu.cu + {LM_V_SMOOTH}.0)) * 1000000 + 0.5)
+                  AS BIGINT) AS lp_c
+      FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(-(SUM(lp_c) // COUNT(*)) AS BIGINT) AS nll_per_bigram_c
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality score: each document's
+    average negative log-likelihood under a Laplace-smoothed bigram
+    model trained on the corpus itself (high NLL = out-of-distribution
+    / junk; the signal CCNet thresholds to tier CommonCrawl). The model
+    tables are vocabulary-sized (broadcast); the per-doc score is one
+    bigram explode + two broadcast joins + a groupBy — linear, one
+    shuffle on doc_id. Each bigram's log-prob is rounded once at 1e6
+    and summed as BIGINTs (the idf discipline), so the score is
+    bit-stable under any partitioning. In production the model is
+    trained on a held-out reference corpus and applied to the crawl;
+    self-scoring here keeps the gate single-table."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    big = base.select(
+        "doc_id",
+        F.posexplode(F.slice("toks", 1, F.size("toks") - 1)).alias("i", "w1"),
+        F.col("toks"),
+    ).select(
+        "doc_id", "w1", F.element_at("toks", F.col("i") + 2).alias("w2")
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    lp = F.floor(
+        F.log((F.col("cb") + 1.0) / (F.col("cu") + float(LM_V_SMOOTH))) * 1e6 + 0.5
+    ).cast("long")
+    scored = (
+        big.join(F.broadcast(cb), ["w1", "w2"])
+        .join(F.broadcast(cu), "w1")
+        .select("doc_id", lp.alias("lp_c"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("cast(-(sum(lp_c) div count(1)) as bigint)").alias(
+                "nll_per_bigram_c"
+            ),
+        )
+        .orderBy("doc_id")
+    )
