@@ -12,7 +12,7 @@ summation anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from t_spoon_spark.queries.relational import t
@@ -120,8 +120,6 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contrib.groupBy("v").agg(
             (F.lit(base) + F.sum("c")).cast("long").alias("r")
         )
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.desc("r"), F.asc("v"))
     return (
         ranks.withColumn("rnk", F.row_number().over(w))
@@ -224,4 +222,116 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = pairs.select(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return n_edges.crossJoin(
         tri.select(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+LPA_ITERS = 4
+# composite argmax priority: weight * 1024 + (1023 - label) — argmax of
+# this BIGINT == (max weight, then MIN label), labels < 1024
+_PRI = "CAST(SUM(e.w) AS BIGINT) * 1024 + (1023 - rk.lab)"
+
+
+@register(
+    "graph_label_propagation",
+    f"""
+    WITH RECURSIVE
+    edges_dir AS (
+      SELECT c.c_nationkey AS u, s.s_nationkey AS v, CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    sparse AS (
+      SELECT u, v, w FROM (
+        SELECT u, v, w,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v) AS rnk
+        FROM edges_dir
+      ) WHERE rnk <= 3
+    ),
+    edges AS (
+      SELECT u, v, w FROM sparse
+      UNION ALL SELECT v, u, w FROM sparse
+      UNION ALL SELECT n_nationkey, n_nationkey, CAST(1 AS BIGINT) FROM nation
+    ),
+    rk(it, v, lab) AS (
+      SELECT 0, CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT)
+      FROM nation
+      UNION ALL
+      SELECT it + 1, v, arg_max(lab, pri) FROM (
+        SELECT rk.it AS it, e.v AS v, rk.lab AS lab, {_PRI} AS pri
+        FROM rk JOIN edges e ON rk.v = e.u
+        WHERE rk.it < {LPA_ITERS}
+        GROUP BY rk.it, e.v, rk.lab
+      ) GROUP BY it, v
+    )
+    SELECT lab AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(v) AS BIGINT) AS min_member,
+           CAST(MAX(v) AS BIGINT) AS max_member
+    FROM rk WHERE it = {LPA_ITERS}
+    GROUP BY lab
+    ORDER BY community
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (community detection) on the
+    undirected trade graph, {LPA_ITERS} iterations: each node adopts
+    the label with the highest incident edge weight, ties broken by the
+    LOWEST label (the composite integer priority weight*1024 +
+    (1023-label) makes the argmax total — classic LPA's random
+    tiebreak would be unverifiable). A unit self-loop gives isolated or
+    evenly-pulled nodes a deterministic self-preference. Same Pregel
+    shape as PageRank: per-iteration shuffles are nodes-sized
+    ((v, lab) partial sums then per-v argmax); the edge aggregation is
+    the only corpus-sized pass."""
+    nations = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("v")
+    )
+    e_dir = _trade_edges(spark, sf_dir).filter(F.col("u") != F.col("v"))
+    # k-NN sparsification (top-3 strongest partners per nation): dense
+    # trade graphs collapse to one LPA community; the sparse backbone
+    # is where community structure lives — and it shrinks the
+    # iteration input to O(3 * nodes) edges
+    rnk = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
+    )
+    sparse = e_dir.withColumn("rnk", rnk).filter(F.col("rnk") <= 3).drop("rnk")
+    edges = (
+        sparse.unionByName(
+            sparse.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        .unionByName(
+            nations.select(
+                F.col("v").alias("u"), F.col("v"), F.lit(1).cast("long").alias("w")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = nations.select("v", F.col("v").alias("lab"))
+    for _ in range(LPA_ITERS):
+        nb = (
+            edges.join(labels.select(F.col("v").alias("u"), "lab"), "u")
+            .groupBy("v", "lab")
+            .agg(F.sum("w").cast("long").alias("wsum"))
+        )
+        labels = (
+            nb.groupBy("v")
+            .agg(
+                F.max_by(
+                    "lab", F.col("wsum") * 1024 + (F.lit(1023) - F.col("lab"))
+                ).alias("lab")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("v").cast("long").alias("min_member"),
+            F.max("v").cast("long").alias("max_member"),
+        )
+        .orderBy("community")
     )
