@@ -221,3 +221,96 @@ def timeseries_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "event_type", "day_idx", "n", "sum_c", "max_c", "n_hours_present"
     ).orderBy("event_type", "day_idx")
+
+
+ASSOC_MIN_SUPPORT = 3  # pair must co-occur in >= 3 orders
+
+
+@register(
+    "assoc_rules_part_pairs",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+    item_cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb
+      HAVING COUNT(*) >= {ASSOC_MIN_SUPPORT}
+    ),
+    scored AS (
+      SELECT p.pa, p.pb, p.cab,
+             ca.c AS ca, cb.c AS cb,
+             (p.cab * 1000000) // ca.c AS conf_ab_c,
+             (p.cab * n.n * 1000000) // (ca.c * cb.c) AS lift_c
+      FROM pairs p
+      JOIN item_cnt ca ON p.pa = ca.l_partkey
+      JOIN item_cnt cb ON p.pb = cb.l_partkey
+      CROSS JOIN n_orders n
+    )
+    SELECT pa, pb, cab, ca, cb, conf_ab_c, lift_c,
+           ROW_NUMBER() OVER (ORDER BY lift_c DESC, pa, pb) AS rnk
+    FROM scored
+    ORDER BY rnk
+    LIMIT 20
+    """,
+)
+def assoc_rules_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules on co-ordered parts: support
+    (co-order count), confidence (pair/antecedent) and lift
+    (pair·N / (a·b)), all exact integer arithmetic (scaled integer
+    division — no float probabilities), top-20 pairs by lift above a
+    support floor. Scale shape: the pair generation is the same
+    order-key self-join as triangle counting (bounded by per-order
+    basket size, never the item-catalog square), the support floor
+    prunes before the stats joins, and item counts broadcast. This is
+    the a-priori first level — the one production co-purchase systems
+    actually ship."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select(
+        F.count_distinct("l_orderkey").cast("long").alias("n")
+    )
+    item_cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .filter(F.col("cab") >= ASSOC_MIN_SUPPORT)
+    )
+    ca = item_cnt.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
+    cb = item_cnt.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
+    scored = (
+        pairs.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "cab",
+            "ca",
+            "cb",
+            F.expr("(cab * 1000000) div ca").alias("conf_ab_c"),
+            F.expr("(cab * n * 1000000) div (ca * cb)").alias("lift_c"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(W.orderBy(F.desc("lift_c"), F.asc("pa"), F.asc("pb"))),
+        )
+        .orderBy("rnk")
+        .limit(20)
+    )
