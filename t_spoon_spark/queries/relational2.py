@@ -262,3 +262,83 @@ def quantile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n").alias("n_orders"), pick(0.5, "p50_c"), pick(0.9, "p90_c"), pick(0.99, "p99_c"))
         .orderBy("segment")
     )
+
+
+@register(
+    "merge_upsert_orders",
+    """
+    WITH changes AS (
+      -- deterministic change set: every 7th order gets a 10% price
+      -- bump (update); synthetic keys above the max get inserted
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 110.0 + 0.5) AS BIGINT) AS price_c,
+             'update' AS op
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT (SELECT MAX(o_orderkey) FROM orders) + s.i,
+             CAST(100000 + s.i AS BIGINT),
+             'insert'
+      FROM (SELECT unnest(range(1, 6)) AS i) s
+    ),
+    merged AS (
+      SELECT COALESCE(c.o_orderkey, o.o_orderkey) AS o_orderkey,
+             COALESCE(c.price_c,
+                      CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS price_c,
+             CASE WHEN c.o_orderkey IS NULL THEN 'keep'
+                  WHEN o.o_orderkey IS NULL THEN 'insert'
+                  ELSE 'update' END AS action
+      FROM orders o FULL OUTER JOIN changes c USING (o_orderkey)
+    )
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price_c) AS BIGINT) AS total_c
+    FROM merged
+    GROUP BY action
+    ORDER BY action
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO semantics on plain tables (the lakehouse upsert
+    Delta/Iceberg expose as MERGE): a deterministic change set (updates
+    for every 7th order, five fresh inserts) full-outer-joins the
+    target; matched rows take the source value, unmatched-source rows
+    insert, unmatched-target rows carry over. The gate reports the
+    per-action row counts and the merged balance total. At scale the
+    join shuffles on the primary key — or stays shuffle-free when both
+    sides are bucketed by it (operators/skew.write_bucketed); change
+    sets smaller than the broadcast threshold skip the shuffle
+    entirely."""
+    orders = t(spark, sf_dir, "orders")
+    max_key = orders.agg(F.max("o_orderkey").alias("mx"))
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 110.0 + 0.5).cast("long").alias("price_c"),
+    )
+    inserts = (
+        spark.range(1, 6)
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("mx") + F.col("id")).alias("o_orderkey"),
+            (F.lit(100000) + F.col("id")).cast("long").alias("price_c"),
+        )
+    )
+    changes = updates.unionByName(inserts)
+    tgt = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("old_c"),
+    )
+    merged = tgt.join(changes, "o_orderkey", "full_outer").select(
+        F.coalesce(F.col("price_c"), F.col("old_c")).alias("price_c"),
+        F.when(F.col("price_c").isNull(), "keep")
+        .when(F.col("old_c").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("price_c").cast("long").alias("total_c"),
+        )
+        .orderBy("action")
+    )

@@ -314,3 +314,90 @@ def assoc_rules_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk")
         .limit(20)
     )
+
+
+@register(
+    "stats_winsorized_by_type",
+    f"""
+    WITH base AS (
+      SELECT event_type, event_id, {dd_fixed('value')} AS v FROM events
+    ),
+    ranked AS (
+      SELECT event_type, event_id, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM base
+    ),
+    bounds AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = GREATEST((n * 5 + 99) // 100, 1) THEN v END) AS lo,
+             MAX(CASE WHEN rn = GREATEST((n * 95 + 99) // 100, 1) THEN v END) AS hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(MAX(r.n) AS BIGINT) AS n,
+           CAST(MAX(b.lo) AS BIGINT) AS lo_c,
+           CAST(MAX(b.hi) AS BIGINT) AS hi_c,
+           CAST(SUM(CASE WHEN r.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+           CAST(SUM(CASE WHEN r.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+           CAST(SUM(LEAST(GREATEST(r.v, b.lo), b.hi)) AS BIGINT) // CAST(MAX(r.n) AS BIGINT)
+             AS winsor_mean_c
+    FROM ranked r JOIN bounds b USING (event_type)
+    GROUP BY r.event_type
+    ORDER BY r.event_type
+    """,
+)
+def stats_winsorized_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%) robust mean per event type: exact per-group
+    percentile bounds at deterministic ranks (ceil(n*p), total tiebreak
+    on event_id — percentile_cont's interpolation would re-introduce
+    float averaging), values clamped to [p05, p95], integer mean.
+    The outlier-robust aggregate a metrics pipeline uses where a single
+    corrupt reading would drag a plain mean. One per-group sort window
+    + a broadcast of the groups-sized bounds table; at 100 TB the rank
+    scan is the same shuffle the exact-quantile entry already pays."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    base = ev.select("event_type", "event_id", fixed("value").alias("v"))
+    w_rank = W.partitionBy("event_type").orderBy("v", "event_id")
+    w_all = W.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "v",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.expr("(n * 5 + 99) div 100"), F.lit(1)),
+                F.col("v"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.expr("(n * 95 + 99) div 100"), F.lit(1)),
+                F.col("v"),
+            )
+        ).alias("hi"),
+    )
+    joined = ranked.join(F.broadcast(bounds), "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("lo").cast("long").alias("lo_c"),
+            F.max("hi").cast("long").alias("hi_c"),
+            F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_high"),
+            F.expr(
+                "cast(sum(least(greatest(v, lo), hi)) as bigint) div cast(max(n) as bigint)"
+            ).alias("winsor_mean_c"),
+        )
+        .orderBy("event_type")
+    )
