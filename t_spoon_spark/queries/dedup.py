@@ -350,3 +350,103 @@ def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(F.col("rnk") == 1, 1).otherwise(0).alias("keep"),
     ).orderBy("doc_id")
+
+
+# deterministic typo fabrication: the synthetic vocabulary is tiny and
+# clean, so inject one char-dropped variant of each doc's first token
+# for every 10th doc — the operator under test is the edit-distance
+# blocking, not the corpus (same convention as text_pii_scrub)
+_DD_TYPO_AUG = """
+    vocab AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+        FROM documents
+        UNION ALL
+        SELECT substr(t1, 1, 1) || substr(t1, 3) AS w FROM (
+          SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '')[1] AS t1
+          FROM documents WHERE doc_id % 10 = 0
+        ) WHERE length(t1) >= 4
+      ) WHERE length(w) >= 3
+    )
+"""
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    f"""
+    WITH {_DD_TYPO_AUG},
+    variants AS (
+      SELECT w, w AS var FROM vocab
+      UNION ALL
+      SELECT w, substr(w, 1, r.i - 1) || substr(w, r.i + 1) AS var
+      FROM vocab, LATERAL unnest(range(1, length(w) + 1)) AS r(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.w AS w1, b.w AS w2
+      FROM variants a JOIN variants b ON a.var = b.var AND a.w < b.w
+    )
+    SELECT w1, w2, CAST(levenshtein(w1, w2) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(w1, w2) <= 1
+    ORDER BY w1, w2
+    """,
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 vocabulary pairs via deletion-neighborhood
+    blocking (the SymSpell scheme): each word emits itself plus its
+    1-char-deletion variants; words sharing any variant are candidates
+    (complete for edit distance <= 1 — a substitution, insertion, or
+    deletion always leaves a common variant); exact levenshtein then
+    removes the ed=2 false positives the deletion join admits
+    (transpositions). Candidates-then-verify, never all-pairs: the
+    variant join is the blocker, so work scales with vocabulary x word
+    length, not vocabulary squared — the missing edit-distance member
+    of the dedup family (shingle / MinHash / SimHash / embedding cover
+    the document level; this covers the token level, where typo
+    normalization for training corpora lives)."""
+    docs = t(spark, sf_dir, "documents")
+    from t_spoon_spark.operators.text import tokens
+
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    first_tok = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.element_at(tokens(F.col("text")), 1).alias("t1")
+    )
+    typos = first_tok.filter(F.length("t1") >= 4).select(
+        F.concat(
+            F.substring("t1", 1, 1), F.expr("substr(t1, 3)")
+        ).alias("w")
+    )
+    vocab = (
+        words.unionByName(typos)
+        .filter(F.length("w") >= 3)
+        .distinct()
+    )
+    # deletion variants via a SQL transform (the lambda index feeds
+    # substr's int args directly)
+    variants = vocab.select(
+        "w",
+        F.explode(
+            F.concat(
+                F.array(F.col("w")),
+                F.expr(
+                    "transform(sequence(1, length(w)), "
+                    "i -> concat(substr(w, 1, i - 1), substr(w, i + 1)))"
+                ),
+            )
+        ).alias("var"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.var") == F.col("b.var")) & (F.col("a.w") < F.col("b.w")),
+        )
+        .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("w1", "w2").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .orderBy("w1", "w2")
+    )
