@@ -128,6 +128,9 @@ def bench_extra(spark, sf_dir) -> dict[str, float]:
         "graph_pagerank_nations",
         "clustering_kmeans_fixed",
         "decontamination_ngram_overlap",
+        "text_lm_bigram_score",
+        "skyline_orders_pareto",
+        "packing_greedy_whole_doc",
     ):
         if name not in qs:
             continue
