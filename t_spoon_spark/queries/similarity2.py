@@ -1,0 +1,230 @@
+"""Second-wave vector search operators: product quantization with
+asymmetric-distance (ADC) scoring — the memory-compression scheme that
+carries billion-vector indexes — and ColBERT-style MaxSim late
+interaction, which scores a query against per-token sub-vectors instead
+of one pooled vector.
+
+Both reuse the embeddings table's integer fixed-point convention, so
+every distance / dot is exact BIGINT arithmetic and the oracles match
+bit-for-bit. The 64-d embedding is treated as M=8 sub-vectors of 8
+dims: for PQ those are the quantization subspaces; for MaxSim they
+stand in for per-token vectors (the real pipeline would carry a
+token-majored array column of the same shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from t_spoon_spark.operators.similarity import int_embedding
+from t_spoon_spark.queries.relational import t
+from t_spoon_spark.registry import register
+
+PQ_M = 8  # subspaces
+PQ_D = 8  # dims per subspace
+PQ_K = 16  # centroids per subspace (codebook = first K vectors' subs)
+N_Q = 5
+
+_DD_EI = "list_transform(embedding, x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT))"
+_DD_SUBDIST = (
+    "list_sum(list_transform(range(1, {d} + 1), "
+    "i -> (a.sub[i] - c.sub[i]) * (a.sub[i] - c.sub[i])))".format(d=PQ_D)
+)
+
+_DD_SUBS = f"""
+    base AS (SELECT vec_id, {_DD_EI} AS ei FROM embeddings),
+    subs AS (
+      SELECT vec_id, m.m AS m, list_slice(ei, m.m * {PQ_D} + 1, (m.m + 1) * {PQ_D}) AS sub
+      FROM base, LATERAL unnest(range(0, {PQ_M})) AS m(m)
+    ),
+    cents AS (
+      SELECT vec_id AS k, m, sub FROM subs WHERE vec_id < {PQ_K}
+    )
+"""
+
+
+@register(
+    "similarity_pq_adc_topk",
+    f"""
+    WITH {_DD_SUBS},
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT a.vec_id, a.m, c.k,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.m
+                                  ORDER BY {_DD_SUBDIST}, c.k) AS rn
+        FROM subs a JOIN cents c USING (m)
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT a.vec_id AS q_id, a.m, c.k, {_DD_SUBDIST} AS d
+      FROM subs a JOIN cents c USING (m)
+      WHERE a.vec_id < {N_Q}
+    ),
+    adc AS (
+      SELECT qd.q_id, co.vec_id AS c_id, CAST(SUM(qd.d) AS BIGINT) AS adc_c
+      FROM codes co JOIN qd ON co.m = qd.m AND co.code = qd.k
+      GROUP BY qd.q_id, co.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_c, c_id) AS rnk
+      FROM adc WHERE q_id <> c_id
+    )
+    SELECT q_id, c_id, adc_c, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY q_id, rnk
+    """,
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k with asymmetric distance: 8 subspaces
+    x 16 centroids (codebook = the first 16 vectors' sub-vectors —
+    deterministic; production trains it with the k-means entry's exact
+    Lloyd), each corpus vector encoded to 8 nibbles (4 bytes replaces
+    256 float bytes — 64x), queries scored by summing per-subspace
+    lookup distances to the CENTROIDS of each code (the ADC table),
+    never touching corpus floats. Scale shape: encode is a broadcast of
+    the K*M codebook against the corpus; query scoring joins the
+    codes table against the (Q x M x K)-row broadcast lookup table and
+    partial-aggregates the sum — the corpus is read once at encode time
+    and never again. Composes with IVF (per-list residual codebooks)
+    exactly as in a production IVFPQ index."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", int_embedding("embedding").alias("ei"))
+    subs = base.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("ei", m * PQ_D + 1, PQ_D).alias("sub"),
+                )
+                for m in range(PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+    cents = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), "m", F.col("sub").alias("csub")
+    )
+
+    dist = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("csub"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_code = W.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("k"))
+    codes = (
+        subs.join(F.broadcast(cents), "m")
+        .select("vec_id", "m", "k", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"))
+    )
+    qd = (
+        subs.filter(F.col("vec_id") < N_Q)
+        .join(F.broadcast(cents), "m")
+        .select(
+            F.col("vec_id").alias("q_id"), "m", "k", dist.alias("d")
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qd),
+            (codes.m == qd.m) & (codes.code == qd.k),
+        )
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(F.sum("d").cast("long").alias("adc_c"))
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    w_rank = W.partitionBy("q_id").orderBy(F.asc("adc_c"), F.asc("c_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "c_id", "adc_c", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+_DD_SUBDOT = (
+    "list_sum(list_transform(range(1, {d} + 1), "
+    "i -> q.sub[i] * c.sub[i]))".format(d=PQ_D)
+)
+
+
+@register(
+    "similarity_maxsim_late_interaction",
+    f"""
+    WITH {_DD_SUBS},
+    qtok AS (SELECT vec_id AS q_id, m, sub FROM subs WHERE vec_id < {N_Q}),
+    dots AS (
+      SELECT q.q_id, q.m AS qi, c.vec_id AS c_id, {_DD_SUBDOT} AS dot
+      FROM qtok q JOIN subs c ON TRUE
+      WHERE c.vec_id <> q.q_id
+    ),
+    maxes AS (
+      SELECT q_id, c_id, qi, MAX(dot) AS mx FROM dots GROUP BY q_id, c_id, qi
+    ),
+    scored AS (
+      SELECT q_id, c_id, CAST(SUM(mx) AS BIGINT) AS maxsim_c
+      FROM maxes GROUP BY q_id, c_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY maxsim_c DESC, c_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, c_id, maxsim_c, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY q_id, rnk
+    """,
+)
+def similarity_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late interaction: score(q, d) = sum over query
+    sub-vectors of the MAX dot product against any document sub-vector
+    (here the 8x8 slicing of the embedding stands in for per-token
+    vectors). Exact integer dots, so argmax/sum are partition-order
+    proof. Scale shape: the Q*M query token set broadcasts against the
+    corpus token table; the (q, doc, q_token) max and (q, doc) sum are
+    partial-aggregated. Production prunes with a per-token ANN
+    (the LSH/IVF/PQ entries) before exact MaxSim re-ranking — this
+    entry is that re-ranker."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", int_embedding("embedding").alias("ei"))
+    subs = base.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("ei", m * PQ_D + 1, PQ_D).alias("sub"),
+                )
+                for m in range(PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+
+    qtok = subs.filter(F.col("vec_id") < N_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("m").alias("qi"),
+        F.col("sub").alias("qsub"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qsub"), F.col("sub"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dots = (
+        subs.crossJoin(F.broadcast(qtok))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "qi", F.col("vec_id").alias("c_id"), dot.alias("dot"))
+    )
+    scored = (
+        dots.groupBy("q_id", "c_id", "qi")
+        .agg(F.max("dot").alias("mx"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("mx").cast("long").alias("maxsim_c"))
+    )
+    w_rank = W.partitionBy("q_id").orderBy(F.desc("maxsim_c"), F.asc("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "c_id", "maxsim_c", "rnk")
+        .orderBy("q_id", "rnk")
+    )
