@@ -58,6 +58,23 @@ _HIGH_RISK_PREFIXES = (
     "streaming_",
 )
 
+# Within the never-driver-checked tier, these lead: they exercise novel
+# MECHANISMS (driver-side iteration loops, localCheckpoint lineage cuts,
+# an applyInPandas sequential fold, recursive-CTE oracles) rather than
+# plain column algebra, so their first driver run carries the most
+# information. Everything else in the tier follows in registration
+# order and drains over subsequent rounds.
+_NOVEL_MECHANISM_FIRST = (
+    "packing_greedy_whole_doc",
+    "clustering_kmeans_fixed",
+    "graph_pagerank_nations",
+    "graph_label_propagation",
+    "graph_triangle_parts",
+    "similarity_pq_adc_topk",
+    "bloom_semi_join_orders",
+    "io_csv_roundtrip_docs",
+)
+
 
 def _correctness_history() -> tuple[dict[str, int], set[str], int]:
     """Parse the driver's ``CORRECTNESS_r*.json`` artifacts.
@@ -128,6 +145,8 @@ def _ordered() -> list[QueryEntry]:
     never = [
         e for e in entries if e.name not in high_names and e.name not in last_round
     ]
+    novel_rank = {n: i for i, n in enumerate(_NOVEL_MECHANISM_FIRST)}
+    never.sort(key=lambda e: (novel_rank.get(e.name, len(novel_rank)),))
     taken = high_names | {e.name for e in never} | {e.name for e in red_entries}
     rest = [e for e in entries if e.name not in taken]
     order_idx = {e.name: i for i, e in enumerate(entries)}
