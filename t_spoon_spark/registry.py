@@ -199,5 +199,6 @@ def _load_all() -> None:
     import t_spoon_spark.queries.drift  # noqa: F401
     import t_spoon_spark.queries.skyline  # noqa: F401
     import t_spoon_spark.queries.similarity2  # noqa: F401
+    import t_spoon_spark.queries.dataquality  # noqa: F401
 
     _LOADED = True
