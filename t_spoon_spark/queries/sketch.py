@@ -248,3 +248,108 @@ def sketch_hll_grouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est"),
     ).orderBy("source")
+
+
+KMV_K = 64
+KMV_M = float(1 << 60)  # md5_long domain (15 hex chars)
+
+
+def _dd_kmv(event_type: str, name: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT h FROM (
+        SELECT DISTINCT {_HU} AS h FROM events WHERE event_type = '{event_type}'
+      ) ORDER BY h LIMIT {KMV_K}
+    )"""
+
+
+_DD_KMV_EST = (
+    "CASE WHEN cnt < {k} THEN CAST(cnt AS BIGINT) "
+    "ELSE CAST(FLOOR(({k} - 1) * ({m} / CAST(hk AS DOUBLE)) + 0.5) AS BIGINT) END"
+).format(k=KMV_K, m=repr(KMV_M))
+
+
+@register(
+    "sketch_kmv_set_ops",
+    f"""
+    WITH {_dd_kmv('click', 'ka')},
+    {_dd_kmv('purchase', 'kb')},
+    ku AS (
+      SELECT h FROM (
+        SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+      ) ORDER BY h LIMIT {KMV_K}
+    ),
+    stats AS (
+      SELECT
+        (SELECT COUNT(*) FROM ka) AS ca, (SELECT MAX(h) FROM ka) AS ha,
+        (SELECT COUNT(*) FROM kb) AS cb, (SELECT MAX(h) FROM kb) AS hb,
+        (SELECT COUNT(*) FROM ku) AS cu, (SELECT MAX(h) FROM ku) AS hu,
+        (SELECT COUNT(*) FROM ku
+         WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS n_both
+    )
+    SELECT
+      (SELECT {_DD_KMV_EST} FROM (SELECT ca AS cnt, ha AS hk FROM stats)) AS est_clicks,
+      (SELECT {_DD_KMV_EST} FROM (SELECT cb AS cnt, hb AS hk FROM stats)) AS est_purchases,
+      (SELECT {_DD_KMV_EST} FROM (SELECT cu AS cnt, hu AS hk FROM stats)) AS est_union,
+      CAST(FLOOR(n_both * 1000000.0 / cu) AS BIGINT) AS jaccard_c,
+      CAST(FLOOR(
+        (n_both * 1000000.0 / cu)
+        * (SELECT {_DD_KMV_EST} FROM (SELECT cu AS cnt, hu AS hk FROM stats))
+        / 1000000.0
+      ) AS BIGINT) AS est_intersection
+    FROM stats
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, k=64) distinct sketches with SET
+    OPERATIONS — the capability HLL lacks: the union sketch is the k
+    smallest of the merged sketches, the Jaccard estimate is the
+    fraction of union-sketch members present in both input sketches,
+    and the intersection estimate is Jaccard x union. Each sketch is a
+    bottom-k of distinct hashes (TakeOrderedAndProject — mergeable,
+    constant size), so per-day / per-segment sketches compose into any
+    set-algebra question later. Degenerate small sets (fewer distinct
+    values than k) report their exact count — same rule both engines.
+    All hash arithmetic is exact; the two estimator divisions are
+    single IEEE ops with identical expression shape."""
+    ev = t(spark, sf_dir, "events")
+    from t_spoon_spark.operators.text import md5_long
+
+    def sketch(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(md5_long(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_K)
+        )
+
+    ka = sketch("click").cache()
+    kb = sketch("purchase").cache()
+    ku = (
+        ka.unionByName(kb).distinct().orderBy("h").limit(KMV_K).cache()
+    )
+    n_both = (
+        ku.join(ka, "h", "left_semi").join(kb, "h", "left_semi").count()
+    )
+
+    def est(df: DataFrame) -> int:
+        rows = df.agg(
+            F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk")
+        ).collect()[0]
+        cnt, hk = rows.cnt, rows.hk
+        if cnt < KMV_K:
+            return int(cnt)
+        import math
+
+        return int(math.floor((KMV_K - 1) * (KMV_M / float(hk)) + 0.5))
+
+    ea, eb, eu = est(ka), est(kb), est(ku)
+    cu = ku.count()
+    jacc = int(n_both * 1_000_000.0 // cu) if cu else 0
+    inter = int((n_both * 1_000_000.0 / cu) * eu // 1_000_000.0) if cu else 0
+    return ev.sparkSession.createDataFrame(
+        [(ea, eb, eu, jacc, inter)],
+        "est_clicks bigint, est_purchases bigint, est_union bigint, "
+        "jaccard_c bigint, est_intersection bigint",
+    )
