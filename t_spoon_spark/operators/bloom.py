@@ -97,6 +97,8 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame, key: str) -> DataFrame:
     candidates = probed.filter(
         bloom_might_contain(F.col("words"), F.col(key))
     ).drop("words")
-    return candidates.join(
-        F.broadcast(build.select(key).distinct()), key, "left_semi"
-    )
+    # no broadcast hint on the closing join: a huge build side must be
+    # allowed to shuffle (AQE broadcasts it anyway when it is small) —
+    # forcing broadcast would reintroduce exactly the linear-memory
+    # build-side cost the 8 KiB bitmap exists to avoid
+    return candidates.join(build.select(key).distinct(), key, "left_semi")

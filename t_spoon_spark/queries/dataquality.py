@@ -65,14 +65,19 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for child, fk, parent, pk in _FK_EDGES:
         c = t(spark, sf_dir, child)
         p = t(spark, sf_dir, parent).select(F.col(pk).alias(fk))
-        n_child = c.count()
+        # denominator stays in the plan (crossJoin of a 1-row count
+        # aggregate) — an eager c.count() here would run one extra full
+        # scan per edge at plan-construction time, outside the audit's
+        # own measured execution
+        denom = c.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
         orphans = (
             c.filter(F.col(fk).isNotNull())
             .join(p, fk, "left_anti")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            .crossJoin(F.broadcast(denom))
             .select(
                 F.lit(f"{child}.{fk}").alias("relation"),
-                F.lit(n_child).cast("long").alias("n_child"),
+                "n_child",
                 "n_orphans",
             )
         )

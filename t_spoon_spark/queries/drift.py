@@ -39,8 +39,8 @@ DD_TOKS = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
                                   / (CAST(gc.g AS DOUBLE) * st.ts))
                                * 1000000 + 0.5) AS BIGINT) AS kl_num,
              CAST(FLOOR(
-               CAST((sc.o * gt.tg - gc.g * st.ts) * (sc.o * gt.tg - gc.g * st.ts)
-                    AS DOUBLE)
+               CAST(sc.o * gt.tg - gc.g * st.ts AS DOUBLE)
+               * CAST(sc.o * gt.tg - gc.g * st.ts AS DOUBLE)
                / (CAST(gc.g AS DOUBLE) * st.ts * gt.tg) * 1000 + 0.5
              ) AS BIGINT) AS chisq_c
       FROM sc
@@ -64,10 +64,11 @@ def drift_token_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated groupBy; everything after operates on
     vocabulary-sized tables, with the global term table broadcast.
     KL is Σ o·ln(o·Tg / (g·Ts)) div Ts, each ln rounded once at 1e6;
-    chi-square per term is (o·Tg − g·Ts)²/(g·Ts·Tg), whose operands
-    stay exactly representable and whose single division is IEEE
-    correctly-rounded — both statistics are bit-stable under any
-    partitioning, unlike naive float accumulation. Terms absent from a
+    chi-square per term is (o·Tg − g·Ts)²/(g·Ts·Tg), with the square
+    taken in doubles (the BIGINT square would overflow beyond sf0.1
+    corpora) — every per-term float op is the identical IEEE expression
+    in both engines, then rounded once — so both statistics are
+    bit-stable under any partitioning, unlike naive float accumulation. Terms absent from a
     source contribute 0 to its KL by convention (0·ln(0) = 0), which
     the inner-join form encodes for free."""
     docs = t(spark, sf_dir, "documents")
@@ -89,9 +90,13 @@ def drift_token_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1e6
         + 0.5
     ).cast("long")
-    diff = F.col("o") * F.col("tg") - F.col("g") * F.col("ts")
+    # square in DOUBLE: the BIGINT square can overflow past sf0.1-scale
+    # corpora (Spark would wrap, DuckDB would raise — either way wrong);
+    # both engines run the identical IEEE multiply instead
+    diff = (F.col("o") * F.col("tg") - F.col("g") * F.col("ts")).cast("double")
     chisq = F.floor(
-        (diff * diff).cast("double")
+        diff
+        * diff
         / (F.col("g").cast("double") * F.col("ts") * F.col("tg"))
         * 1000
         + 0.5

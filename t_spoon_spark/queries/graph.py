@@ -103,12 +103,14 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     self_loops = nations.select("v").select(
         F.col("v").alias("u"), F.col("v"), F.lit(0).cast("long").alias("w")
     )
-    edges = _trade_edges(spark, sf_dir).unionByName(self_loops).cache()
+    edges = _trade_edges(spark, sf_dir).unionByName(self_loops)
     outw = edges.groupBy("u").agg(
         F.greatest(F.sum("w"), F.lit(1)).cast("long").alias("ow")
     )
-    ew = edges.join(outw, "u").cache()
-    ew.count()  # materialize once; iterations reuse
+    # materialize once for the 10 iterations WITHOUT a session-lifetime
+    # cache pin (cache() here would hold executor storage for every
+    # later gate entry in the same session)
+    ew = edges.join(outw, "u").localCheckpoint(eager=True)
     base = (15 * PR_SCALE) // (100 * PR_N)
     ranks = nations.select(
         "v", F.lit(PR_SCALE // PR_N).cast("long").alias("r")
@@ -204,7 +206,7 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
             F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
         )
-        .cache()
+        .localCheckpoint(eager=True)  # reused 3x; no session-long pin
     )
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")

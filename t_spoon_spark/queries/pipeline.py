@@ -113,15 +113,16 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DECON_N = 8
-BENCH_DOCS = 5
-PACK_B = 512
-V2_RATES = {"en": 250, "de": 800, "es": 800, "fr": 800, "zh": 800}
+# the composed pipeline reuses the STANDALONE operators' constants and
+# rate-case builders — editing the standalone op retunes the pipeline,
+# which is the composition contract this entry pins
+from t_spoon_spark.queries.chunking import DECON_NGRAM as DECON_N
+from t_spoon_spark.queries.chunking import N_BENCH_DOCS as BENCH_DOCS
+from t_spoon_spark.queries.packing import PACK_BUDGET as PACK_B
+from t_spoon_spark.queries.sampling import LANG_RATES as V2_RATES
+from t_spoon_spark.queries.sampling import _DEFAULT_RATE, _dd_rate_case
 
-
-def _dd_v2_rate_case() -> str:
-    whens = " ".join(f"WHEN lang = '{lang}' THEN {r}" for lang, r in V2_RATES.items())
-    return f"CASE {whens} ELSE 500 END"
+_dd_v2_rate_case = _dd_rate_case
 
 
 @register(
@@ -232,7 +233,7 @@ def pipeline_corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from t_spoon_spark.operators.text import md5_long
 
     bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(1000))
-    rate = F.lit(500)
+    rate = F.lit(_DEFAULT_RATE)
     for lang, r in reversed(V2_RATES.items()):
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
     sampled = clean.filter(bucket < rate)

@@ -197,3 +197,57 @@ def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+SAMPLE_W_K = 30
+
+
+@register(
+    "sample_weighted_priority",
+    f"""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(FLOOR(
+               ln((({{h}}) % 1000000 + 1) / 1000001.0) / n_chars * 1e9
+             ) AS BIGINT) AS nlp_c
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY nlp_c DESC, doc_id) AS rnk FROM pri
+    )
+    SELECT rnk, doc_id, lang, n_chars FROM ranked WHERE rnk <= {SAMPLE_W_K}
+    ORDER BY rnk
+    """.format(
+        h="('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    ),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES in log space): each row draws a deterministic uniform u from
+    its md5 hash and gets priority ln(u)/w (w = n_chars); the top-K
+    priorities are the weighted sample. Deterministic u makes the
+    sample reproducible and the estimator auditable; top-K by priority
+    is mergeable (bottom-k union rule), so Spark executes it as
+    per-partition partial top-K — the same scale shape as the uniform
+    reservoir entry. ln is evaluated once per row on a ratio of small
+    integers and scaled at 1e9; ranking ties are broken by doc_id."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(1_000_000)) + 1) / F.lit(
+        1_000_001.0
+    )
+    pri = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.floor(F.log(u) / F.col("n_chars") * 1e9).cast("long").alias("nlp_c"),
+    )
+    top = pri.orderBy(F.desc("nlp_c"), F.asc("doc_id")).limit(SAMPLE_W_K)
+    from pyspark.sql import Window as W
+
+    return (
+        top.withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("nlp_c"), F.asc("doc_id")))
+        )
+        .select("rnk", "doc_id", "lang", "n_chars")
+        .orderBy("rnk")
+    )

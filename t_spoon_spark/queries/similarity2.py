@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from t_spoon_spark.operators.similarity import int_embedding
+from t_spoon_spark.operators.similarity import dot_int, int_embedding
+from t_spoon_spark.queries.clustering import _DD_EI
 from t_spoon_spark.queries.relational import t
 from t_spoon_spark.registry import register
 
@@ -27,11 +28,32 @@ PQ_D = 8  # dims per subspace
 PQ_K = 16  # centroids per subspace (codebook = first K vectors' subs)
 N_Q = 5
 
-_DD_EI = "list_transform(embedding, x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT))"
 _DD_SUBDIST = (
     "list_sum(list_transform(range(1, {d} + 1), "
     "i -> (a.sub[i] - c.sub[i]) * (a.sub[i] - c.sub[i])))".format(d=PQ_D)
 )
+
+
+
+def _subs(emb_df):
+    """(vec_id, m, sub): the M x D sub-vector table of an embeddings
+    frame — shared by the PQ encoder/probe and the MaxSim token view
+    (one definition, so the fixed-point slicing cannot drift between
+    the two entries or their oracles)."""
+    base = emb_df.select("vec_id", int_embedding("embedding").alias("ei"))
+    return base.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("ei", m * PQ_D + 1, PQ_D).alias("sub"),
+                )
+                for m in range(PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+
 
 _DD_SUBS = f"""
     base AS (SELECT vec_id, {_DD_EI} AS ei FROM embeddings),
@@ -89,19 +111,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and never again. Composes with IVF (per-list residual codebooks)
     exactly as in a production IVFPQ index."""
     emb = t(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", int_embedding("embedding").alias("ei"))
-    subs = base.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(m).alias("m"),
-                    F.slice("ei", m * PQ_D + 1, PQ_D).alias("sub"),
-                )
-                for m in range(PQ_M)
-            ])
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+    subs = _subs(emb)
     cents = subs.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("k"), "m", F.col("sub").alias("csub")
     )
@@ -186,30 +196,14 @@ def similarity_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> Data
     (the LSH/IVF/PQ entries) before exact MaxSim re-ranking — this
     entry is that re-ranker."""
     emb = t(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", int_embedding("embedding").alias("ei"))
-    subs = base.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(m).alias("m"),
-                    F.slice("ei", m * PQ_D + 1, PQ_D).alias("sub"),
-                )
-                for m in range(PQ_M)
-            ])
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+    subs = _subs(emb)
 
     qtok = subs.filter(F.col("vec_id") < N_Q).select(
         F.col("vec_id").alias("q_id"),
         F.col("m").alias("qi"),
         F.col("sub").alias("qsub"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("qsub"), F.col("sub"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    dot = dot_int(F.col("qsub"), F.col("sub"))
     dots = (
         subs.crossJoin(F.broadcast(qtok))
         .filter(F.col("vec_id") != F.col("q_id"))

@@ -315,37 +315,34 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     from t_spoon_spark.operators.text import md5_long
 
-    def sketch(etype: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == etype)
+    def sketch(etype: str) -> list[int]:
+        # the k-row sketch IS the control-plane state (constant size by
+        # construction) — collect it once; all set algebra then runs
+        # driver-side on <=3k integers, no cached frames left pinned
+        return [
+            r.h
+            for r in ev.filter(F.col("event_type") == etype)
             .select(md5_long(F.col("user_id").cast("string")).alias("h"))
             .distinct()
             .orderBy("h")
             .limit(KMV_K)
-        )
+            .collect()
+        ]
 
-    ka = sketch("click").cache()
-    kb = sketch("purchase").cache()
-    ku = (
-        ka.unionByName(kb).distinct().orderBy("h").limit(KMV_K).cache()
-    )
-    n_both = (
-        ku.join(ka, "h", "left_semi").join(kb, "h", "left_semi").count()
-    )
+    ka = sketch("click")
+    kb = sketch("purchase")
+    ku = sorted(set(ka) | set(kb))[:KMV_K]
+    n_both = sum(1 for h in ku if h in set(ka) and h in set(kb))
 
-    def est(df: DataFrame) -> int:
-        rows = df.agg(
-            F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk")
-        ).collect()[0]
-        cnt, hk = rows.cnt, rows.hk
-        if cnt < KMV_K:
-            return int(cnt)
+    def est(vals: list[int]) -> int:
+        if len(vals) < KMV_K:
+            return len(vals)
         import math
 
-        return int(math.floor((KMV_K - 1) * (KMV_M / float(hk)) + 0.5))
+        return int(math.floor((KMV_K - 1) * (KMV_M / float(max(vals))) + 0.5))
 
     ea, eb, eu = est(ka), est(kb), est(ku)
-    cu = ku.count()
+    cu = len(ku)
     jacc = int(n_both * 1_000_000.0 // cu) if cu else 0
     inter = int((n_both * 1_000_000.0 / cu) * eu // 1_000_000.0) if cu else 0
     return ev.sparkSession.createDataFrame(
