@@ -469,3 +469,51 @@ def streaming_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "last_value_c", "n_upserts", "n_deletes")
         .orderBy("user_id")
     )
+
+
+@register(
+    "streaming_static_enrichment",
+    f"""
+    WITH users AS (
+      SELECT c_custkey AS user_id, n.n_name AS nation
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT u.nation,
+           (epoch_us(e.ts) // 86400000000) AS day_idx,
+           COUNT(*) AS n_events,
+           CAST(SUM({dd_fixed('e.value')}) AS BIGINT) AS sum_c
+    FROM events e JOIN users u ON (e.user_id % 1500) = (u.user_id - 1)
+    GROUP BY u.nation, day_idx
+    ORDER BY nation, day_idx
+    """,
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join (the third Structured Streaming join kind,
+    next to the inner and left-outer stream-stream entries): the events
+    stream enriches against the static customer->nation dimension — no
+    watermark needed on the static side, and Spark plans it as a
+    broadcast per micro-batch, so dimension updates between batches are
+    picked up (the slowly-changing-dimension enrichment every event
+    pipeline runs). Drained 3-batch replay equals the batch join; daily
+    per-nation aggregates run in complete mode on top of the join."""
+    ev = t(spark, sf_dir, "events").select("user_id", "value", "ts")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    users = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        (F.col("c_custkey") - 1).alias("join_key"), F.col("n_name").alias("nation")
+    )
+    stream = file_stream(spark, ev, n_slices=3)
+    joined = stream.withColumn("join_key", F.col("user_id") % 1500).join(
+        F.broadcast(users), "join_key"
+    )
+    agg = joined.groupBy(
+        "nation",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day_idx"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(fixed("value")).alias("sum_c"),
+    )
+    out = drain_stream(agg, output_mode="complete")
+    return out.select("nation", "day_idx", "n_events", "sum_c").orderBy(
+        "nation", "day_idx"
+    )

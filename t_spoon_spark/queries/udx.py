@@ -3,11 +3,12 @@ reference's "UDF surface" is arbitrary Java in StateFunction /
 TWindowFunction; the Spark-native equivalents are Arrow-batched
 grouped aggregates (applyInPandas) and Python UDTFs).
 
-These two entries deliberately route through the Python UDx machinery
+These entries deliberately route through the Python UDx machinery
 — the one place the engine allows Python in a data plane — to gate
-that machinery itself. Both are Arrow-batched (pandas groups / arrow
-UDTF), never row-at-a-time pickling; the docstrings carry the scale
-contract.
+that machinery itself: the pandas grouped aggregate (applyInPandas),
+the Python UDTF, and Spark 4's pyarrow-native grouped map
+(applyInArrow). All are Arrow-batched, never row-at-a-time pickling;
+the docstrings carry the scale contract.
 """
 
 from __future__ import annotations
@@ -118,3 +119,78 @@ def udtf_ngram_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT b.* FROM udtf_docs_in, LATERAL tspoon_bigrams(doc_id, text) b"
     )
     return out.orderBy("doc_id", "pos")
+
+
+@register(
+    "udaf_arrow_native_entropy",
+    """
+    WITH binned AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(FLOOR(value / 64.0) AS BIGINT), 0), 7) AS bin
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY event_type)
+    SELECT c.event_type,
+           CAST(MAX(t.n) AS BIGINT) AS n,
+           CAST(SUM(c.c * CAST(FLOOR(ln(CAST(t.n AS DOUBLE) / c.c) * 1000000 + 0.5)
+                               AS BIGINT)) AS BIGINT) // CAST(MAX(t.n) AS BIGINT)
+             AS entropy_c
+    FROM counts c JOIN tot t USING (event_type)
+    GROUP BY c.event_type
+    ORDER BY c.event_type
+    """,
+)
+def udaf_arrow_native_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Shannon entropy of the value distribution (8 equi-width
+    bins) computed through Spark 4's ARROW-NATIVE grouped-map API
+    (`applyInArrow` — pyarrow RecordBatches in and out, no pandas
+    conversion), gating the third and newest Python UDx surface next to
+    applyInPandas (udaf_gini) and the UDTF entry. Inside the UDF the
+    math is plain integer Python over the 8-bin histogram: per-bin
+    ln terms rounded once at 1e6 (the idf discipline), integer-summed,
+    so the Arrow path's result is bit-identical to the SQL oracle. At
+    scale each group crosses into Python once as Arrow batches — same
+    contract as the pandas UDAF."""
+    import pyarrow as pa
+
+    ev = t(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.greatest(F.floor(F.col("value") / 64.0).cast("long"), F.lit(0)),
+            F.lit(7),
+        ).alias("bin"),
+    )
+
+    def entropy(table: "pa.Table") -> "pa.Table":
+        import math
+        from collections import Counter
+
+        counts = Counter(table.column("bin").to_pylist())
+        etype = table.column("event_type")[0].as_py() if table.num_rows else None
+        n = sum(counts.values())
+        acc = 0
+        for c in counts.values():
+            acc += c * int(math.floor(math.log(float(n) / c) * 1e6 + 0.5))
+        return pa.Table.from_pydict(
+            {
+                "event_type": [etype],
+                "n": [n],
+                "entropy_c": [acc // n if n else 0],
+            },
+            schema=pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n", pa.int64()),
+                    ("entropy_c", pa.int64()),
+                ]
+            ),
+        )
+
+    out = binned.groupBy("event_type").applyInArrow(
+        entropy, schema="event_type string, n bigint, entropy_c bigint"
+    )
+    return out.orderBy("event_type")
