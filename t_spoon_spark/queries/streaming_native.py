@@ -517,3 +517,4 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("nation", "day_idx", "n_events", "sum_c").orderBy(
         "nation", "day_idx"
     )
+
