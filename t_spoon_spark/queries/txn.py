@@ -521,3 +521,132 @@ def txn_time_travel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("bigint").alias("balance_c"),
     )
     return mid.unionByName(fin).orderBy("snap", "key")
+
+
+@register(
+    "txn_streaming_concurrent_graphs",
+    f"""
+    WITH movements AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'ga' ELSE 'gb' END AS graph,
+             'a' || CAST(user_id % {KEYSPACE} AS VARCHAR) AS account,
+             -FLOOR(value) AS delta
+      FROM events
+      UNION ALL
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'ga' ELSE 'gb' END AS graph,
+             'a' || CAST((user_id * 7 + 3) % {KEYSPACE} AS VARCHAR) AS account,
+             FLOOR(value) AS delta
+      FROM events
+    )
+    SELECT graph, account AS key,
+           CAST(SUM(delta) AS BIGINT) AS balance_c
+    FROM movements
+    GROUP BY graph, account
+    ORDER BY graph, key
+    """,
+)
+def txn_streaming_concurrent_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE concurrent multi-TGraph STREAMING, driver-visible: the
+    transfer workload splits into two Structured Streaming queries (two
+    graphs, two namespaces, ONE environment/store); their foreachBatch
+    callbacks land on separate threads and the env epoch lock
+    serializes them onto the store's single committed-epoch line
+    (reference: n transactional graphs per environment, `tGraphID` in
+    tgraph/TransactionEnvironment.java:66-100, driven concurrently by
+    the evaluation topology). The associative epoch fold makes each
+    side's final snapshot equal its grouped sum REGARDLESS of how the
+    two queries' epochs interleaved — which is exactly what the oracle
+    checks, per namespace."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from t_spoon_spark.streaming import StreamRunner
+
+    tr = _transfers(spark, sf_dir)
+    halves = {
+        "ga": tr.filter(F.col("_tid") % 2 == 0),
+        "gb": tr.filter(F.col("_tid") % 2 == 1),
+    }
+    schema = "_tid long, from_account string, to_account string, amount double"
+
+    def spill(df: DataFrame, name: str) -> str:
+        d = os.path.join(tempfile.mkdtemp(prefix="tspoon_ctg_"), name)
+        os.makedirs(d, exist_ok=True)
+        # two deterministic micro-batch files per stream, split by tid
+        mid = df.approxQuantile("_tid", [0.5], 0.0)[0]
+        for i, part in enumerate(
+            (df.filter(F.col("_tid") <= mid), df.filter(F.col("_tid") > mid))
+        ):
+            tmp = f"{d}/tmp"
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.copy(
+                glob.glob(f"{tmp}/part-*.parquet")[0], f"{d}/batch_{i}.parquet"
+            )
+            shutil.rmtree(tmp)
+        return d
+
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace("ga", "double", 0.0)
+    env.create_namespace("gb", "double", 0.0)
+    runners = {
+        ns: StreamRunner(env, _bank_graph_ns(env, ns), collect_votes=False)
+        for ns in ("ga", "gb")
+    }
+    queries = {}
+    # gate-sized epochs: 32-way shuffles on tens-of-k-row epoch frames
+    # are pure task-scheduling overhead (same sizing the latency bench
+    # and drain_stream use); restore the session default afterwards
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for ns, df in halves.items():
+            d = spill(df, ns)
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            queries[ns] = runners[ns].start(src)
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    outs = []
+    for ns in ("ga", "gb"):
+        outs.append(
+            env.store.read(ns).select(
+                F.lit(ns).alias("graph"),
+                "key",
+                F.col("value").cast("bigint").alias("balance_c"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("graph", "key")
+
+
+def _bank_graph_ns(env: TxEnvironment, ns: str):
+    return (
+        env.graph()
+        .flat_map(
+            lambda df: F.array(
+                F.struct(
+                    F.col("from_account").alias("account"),
+                    (-F.col("amount")).alias("delta"),
+                ),
+                F.struct(
+                    F.col("to_account").alias("account"),
+                    F.col("amount").alias("delta"),
+                ),
+            )
+        )
+        .state(
+            ns,
+            key=lambda df: F.col("account"),
+            update=lambda v: v + F.col("delta"),
+            pre_combine={"delta": "sum"},
+            epoch_combine=True,
+        )
+    )
