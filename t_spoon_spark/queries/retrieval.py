@@ -377,3 +377,70 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "index_compression_estimate",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({DD_TOKS}) AS term FROM documents),
+    postings AS (SELECT DISTINCT term, doc_id FROM tok),
+    deltas AS (
+      SELECT term, doc_id,
+             doc_id - LAG(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS delta
+      FROM postings
+    ),
+    bits AS (
+      SELECT term,
+             COUNT(*) AS df,
+             CAST(SUM(CASE WHEN delta IS NULL THEN 64
+                           WHEN delta = 0 THEN 1
+                           ELSE length(bin(delta)) END) AS BIGINT) AS delta_bits,
+             CAST(COUNT(*) * 64 AS BIGINT) AS raw_bits
+      FROM deltas GROUP BY term
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(df) AS BIGINT) AS n_postings,
+           CAST(SUM(raw_bits) AS BIGINT) AS raw_bits,
+           CAST(SUM(delta_bits) AS BIGINT) AS delta_bits,
+           CAST(FLOOR(SUM(raw_bits) * 100.0 / SUM(delta_bits)) AS BIGINT)
+             AS compression_x100
+    FROM bits
+    """,
+)
+def index_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index storage planning: per-term posting lists are
+    delta-encoded (sorted doc-id gaps), and the entry reports the
+    minimal bit budget (bit_length of each gap; 64 for each list head)
+    against raw 64-bit postings — the d-gap estimate that decides
+    codec and block size before building a real index. One explode +
+    distinct, one per-term LAG window (partitioned by term — fully
+    parallel), and a global roll-up; bit_length computes exactly as
+    length(bin(x)) in both engines."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    postings = tok.select("term", "doc_id").distinct()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    deltas = postings.withColumn(
+        "delta", F.col("doc_id") - F.lag("doc_id").over(w)
+    )
+    bit_len = (
+        F.when(F.col("delta").isNull(), F.lit(64))
+        .when(F.col("delta") == 0, F.lit(1))
+        .otherwise(F.length(F.conv(F.col("delta").cast("string"), 10, 2)))
+    )
+    bits = deltas.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(bit_len).cast("long").alias("delta_bits"),
+        (F.count(F.lit(1)) * 64).cast("long").alias("raw_bits"),
+    )
+    return bits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum("raw_bits").cast("long").alias("raw_bits"),
+        F.sum("delta_bits").cast("long").alias("delta_bits"),
+        F.floor(F.sum("raw_bits") * 100.0 / F.sum("delta_bits"))
+        .cast("long")
+        .alias("compression_x100"),
+    )

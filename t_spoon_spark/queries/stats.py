@@ -401,3 +401,79 @@ def stats_winsorized_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_ab_welch_t",
+    f"""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM({dd_fixed('value')}) AS BIGINT) AS sy,
+             CAST(SUM({dd_fixed('value')} * {dd_fixed('value')}) AS BIGINT) AS syy
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+    ),
+    ab AS (
+      SELECT
+        (SELECT n FROM m WHERE event_type = 'click') AS na,
+        (SELECT sy FROM m WHERE event_type = 'click') AS sya,
+        (SELECT syy FROM m WHERE event_type = 'click') AS syya,
+        (SELECT n FROM m WHERE event_type = 'purchase') AS nb,
+        (SELECT sy FROM m WHERE event_type = 'purchase') AS syb,
+        (SELECT syy FROM m WHERE event_type = 'purchase') AS syyb
+    )
+    SELECT na, nb,
+           CAST(FLOOR(
+             (CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb) * 1000000
+             / sqrt(
+                 (CAST(syya AS DOUBLE) / na - (CAST(sya AS DOUBLE) / na) * (CAST(sya AS DOUBLE) / na)) / (na - 1)
+               + (CAST(syyb AS DOUBLE) / nb - (CAST(syb AS DOUBLE) / nb) * (CAST(syb AS DOUBLE) / nb)) / (nb - 1)
+             ) + 0.5) AS BIGINT) AS welch_t_c
+    FROM ab
+    """,
+)
+def stats_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic between the click and purchase value
+    distributions (the unequal-variance A/B test): group moments are
+    exact BIGINT sums, and the t statistic is ONE fixed-shape IEEE
+    expression over them (identical operand order in both engines) —
+    the same single-rounding discipline as Pearson. The experimentation
+    primitive every product-analytics stack ships; moments merge
+    associatively, so per-shard partials roll up before the one final
+    expression."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    m = (
+        ev.select("event_type", fixed("value").alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+    )
+    a = m.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("na"), F.col("sy").alias("sya"), F.col("syy").alias("syya")
+    )
+    b = m.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("nb"), F.col("sy").alias("syb"), F.col("syy").alias("syyb")
+    )
+    ab = a.crossJoin(F.broadcast(b))
+    mean_a = F.col("sya").cast("double") / F.col("na")
+    mean_b = F.col("syb").cast("double") / F.col("nb")
+    var_a = (
+        F.col("syya").cast("double") / F.col("na") - mean_a * mean_a
+    ) / (F.col("na") - 1)
+    var_b = (
+        F.col("syyb").cast("double") / F.col("nb") - mean_b * mean_b
+    ) / (F.col("nb") - 1)
+    return ab.select(
+        "na",
+        "nb",
+        F.floor((mean_a - mean_b) * 1e6 / F.sqrt(var_a + var_b) + 0.5)
+        .cast("long")
+        .alias("welch_t_c"),
+    )
