@@ -387,3 +387,157 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "funnel_conversion_latency",
+    """
+    WITH pairs AS (
+      SELECT c.event_id AS click_id,
+             MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS delay_us
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOURS
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      GROUP BY c.event_id
+    ),
+    ranked AS (
+      SELECT delay_us,
+             ROW_NUMBER() OVER (ORDER BY delay_us, click_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM pairs
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_conversions,
+           CAST(MAX(CASE WHEN rn = GREATEST((n * 50 + 99) // 100, 1)
+                         THEN delay_us END) AS BIGINT) AS p50_delay_us,
+           CAST(MAX(CASE WHEN rn = GREATEST((n * 90 + 99) // 100, 1)
+                         THEN delay_us END) AS BIGINT) AS p90_delay_us
+    FROM ranked
+    """,
+)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: each click's FIRST same-user
+    purchase within 24h defines its delay; report exact p50/p90 delays
+    over converting clicks (deterministic rank positions, the
+    winsorize entry's convention). The interval join is the bounded
+    range join the streaming entries use; the percentile pass runs on
+    conversions only (already small). The time-to-convert curve is the
+    product question funnels exist to answer — counts alone
+    (funnel_view_click_purchase) miss it."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    pairs = (
+        clicks.join(purchases, "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("click_id")
+        .agg(
+            F.min(
+                F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+            ).alias("delay_us")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    ranked = pairs.select(
+        "delay_us",
+        F.row_number().over(W.orderBy("delay_us", "click_id")).alias("rn"),
+        F.count(F.lit(1)).over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_conversions"),
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.expr("(n * 50 + 99) div 100"), F.lit(1)),
+                F.col("delay_us"),
+            )
+        )
+        .cast("long")
+        .alias("p50_delay_us"),
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.expr("(n * 90 + 99) div 100"), F.lit(1)),
+                F.col("delay_us"),
+            )
+        )
+        .cast("long")
+        .alias("p90_delay_us"),
+    )
+
+
+@register(
+    "pareto_revenue_concentration",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT s,
+             ROW_NUMBER() OVER (ORDER BY s DESC, o_custkey) AS rn,
+             COUNT(*) OVER () AS n,
+             SUM(s) OVER () AS total,
+             SUM(s) OVER (ORDER BY s DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM spend
+    ),
+    pcts AS (SELECT unnest([10, 20, 50]) AS top_pct)
+    SELECT p.top_pct,
+           CAST(MAX(CASE WHEN rn = GREATEST(n * p.top_pct // 100, 1)
+                         THEN CAST(cum AS BIGINT) END) * 1000
+                // MAX(CAST(total AS BIGINT)) AS BIGINT) AS revenue_share_c
+    FROM pcts p CROSS JOIN ranked
+    GROUP BY p.top_pct
+    ORDER BY p.top_pct
+    """,
+)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 read): share of total revenue
+    contributed by the top 10/20/50% of customers by spend — exact
+    integer cumulative sums at deterministic rank cutoffs. One customer
+    rollup, one ordered window over the (customer-sized) spend table,
+    three cutoff probes. The whale-dependence metric that decides
+    where retention spend goes."""
+    orders = t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("s")
+    )
+    from pyspark.sql import Window as W
+
+    w_ord = W.orderBy(F.desc("s"), F.asc("o_custkey"))
+    ranked = spend.select(
+        "s",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("n"),
+        F.sum("s")
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("total"),
+        F.sum("s").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+    )
+    pcts = spark.createDataFrame([(10,), (20,), (50,)], "top_pct int")
+    joined = F.broadcast(pcts).crossJoin(ranked)
+    return (
+        joined.groupBy("top_pct")
+        .agg(
+            F.expr(
+                "cast(max(case when rn = greatest((n * top_pct) div 100, 1) "
+                "then cast(cum as bigint) end) * 1000 "
+                "div max(cast(total as bigint)) as bigint)"
+            ).alias("revenue_share_c")
+        )
+        .orderBy("top_pct")
+    )

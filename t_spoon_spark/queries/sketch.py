@@ -350,3 +350,87 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_clicks bigint, est_purchases bigint, est_union bigint, "
         "jaccard_c bigint, est_intersection bigint",
     )
+
+
+@register(
+    "sketch_hll_sliding_7d",
+    f"""
+    WITH h AS (
+      SELECT (epoch_us(ts) // 86400000000) AS day, {_HU} AS h FROM events
+    ),
+    reg AS (
+      SELECT day, h % {HLL_M} AS bucket,
+             MAX(CASE WHEN (h // {HLL_M}) % {1 << HLL_W} = 0 THEN {HLL_W + 1}
+                      ELSE {HLL_W} + 1 - length(bin((h // {HLL_M}) % {1 << HLL_W}))
+                 END) AS rho_max
+      FROM h GROUP BY day, bucket
+    ),
+    days AS (SELECT DISTINCT day FROM reg),
+    win AS (
+      SELECT d.day, r.bucket, MAX(r.rho_max) AS rho_max
+      FROM days d JOIN reg r ON r.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day, r.bucket
+    ),
+    s AS (
+      SELECT day, COUNT(*) AS used,
+             CAST(SUM(CAST(power(2, {SCALE_POW} - rho_max) AS BIGINT)) AS BIGINT) AS s_used
+      FROM win GROUP BY day
+    )
+    SELECT day,
+           used AS n_buckets_used,
+           CAST(FLOOR({HLL_ALPHA_NUM} /
+                CAST(s_used + ({HLL_M} - used) * {1 << SCALE_POW} AS DOUBLE)) AS BIGINT)
+             AS est_7d_users
+    FROM s
+    ORDER BY day
+    """,
+)
+def sketch_hll_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day WITHOUT re-scanning raw
+    events per window: daily HLL registers merge by bucket-wise MAX
+    across each day's trailing window — the rolling-MAU pattern where
+    the persisted state is one 512-register sketch per day and every
+    window estimate is a register merge. The window join runs on the
+    (days x buckets)-sized register table, never on events; the same
+    registers answer any other window length after the fact. Oracle
+    rebuilds the identical two-level structure."""
+    from t_spoon_spark.operators.text import md5_long
+
+    ev = t(spark, sf_dir, "events")
+    h = ev.select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+        md5_long(F.col("user_id").cast("string")).alias("__h"),
+    )
+    w = F.expr(f"(__h div {HLL_M}) % {1 << HLL_W}")
+    bits = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = (
+        F.when(w == 0, F.lit(HLL_W + 1))
+        .otherwise(F.lit(HLL_W) + 1 - bits)
+        .cast("long")
+    )
+    reg = (
+        h.select("day", (F.col("__h") % F.lit(HLL_M)).alias("bucket"), rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    days = reg.select("day").distinct().select(F.col("day").alias("d"))
+    win = (
+        days.join(
+            reg,
+            (F.col("day") >= F.col("d") - 6) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy(F.col("d").alias("day"), "bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    term = F.pow(F.lit(2.0), F.lit(SCALE_POW) - F.col("rho_max")).cast("long")
+    s = win.groupBy("day").agg(
+        F.count(F.lit(1)).alias("used"), F.sum(term).alias("s_used")
+    )
+    s_total = F.col("s_used") + (F.lit(HLL_M) - F.col("used")) * F.lit(1 << SCALE_POW)
+    return s.select(
+        "day",
+        F.col("used").alias("n_buckets_used"),
+        F.floor(F.expr(HLL_ALPHA_NUM) / s_total.cast("double"))
+        .cast("long")
+        .alias("est_7d_users"),
+    ).orderBy("day")
