@@ -342,3 +342,42 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+@register(
+    "unpivot_order_metrics",
+    """
+    WITH per_status AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_c,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, metric, value FROM per_status
+    UNPIVOT (value FOR metric IN (n_orders, total_c, n_customers))
+    ORDER BY o_orderstatus, metric
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long) surface: the per-status metrics table
+    melts into (status, metric, value) rows — the inverse of the pivot
+    entry, completing the reshaping pair. Spark's unpivot/melt is pure
+    row expansion (each input row emits one row per value column, no
+    shuffle); the oracle uses DuckDB's native UNPIVOT so both engines'
+    reshaping semantics are pinned against each other."""
+    orders = t(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("total_c"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+    )
+    return per_status.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "total_c", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("o_orderstatus", "metric")
