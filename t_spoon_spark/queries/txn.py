@@ -650,3 +650,55 @@ def _bank_graph_ns(env: TxEnvironment, ns: str):
             epoch_combine=True,
         )
     )
+
+
+@register(
+    "queryable_state_multi_query",
+    f"""
+    WITH movements AS (
+      SELECT 'a' || CAST(user_id % {KEYSPACE} AS VARCHAR) AS account,
+             -FLOOR(value) AS delta
+      FROM events
+      UNION ALL
+      SELECT 'a' || CAST((user_id * 7 + 3) % {KEYSPACE} AS VARCHAR) AS account,
+             FLOOR(value) AS delta
+      FROM events
+    ),
+    balances AS (
+      SELECT account AS key, CAST(100 + SUM(delta) AS BIGINT) AS value_c
+      FROM movements GROUP BY account
+    )
+    SELECT 'q_keys' AS query_id, key, value_c
+    FROM balances WHERE key IN ('a1', 'a7', 'a23')
+    UNION ALL
+    SELECT 'q_pred', key, value_c FROM balances WHERE value_c < 0
+    ORDER BY query_id, key
+    """,
+)
+def queryable_state_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 + Q3 driver-visible: a BATCH of query requests (one key query
+    over {{a1, a7, a23}}, one predicate query `value < 0`) executes
+    against a single pinned committed snapshot via env.execute_queries
+    — the reference's QuerySupplier -> QueryResultMerger cycle
+    (tgraph/query/QueryResultMerger.java:36-51) in one call. Both
+    requests read the same epoch, so the merged result is consistent by
+    construction; the oracle recomputes each request against the
+    grouped-sum balances."""
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace("balances", "double", 100.0)
+    runner = env.runner(_bank_graph(env))
+    runner.run_to_completion(_transfers(spark, sf_dir))
+    requests = spark.createDataFrame(
+        [
+            ("q_keys", "balances", ["a1", "a7", "a23"], None),
+            ("q_pred", "balances", None, "value < 0"),
+        ],
+        "query_id string, namespace string, keys array<string>, predicate string",
+    )
+    out = env.execute_queries(requests)
+    return (
+        out.select(
+            "query_id", "key", F.col("value").cast("bigint").alias("value_c")
+        )
+        .orderBy("query_id", "key")
+    )
