@@ -48,14 +48,33 @@ def register(name: str, duckdb_sql: str | None = None):
 # The driver checks only the first 50 registry entries per round.  Order
 # by *risk*: the transactional and streaming entries exercise the
 # engine's novel mechanisms (epoch commit, isolation, stateful
-# streaming) whose code moves most rounds, so they always come first.
-# Everything else is covered by the never-checked / last-red tiers and
-# the staleness rotation below — a stable suite that hasn't changed
-# does not need a permanent reservation, it needs periodic evidence,
-# which staleness ordering guarantees.
+# streaming) whose code moves most rounds, so they lead — but only in
+# rounds where that code actually moved.  A high-risk entry keeps its
+# reserved slot iff (a) its last driver run was red, (b) it has never
+# been driver-checked, or (c) any of the modules implementing the
+# transactional/streaming engine changed since the round of its last
+# driver row (git-diff-aware, uncommitted worktree changes included).
+# Otherwise the entry is demoted into the staleness rotation: a stable
+# suite that hasn't changed does not need a permanent reservation, it
+# needs periodic evidence, which staleness ordering guarantees
+# (round-5 verdict "What's wrong" #2 — 19 permanently reserved slots
+# would have starved the never-checked drain).
 _HIGH_RISK_PREFIXES = (
     "txn_",
     "streaming_",
+)
+
+# Modules whose change re-activates the high-risk reservation.  This is
+# the full implementation surface of the txn_/streaming_ entries: the
+# epoch/commit/isolation core, the structured-streaming twins, the
+# deterministic sources feeding both, and the query modules that
+# register the entries themselves.
+_HIGH_RISK_WATCH = (
+    "t_spoon_spark/tx",
+    "t_spoon_spark/streaming",
+    "t_spoon_spark/sources",
+    "t_spoon_spark/queries/txn.py",
+    "t_spoon_spark/queries/streaming_native.py",
 )
 
 # Within the never-driver-checked tier, these lead: they exercise novel
@@ -119,6 +138,61 @@ def _correctness_history() -> tuple[dict[str, int], set[str], int]:
         return {}, set(), 0
 
 
+_CHANGED_CACHE: dict[int, bool] = {}
+
+
+def _watched_changed_since(round_idx: int) -> bool:
+    """True iff any ``_HIGH_RISK_WATCH`` path changed since the commit
+    that added the ``round_idx``-th CORRECTNESS artifact — committed
+    changes, staged/unstaged edits, and untracked new files all count.
+
+    Conservative by construction: any state it cannot determine (no
+    git, artifact never committed, subprocess failure) reads as
+    "changed", which keeps the reservation — the pre-round-6 behavior.
+    """
+    if round_idx in _CHANGED_CACHE:
+        return _CHANGED_CACHE[round_idx]
+    changed = True
+    try:
+        import glob
+        import os
+        import subprocess
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+        if 0 <= round_idx < len(files):
+            rel = os.path.basename(files[round_idx])
+
+            def _git(*args: str) -> str:
+                return subprocess.run(
+                    ["git", *args],
+                    cwd=root,
+                    capture_output=True,
+                    text=True,
+                    timeout=20,
+                    check=True,
+                ).stdout
+
+            commit = _git(
+                "log", "--diff-filter=A", "--format=%H", "-n", "1", "--", rel
+            ).strip()
+            if commit:
+                diff = _git("diff", "--name-only", commit, "--", *_HIGH_RISK_WATCH)
+                status = _git("status", "--porcelain", "--", *_HIGH_RISK_WATCH)
+                changed = bool(diff.strip()) or bool(status.strip())
+    except Exception:
+        changed = True
+    _CHANGED_CACHE[round_idx] = changed
+    return changed
+
+
+def _keeps_reservation(name: str, last_round: dict[str, int], red: set[str]) -> bool:
+    """Does this high-risk entry keep its reserved window slot?"""
+    if name not in last_round or name in red:
+        return True
+    return _watched_changed_since(last_round[name])
+
+
 def _ordered() -> list[QueryEntry]:
     """Risk-ordered registry: the driver checks only a 50-entry prefix
     per round, so order = high-risk mechanisms, then entries whose last
@@ -135,7 +209,12 @@ def _ordered() -> list[QueryEntry]:
     """
     entries = list(_REGISTRY.values())
     last_round, red, _rounds = _correctness_history()
-    high = [e for e in entries if e.name.startswith(_HIGH_RISK_PREFIXES)]
+    high = [
+        e
+        for e in entries
+        if e.name.startswith(_HIGH_RISK_PREFIXES)
+        and _keeps_reservation(e.name, last_round, red)
+    ]
     high_names = {e.name for e in high}
     red_entries = [
         e

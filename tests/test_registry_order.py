@@ -27,6 +27,8 @@ def test_priority_order_high_red_never_then_stalest(monkeypatch):
     monkeypatch.setattr(
         registry, "_correctness_history", lambda: (last_round, {red}, 5)
     )
+    # engine code changed this round -> high-risk entries keep their slots
+    monkeypatch.setattr(registry, "_watched_changed_since", lambda i: True)
     ordered = [e.name for e in registry._ordered()]
 
     n_high = len(high)
@@ -55,6 +57,7 @@ def test_red_entries_inside_window_even_when_never_tier_overflows(monkeypatch):
     monkeypatch.setattr(
         registry, "_correctness_history", lambda: (last_round, reds, 4)
     )
+    monkeypatch.setattr(registry, "_watched_changed_since", lambda i: True)
     ordered = [e.name for e in registry._ordered()]
     window = set(ordered[:50])
     assert reds <= window, sorted(reds - window)
@@ -84,3 +87,68 @@ def test_checked_entries_cycle_to_the_back(monkeypatch):
     )
     o2 = [e.name for e in registry._ordered()]
     assert o2.index(b) < o2.index(a)
+
+
+def test_high_risk_demoted_when_engine_unchanged(monkeypatch):
+    """Round-6 policy: when tx/streaming code has NOT changed since a
+    high-risk entry's last green driver row, the entry loses its
+    reserved slot and joins the staleness rotation — freeing the window
+    for the never-checked drain (round-5 verdict "What's wrong" #2)."""
+    registry._load_all()
+    names = list(registry._REGISTRY)
+    high = [n for n in names if n.startswith(registry._HIGH_RISK_PREFIXES)]
+    assert high, "policy test needs high-risk entries"
+    non_high = [n for n in names if n not in set(high)]
+    # all high-risk green + checked last round; many never-checked others
+    never = set(non_high[: max(1, len(non_high) - 5)])
+    last_round = {n: 4 for n in names if n not in never}
+    monkeypatch.setattr(
+        registry, "_correctness_history", lambda: (last_round, set(), 5)
+    )
+    monkeypatch.setattr(registry, "_watched_changed_since", lambda i: False)
+    ordered = [e.name for e in registry._ordered()]
+    # every never-checked entry outranks every (demoted, fresh) high-risk
+    worst_never = max(ordered.index(n) for n in never)
+    best_high = min(ordered.index(n) for n in high)
+    assert worst_never < best_high
+    assert len(ordered) == len(names) == len(set(ordered))
+
+
+def test_high_risk_red_or_unchecked_keeps_slot_even_when_unchanged(monkeypatch):
+    """Demotion never applies to a high-risk entry that is last-known
+    red or has no driver evidence — those must stay inside the window
+    regardless of git state."""
+    registry._load_all()
+    names = list(registry._REGISTRY)
+    high = [n for n in names if n.startswith(registry._HIGH_RISK_PREFIXES)]
+    assert len(high) >= 2
+    red_one, unchecked_one = high[0], high[1]
+    last_round = {n: 4 for n in names if n != unchecked_one}
+    monkeypatch.setattr(
+        registry, "_correctness_history", lambda: (last_round, {red_one}, 5)
+    )
+    monkeypatch.setattr(registry, "_watched_changed_since", lambda i: False)
+    ordered = [e.name for e in registry._ordered()]
+    demoted = [n for n in high if n not in (red_one, unchecked_one)]
+    assert ordered.index(red_one) < min(ordered.index(n) for n in demoted)
+    assert ordered.index(unchecked_one) < min(ordered.index(n) for n in demoted)
+    assert ordered.index(red_one) < 50 and ordered.index(unchecked_one) < 50
+
+
+def test_live_window_drains_never_checked_tier():
+    """Against the REAL artifacts + git state of this worktree: every
+    entry with no CORRECTNESS_r* row must sit inside the 50-entry
+    window (the round-6 drain contract).  Engine code is frozen this
+    round, so the demotion must actually fire."""
+    registry._CHANGED_CACHE.clear()
+    registry._load_all()
+    last_round, _red, rounds = registry._correctness_history()
+    if rounds == 0:  # artifacts not visible (vanilla checkout) — vacuous
+        return
+    ordered = [e.name for e in registry._ordered()]
+    never = [n for n in ordered if n not in last_round]
+    if len(never) > 50:  # corpus grew past one window; contract is best-effort
+        never = never[:50]
+    window = set(ordered[:50])
+    missing = [n for n in never if n not in window]
+    assert not missing, missing
