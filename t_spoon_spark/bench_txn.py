@@ -226,24 +226,78 @@ def sustainable_tps(
                 hi = mid
 
         if measure_latency:
-            per_epoch = max(1, int(lo * epoch_seconds))
-            runner = env_factory()
-            warm = min(1000, max(1, total // 10))
-            runner.run_epoch(transfers.filter(F.col("_tid") >= total - warm))
-            walls = []
-            for i in range(n_epochs):
-                batch = transfers.filter(
-                    (F.col("_tid") >= i * per_epoch)
-                    & (F.col("_tid") < (i + 1) * per_epoch)
-                )
-                t0 = time.time()
-                runner.run_epoch(batch)
-                walls.append(time.time() - t0)
-            latency_ms = round(1000.0 * sum(walls) / len(walls), 1)
+            latency_ms = _latency_at(
+                env_factory, transfers, total, lo, epoch_seconds, n_epochs
+            )
             return round(lo, 1), latency_ms
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return round(lo, 1)
+
+
+def _latency_at(
+    env_factory, transfers, total: int, rate: float,
+    epoch_seconds: float, n_epochs: int,
+) -> float:
+    """Mean epoch wall (ms) feeding rate*epoch_seconds-sized epochs to a
+    fresh warmed runner — end-to-end commit latency AT that injection
+    rate in the epoch model. Caller owns the shuffle-partition conf."""
+    per_epoch = max(1, int(rate * epoch_seconds))
+    runner = env_factory()
+    warm = min(1000, max(1, total // 10))
+    runner.run_epoch(transfers.filter(F.col("_tid") >= total - warm))
+    walls = []
+    for i in range(n_epochs):
+        batch = transfers.filter(
+            (F.col("_tid") >= i * per_epoch) & (F.col("_tid") < (i + 1) * per_epoch)
+        )
+        t0 = time.time()
+        runner.run_epoch(batch)
+        walls.append(time.time() - t0)
+    return round(1000.0 * sum(walls) / len(walls), 1)
+
+
+def txn_latency_ms_at_rate(
+    spark: SparkSession,
+    sf_dir: str,
+    rate: float,
+    fold: bool = False,
+    epoch_seconds: float = 5.0,
+    n_epochs: int = 3,
+    isolation: str = "PL3",
+    keyspace: int = KEYSPACE,
+) -> float:
+    """Commit latency at a caller-chosen injection rate — used by the
+    bench to report latency at 0.8x the discovered sustainable rate.
+    At the saturation edge the epoch wall equals its budget by
+    construction (the sustain criterion), so the at-sustained number
+    measures queueing; backed off 20%, the wall measures service time —
+    the operating point a deployment actually runs at (the reference
+    reports latency at the rate its TunableSource settles on,
+    evaluation/TunableSource.java:29-33)."""
+
+    def env_factory():
+        env = TxEnvironment(spark, isolation=isolation)
+        env.create_namespace(
+            "balances", "double", 100.0, invariant=None if fold else "value >= 0"
+        )
+        return env.runner(_graph(env, fold))
+
+    transfers = _transfers(spark, sf_dir, keyspace).localCheckpoint(eager=True)
+    total = transfers.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # cap the epoch to what the dataset can feed (same guard as the
+        # probe loop — small SFs are data-limited, not rate-limited)
+        warm = min(1000, max(1, total // 10))
+        max_rate = (total - warm) / (epoch_seconds * n_epochs)
+        return _latency_at(
+            env_factory, transfers, total, min(rate, max_rate),
+            epoch_seconds, n_epochs,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def bank_transfer_tps_fold(spark: SparkSession, sf_dir: str) -> float:
