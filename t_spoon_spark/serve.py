@@ -1,0 +1,178 @@
+"""Queryable-state service: the reference's external query client flow
+(tgraph/query/QuerySupplier.java -> Query/PredicateQuery ->
+QueryResultMerger.java:36-51) as a thin server over a long-lived
+TxEnvironment.
+
+The reference runs a TCP mesh where query clients submit key/predicate
+queries that execute against state partitions at a consistent
+watermark.  Here the equivalent surface is a line-delimited-JSON TCP
+service over the engine session: every request pins the committed
+epoch at arrival (`watermark()`), reads the snapshot-consistent store
+at that pin, and returns control-plane-sized JSON rows.  Concurrent
+epochs keep committing underneath; the pin guarantees each response is
+one consistent snapshot (SURVEY.md §2.4 Q1/Q2/Q4).
+
+In-process use (no socket)::
+
+    svc = StateService(env)
+    svc.query_keys("balances", ["a1", "a2"])   # rows at pinned epoch
+    svc.sql("SELECT count(*) AS n FROM state_balances WHERE value < 0")
+
+As a server::
+
+    with StateService(env).serve() as addr:    # (host, port)
+        # any client, any language:
+        #   send  {"op": "keys", "ns": "balances", "keys": ["a1"]}\n
+        #   recv  {"ok": true, "epoch": 7, "rows": [["a1", 70.0]]}\n
+
+The result payloads are collected to the driver deliberately: query
+responses are key-set / aggregate sized (the reference's query results
+likewise travel its TCP mesh as materialized values), never the
+data-plane state itself.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+from typing import Any
+
+
+class StateService:
+    """Read-only query facade over a :class:`TxEnvironment`."""
+
+    def __init__(self, env):
+        self.env = env
+        self._server: _Server | None = None
+        # env.sql pins its snapshot via shared state_<ns> temp views;
+        # concurrent sql requests would race the view rebind, so the
+        # sql path is serialized (control-plane rate, not a bottleneck)
+        self._sql_lock = threading.Lock()
+
+    # -- in-process API (each call = one pinned consistent snapshot) ----
+
+    def pin(self, epoch: int | None = None) -> int:
+        """Resolve the snapshot epoch for one request: the committed
+        watermark at arrival, or a caller-chosen historical epoch
+        (time travel, SURVEY §2.4 Q4)."""
+        return self.env.watermark() if epoch is None else int(epoch)
+
+    def query_keys(
+        self, ns: str, keys: list[str], epoch: int | None = None
+    ) -> dict[str, Any]:
+        pin = self.pin(epoch)
+        rows = self.env.query_keys(ns, keys, epoch=pin).orderBy("key").collect()
+        return {"epoch": pin, "rows": [[r["key"], r["value"]] for r in rows]}
+
+    def query_predicate(
+        self, ns: str, predicate_sql: str, epoch: int | None = None
+    ) -> dict[str, Any]:
+        pin = self.pin(epoch)
+        rows = (
+            self.env.query_predicate(ns, predicate_sql, epoch=pin)
+            .orderBy("key")
+            .collect()
+        )
+        return {"epoch": pin, "rows": [[r["key"], r["value"]] for r in rows]}
+
+    def sql(self, query: str, epoch: int | None = None) -> dict[str, Any]:
+        pin = self.pin(epoch)
+        with self._sql_lock:  # held through collect: the view bind and
+            # the read must see the same pin
+            df = self.env.sql(query, epoch=pin)
+            cols = df.columns
+            rows = [[row[c] for c in cols] for row in df.collect()]
+        return {"epoch": pin, "columns": cols, "rows": rows}
+
+    def handle(self, request: dict[str, Any]) -> dict[str, Any]:
+        """Execute one protocol request (the server's dispatch, usable
+        directly for in-process 'RPC')."""
+        try:
+            op = request.get("op")
+            epoch = request.get("epoch")
+            if op == "watermark":
+                out: dict[str, Any] = {"epoch": self.env.watermark()}
+            elif op == "keys":
+                out = self.query_keys(request["ns"], request["keys"], epoch)
+            elif op == "predicate":
+                out = self.query_predicate(request["ns"], request["predicate"], epoch)
+            elif op == "sql":
+                out = self.sql(request["query"], epoch)
+            else:
+                return {"ok": False, "error": f"unknown op: {op!r}"}
+            out["ok"] = True
+            return out
+        except Exception as exc:  # noqa: BLE001 — service edge: report, don't die
+            return {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
+
+    # -- TCP server -----------------------------------------------------
+
+    def serve(self, host: str = "127.0.0.1", port: int = 0) -> "StateService":
+        """Start the line-delimited-JSON TCP server on a daemon thread.
+        ``port=0`` picks a free port; the bound address is ``.address``.
+        Context-manager friendly: ``with svc.serve(): ...`` closes it."""
+        if self._server is not None:
+            raise RuntimeError("already serving")
+        self._server = _Server((host, port), self)
+        threading.Thread(target=self._server.serve_forever, daemon=True).start()
+        return self
+
+    @property
+    def address(self) -> tuple[str, int]:
+        if self._server is None:
+            raise RuntimeError("not serving")
+        return self._server.server_address[:2]
+
+    def close(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+    def __enter__(self) -> "StateService":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:
+        svc: StateService = self.server.service  # type: ignore[attr-defined]
+        for raw in self.rfile:
+            line = raw.strip()
+            if not line:
+                continue
+            try:
+                request = json.loads(line)
+            except json.JSONDecodeError as exc:
+                resp = {"ok": False, "error": f"bad json: {exc}"}
+            else:
+                resp = svc.handle(request)
+            self.wfile.write((json.dumps(resp) + "\n").encode())
+            self.wfile.flush()
+
+
+class _Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, service: StateService):
+        super().__init__(addr, _Handler)
+        self.service = service
+
+
+def query_client(host: str, port: int):
+    """Minimal client: returns a ``call(dict) -> dict`` closure over one
+    persistent connection (the reference's QuerySupplier loop)."""
+    sock = socket.create_connection((host, port))
+    rfile = sock.makefile("rb")
+
+    def call(request: dict[str, Any]) -> dict[str, Any]:
+        sock.sendall((json.dumps(request) + "\n").encode())
+        return json.loads(rfile.readline())
+
+    call.close = sock.close  # type: ignore[attr-defined]
+    return call

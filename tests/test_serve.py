@@ -1,0 +1,123 @@
+"""Queryable-state service (serve.py): the reference's external query
+client flow (QuerySupplier -> Query/PredicateQuery -> QueryResultMerger)
+over a long-lived engine session — key/predicate/SQL queries against a
+pinned committed snapshot, concurrent with epoch commits."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from t_spoon_spark.serve import StateService, query_client
+from t_spoon_spark.tx import TxEnvironment
+
+
+def _bank_env(spark):
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace("balances", "double", 100.0, invariant="value >= 0")
+    g = (
+        env.graph()
+        .flat_map(
+            lambda df: F.array(
+                F.struct(F.col("from_account").alias("account"), (-F.col("amount")).alias("delta")),
+                F.struct(F.col("to_account").alias("account"), F.col("amount").alias("delta")),
+            )
+        )
+        .state("balances", key=lambda df: F.col("account"), update=lambda v: v + F.col("delta"))
+    )
+    return env, env.runner(g)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "_tid long, from_account string, to_account string, amount double"
+    )
+
+
+def test_in_process_service_pins_snapshot(spark):
+    env, runner = _bank_env(spark)
+    runner.run_epoch(_batch(spark, [(1, "a1", "a2", 30.0)]))
+    svc = StateService(env)
+
+    e1 = env.watermark()
+    out = svc.query_keys("balances", ["a1", "a2"])
+    assert out == {"epoch": e1, "rows": [["a1", 70.0], ["a2", 130.0]]}
+
+    # state advances; a request pinned at the OLD epoch still answers
+    # from that snapshot (time travel), a fresh request sees the new one
+    runner.run_epoch(_batch(spark, [(2, "a2", "a1", 50.0)]))
+    old = svc.query_keys("balances", ["a1", "a2"], epoch=e1)
+    assert old["rows"] == [["a1", 70.0], ["a2", 130.0]]
+    new = svc.query_keys("balances", ["a1", "a2"])
+    assert new["epoch"] == e1 + 1
+    assert new["rows"] == [["a1", 120.0], ["a2", 80.0]]
+
+    pred = svc.query_predicate("balances", "value > 100.0")
+    assert pred["rows"] == [["a1", 120.0]]
+
+    agg = svc.sql("SELECT count(*) AS n, sum(value) AS total FROM state_balances")
+    assert agg["columns"] == ["n", "total"]
+    assert agg["rows"] == [[2, 200.0]]
+
+
+def test_tcp_server_roundtrip_and_errors(spark):
+    env, runner = _bank_env(spark)
+    runner.run_epoch(_batch(spark, [(1, "a1", "a2", 25.0)]))
+
+    with StateService(env).serve() as svc:
+        call = query_client(*svc.address)
+        wm = call({"op": "watermark"})
+        assert wm["ok"] and wm["epoch"] == env.watermark()
+
+        resp = call({"op": "keys", "ns": "balances", "keys": ["a2"]})
+        assert resp["ok"] and resp["rows"] == [["a2", 125.0]]
+
+        resp = call({"op": "predicate", "ns": "balances", "predicate": "value < 100"})
+        assert resp["ok"] and resp["rows"] == [["a1", 75.0]]
+
+        resp = call(
+            {"op": "sql", "query": "SELECT key FROM state_balances ORDER BY key"}
+        )
+        assert resp["ok"] and resp["rows"] == [["a1"], ["a2"]]
+
+        # errors are per-request, the connection survives them
+        resp = call({"op": "keys", "ns": "nope", "keys": ["x"]})
+        assert not resp["ok"] and "error" in resp
+        resp = call({"op": "frobnicate"})
+        assert not resp["ok"]
+        resp = call({"op": "watermark"})
+        assert resp["ok"]
+        call.close()
+
+
+def test_server_concurrent_with_epoch_commits(spark):
+    """Queries racing epoch commits: every response is internally
+    consistent (sum conserved at ANY pinned epoch — money invariant)."""
+    import threading
+
+    env, runner = _bank_env(spark)
+    runner.run_epoch(_batch(spark, [(1, "a1", "a2", 10.0)]))
+    with StateService(env).serve() as svc:
+        call = query_client(*svc.address)
+        stop = threading.Event()
+        errors: list[str] = []
+
+        def commits():
+            tid = 2
+            while not stop.is_set():
+                runner.run_epoch(_batch(spark, [(tid, "a1", "a2", 1.0)]))
+                tid += 1
+
+        t = threading.Thread(target=commits, daemon=True)
+        t.start()
+        try:
+            for _ in range(10):
+                resp = call({"op": "sql", "query": "SELECT sum(value) AS s FROM state_balances"})
+                if not resp["ok"]:
+                    errors.append(resp["error"])
+                elif resp["rows"][0][0] != 200.0:
+                    errors.append(f"sum violated: {resp['rows']}")
+        finally:
+            stop.set()
+            t.join(timeout=60)
+        call.close()
+    assert not errors, errors
