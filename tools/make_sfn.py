@@ -1,0 +1,87 @@
+"""Amplify the driver testdata to a larger scale factor for local
+scale rehearsals (SCALING.md): replicate every scaling table N times
+with disjoint key offsets so primary keys stay unique and foreign keys
+stay consistent within each copy.  Fixed dims (region, nation) are
+copied once.  Non-key attributes are left verbatim — the amplified
+corpus therefore has an ~(N-1)/N exact-duplicate rate on documents and
+embeddings, which makes it a deliberately heavy stress for the dedup /
+similarity families (noted alongside the rehearsal numbers).
+
+Usage: python tools/make_sfn.py [--copies 10] [--src /root/testdata/sf0.1]
+                                [--out /root/repo/.scratch/sf1]
+
+The output dir is scratch (gitignored) — TESTDATA.md's sf dirs are
+read-only and never touched.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# key columns to offset, with a stride comfortably above the sf0.1 max
+# key so every copy's id space is disjoint
+OFFSETS = {
+    "customer": {"c_custkey": 1_000_000},
+    "supplier": {"s_suppkey": 100_000},
+    "part": {"p_partkey": 1_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "lineitem": {
+        "l_orderkey": 10_000_000,
+        "l_partkey": 1_000_000,
+        "l_suppkey": 100_000,
+    },
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+COPY_ONCE = ["region", "nation"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=str(REPO / ".scratch" / "sf1"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from t_spoon_spark.session import build_spark
+
+    spark = build_spark(app_name="make_sfn")
+    os.makedirs(args.out, exist_ok=True)
+
+    for t in COPY_ONCE:
+        df = spark.read.parquet(os.path.join(args.src, f"{t}.parquet"))
+        df.write.mode("overwrite").parquet(os.path.join(args.out, f"{t}.parquet"))
+        print(f"{t}: copied")
+
+    # events carries TIMESTAMP(NANOS): under nanosAsLong (set by
+    # build_spark) `ts` reads as a raw-nanos BIGINT and writes back as
+    # BIGINT, which load_events' LongType branch normalizes on read —
+    # the amplified file round-trips through the same loader.
+    copies = F.explode(
+        F.array(*[F.lit(k) for k in range(args.copies)])
+    ).alias("_copy")
+    for t, offs in OFFSETS.items():
+        src = os.path.join(args.src, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        df = spark.read.parquet(src).select("*", copies)
+        for col, stride in offs.items():
+            df = df.withColumn(col, F.col(col) + F.col("_copy").cast("long") * stride)
+        out = os.path.join(args.out, f"{t}.parquet")
+        df.drop("_copy").write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        print(f"{t}: {n} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
