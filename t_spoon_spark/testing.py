@@ -81,6 +81,11 @@ def duckdb_connection(sf_dir: str):
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
         p = os.path.join(sf_dir, f"{tname}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):
+            # Spark-written dataset directory (the amplified scale-
+            # rehearsal tables): glob the part files
+            p = os.path.join(p, "*.parquet")
+        elif not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{p}')")
     return con
