@@ -103,7 +103,10 @@ def udtf_ngram_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     work gate-sized."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, pos bigint, bigram string")
+    # useArrow: without it Spark plans BatchEvalPythonUDTF (row-at-a-time
+    # pickling); with it the exchange is Arrow-batched like every other
+    # Python crossing in the engine (corpus-wide gate in test_plan_sweep)
+    @udtf(returnType="doc_id bigint, pos bigint, bigram string", useArrow=True)
     class BigramUdtf:
         def eval(self, doc_id, text):
             toks = [w for w in (text or "").split() if w]
