@@ -1,0 +1,105 @@
+"""The reference's external-query evaluation re-expressed on this
+engine (evaluation/QueryEvaluation.java:52-67: a query stream runs
+against live transactional state at the watermark): start the
+queryable-state TCP service on a long-lived session, keep committing
+transfer epochs, and issue key / predicate / SQL queries from a plain
+socket client while the state moves — every response is pinned to one
+committed epoch, so the money-conservation invariant holds in every
+answer even mid-stream.
+
+Run: python examples/query_service.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import threading
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+
+def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> dict:
+    from t_spoon_spark.bench_txn import _transfers
+    from t_spoon_spark.serve import StateService, query_client
+    from t_spoon_spark.session import build_spark
+    from t_spoon_spark.tx import TxEnvironment
+
+    own_session = spark is None
+    if own_session:
+        spark = build_spark(app_name="query_service_example")
+
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace("balances", "double", 100.0, invariant="value >= 0")
+    graph = (
+        env.graph()
+        .flat_map(
+            lambda df: F.array(
+                F.struct(F.col("from_account").alias("account"), (-F.col("amount")).alias("delta")),
+                F.struct(F.col("to_account").alias("account"), F.col("amount").alias("delta")),
+            )
+        )
+        .state(
+            "balances",
+            key=lambda df: F.col("account"),
+            update=lambda v: v + F.col("delta"),
+            pre_combine={"delta": "sum"},
+        )
+    )
+    runner = env.runner(graph)
+    transfers = (
+        _transfers(spark, sf_dir, keyspace=200)
+        .filter(F.col("_tid") < 2_000)
+        .localCheckpoint(eager=True)
+    )
+    runner.run_epoch(transfers.filter(F.col("_tid") < 500))
+
+    answers = []
+    with StateService(env).serve() as svc:
+        # epochs keep committing on a writer thread while we query
+        def writer():
+            for i in range(1, 4):
+                runner.run_epoch(
+                    transfers.filter(
+                        (F.col("_tid") >= i * 500) & (F.col("_tid") < (i + 1) * 500)
+                    )
+                )
+
+        t = threading.Thread(target=writer)
+        t.start()
+        call = query_client(*svc.address)
+        try:
+            for _ in range(6):
+                resp = call(
+                    {"op": "sql",
+                     "query": "SELECT count(*) AS accounts, sum(value) AS total"
+                              " FROM state_balances"}
+                )
+                assert resp["ok"], resp
+                accounts, total = resp["rows"][0]
+                # snapshot consistency: conservation holds at EVERY pin
+                assert total == 100.0 * accounts, resp
+                answers.append({"epoch": resp["epoch"], "total": total})
+            some_key = call(
+                {"op": "keys", "ns": "balances", "keys": ["a0", "a1"]}
+            )
+            overdrawn = call(
+                {"op": "predicate", "ns": "balances", "predicate": "value < 0"}
+            )
+            assert some_key["ok"] and overdrawn["ok"]
+            assert overdrawn["rows"] == [], "overdraft visible to a query!"
+        finally:
+            call.close()
+            t.join()
+
+    out = {"answers": answers, "final_watermark": env.watermark()}
+    print(out)
+    if own_session:
+        spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    main(sf_dir=sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

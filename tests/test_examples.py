@@ -1,0 +1,22 @@
+"""The examples/ programs (the reference's evaluation entry points:
+BankUseCase + ConsistencyCheck, QueryEvaluation) must run green on the
+shared session — they are living documentation, so they are tested."""
+
+from __future__ import annotations
+
+
+def test_bank_use_case_example(spark):
+    from examples.bank_use_case import main
+
+    out = main(spark)
+    assert out["votes"].get("COMMIT", 0) > 0
+    assert out["total"] == out["expected_total"]
+    assert out["min_balance"] >= 0.0
+
+
+def test_query_service_example(spark):
+    from examples.query_service import main
+
+    out = main(spark)
+    assert len(out["answers"]) == 6
+    assert out["final_watermark"] >= 1
