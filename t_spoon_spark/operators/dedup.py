@@ -328,22 +328,30 @@ def connected_components(
     # measured 2M at sf0.1), so cache them executor-side: a driver
     # LocalRelation would re-ship the whole edge list with every
     # round's tasks (~14 s/round vs sub-second cached).
-    edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
-        .persist()
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).unionByName(
+        pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
     )
+    # the union doubles the partition count; coalesce back to cores so
+    # every per-round job doesn't pay 2x task overhead (no shuffle —
+    # and on a cluster upstream AQE already sized the halves to data)
+    edges = edges.coalesce(
+        max(edges.sparkSession.sparkContext.defaultParallelism, 1)
+    ).persist()
     # labels are one row per distinct doc — control-sized; materialize
     # keeps the per-round plan flat and (locally) provides the pandas
     # twin for free convergence checks
     labels = materialize(edges.select("u").distinct().withColumn("label", F.col("u")))
 
     for _ in range(max_iter):
-        nmin = (
-            edges.join(labels.select(F.col("u").alias("v"), "label"), "v")
-            .groupBy("u")
-            .agg(F.min("label").alias("nlabel"))
-        )
+        lab = labels.select(F.col("u").alias("v"), "label")
+        if getattr(labels, "_tspoon_pdf", None) is not None:
+            # labels are a driver-resident control frame (the pandas
+            # twin exists, i.e. under materialize's size gate): hint the
+            # broadcast so the per-round edge join never shuffles the
+            # data-plane edge list. On the cluster path (no twin) the
+            # planner/AQE decides — labels there can be corpus-sized.
+            lab = F.broadcast(lab)
+        nmin = edges.join(lab, "v").groupBy("u").agg(F.min("label").alias("nlabel"))
         stepped = labels.join(nmin, "u", "left").select(
             "u",
             F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
