@@ -145,14 +145,19 @@ def bench_extra(spark, sf_dir) -> dict[str, float]:
         if name not in qs:
             continue
         try:
-            best = None
-            for _ in range(2):
-                t0 = time.time()
+            samples: list[float] = []
+            for i in range(3):  # 1 warmup + 2 measured, same error-bar
+                t0 = time.time()  # convention as the headline set
                 qs[name](spark, sf_dir).count()
                 dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            out[f"x_{name}_sec"] = round(best, 3)
-            print(f"# x_{name}: {best:.2f}s", file=sys.stderr)
+                if i > 0:
+                    samples.append(dt)
+            best = min(samples)
+            out[f"x_{name}_sec"] = {
+                "best": round(best, 3),
+                "spread": round(max(samples) - best, 3),
+            }
+            print(f"# x_{name}: best={best:.2f}s", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — per-metric isolation
             out[f"x_{name}_sec"] = "failed"
             print(f"# x_{name}: FAILED {exc}", file=sys.stderr)
