@@ -3,9 +3,16 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The line is deliberately COMPACT (round-6 verdict "What's wrong" #1:
+the round-6 line carried per-query {best, spread} dicts + an 8-point
+probe curve and outgrew the driver's ~2 kB tail capture, making the
+round's only bench record unparseable).  The contract line now carries
+plain best values only and is kept under ~1.5 kB; spreads, the probe
+curve, and everything else auditable land in `bench_details.json`
+(referenced from the line via "details_file") and on stderr.
+
 Also reports transactional throughput (bank-transfer workload derived
-from the events table) as queries entry "txn_bank_tps" once the
-transactional layer lands.
+from the events table) as queries entries "txn_bank_tps_*".
 """
 
 from __future__ import annotations
@@ -18,6 +25,8 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
+
+DETAILS_FILE = "bench_details.json"
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -58,7 +67,10 @@ def main() -> None:
     # the first measured query
     qs["q6_revenue_filter"](spark, sf_dir).count()
 
-    timings: dict[str, object] = {}
+    # compact: name -> best seconds (or "failed"), the contract line;
+    # details: name -> {best, spread, ...}, the companion file
+    compact: dict[str, object] = {}
+    details: dict[str, object] = {}
     total = 0.0
     failed: list[str] = []
     for name in HEADLINE:
@@ -69,10 +81,8 @@ def main() -> None:
         # planning + whole-stage-codegen compilation (5s+ for the wide
         # dedup DAGs); the measured runs report best + spread
         # (max-min), so every cross-round delta carries its own error
-        # bar.  Round-5 verdict "What's wrong" #1: single-shot numbers
-        # drifted 2.2x on untouched code between rounds, and the
-        # resulting ghost-chasing cost a round — the spread makes
-        # machine drift visible inside one artifact.
+        # bar (round-5 verdict: single-shot numbers drifted 2.2x on
+        # untouched code and the ghost-chasing cost a round).
         #
         # Per-query isolation: a broken query reports "failed" and the
         # rest of the bench still runs and emits numbers.
@@ -88,23 +98,24 @@ def main() -> None:
                     samples.append(dt)
             best = min(samples)
             spread = max(samples) - best
-            timings[name] = {"best": round(best, 3), "spread": round(spread, 3)}
+            compact[name] = round(best, 3)
+            details[name] = {"best": round(best, 3), "spread": round(spread, 3)}
             total += best
             print(
                 f"# {name}: best={best:.2f}s spread={spread:.2f}s rows={n}",
                 file=sys.stderr,
             )
         except Exception as exc:  # noqa: BLE001 — bench must survive any query
-            timings[name] = "failed"
+            compact[name] = "failed"
+            details[name] = "failed"
             failed.append(name)
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
     try:
-        extra = bench_extra(spark, sf_dir)
+        bench_extra(spark, sf_dir, compact, details)
     except Exception as exc:  # noqa: BLE001
-        extra = {"bench_extra": "failed"}
+        compact["bench_extra"] = "failed"
         print(f"# bench_extra: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
-    timings.update(extra)
 
     # A partial sum would under-report (look *better*) when a slow query
     # crashed, so a run with failures emits value=null + valid=false and
@@ -113,23 +124,48 @@ def main() -> None:
         "metric": "headline_total",
         "value": None if failed else round(total, 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": compact,
         "sf": sf,
+        "details_file": DETAILS_FILE,
     }
     if failed:
         result["failed"] = failed
         result["valid"] = False
-    print(json.dumps(result))
+
+    details_doc = {"sf": sf, "sf_dir": sf_dir, "queries": details}
+    try:
+        with open(REPO / DETAILS_FILE, "w") as fh:
+            json.dump(details_doc, fh, indent=1, sort_keys=True)
+    except OSError as exc:  # read-only checkout: the contract line still lands
+        print(f"# details file not written: {exc}", file=sys.stderr)
+
+    print(format_line(result))
 
 
-def bench_extra(spark, sf_dir) -> dict[str, float]:
-    """Non-SQL benchmarks (transactional tx/s etc.) — filled in as the
-    engine layers land. Also times one representative per round-5
-    operator family (retrieval / graph / clustering / decontamination)
-    WITHOUT adding them to headline_total, so cross-round totals stay
-    comparable while the new families still get measured."""
-    out: dict[str, object] = {}
+MAX_LINE_BYTES = 1500  # stay well inside the driver's ~2 kB tail capture
 
+
+def format_line(result: dict) -> str:
+    """Serialize the contract line, shedding x_* extras (they stay in
+    the details file) if the line would outgrow the driver's tail
+    capture — the round-6 failure mode, now structurally impossible for
+    the contract keys."""
+    line = json.dumps(result)
+    queries = result.get("queries", {})
+    for k in [k for k in list(queries) if k.startswith("x_")]:
+        if len(line) <= MAX_LINE_BYTES:
+            break
+        del queries[k]
+        line = json.dumps(result)
+    return line
+
+
+def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
+    """Non-SQL benchmarks (transactional tx/s etc.) plus one
+    representative per operator family (retrieval / graph / clustering /
+    decontamination), kept OUT of headline_total so cross-round totals
+    stay comparable.  Best values go into `compact` (the contract
+    line); {best, spread} and the probe curve go into `details`."""
     from t_spoon_spark.registry import all_queries
 
     qs = all_queries()
@@ -153,78 +189,97 @@ def bench_extra(spark, sf_dir) -> dict[str, float]:
                 if i > 0:
                     samples.append(dt)
             best = min(samples)
-            out[f"x_{name}_sec"] = {
+            compact[f"x_{name}_sec"] = round(best, 3)
+            details[f"x_{name}_sec"] = {
                 "best": round(best, 3),
                 "spread": round(max(samples) - best, 3),
             }
             print(f"# x_{name}: best={best:.2f}s", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — per-metric isolation
-            out[f"x_{name}_sec"] = "failed"
+            compact[f"x_{name}_sec"] = "failed"
+            details[f"x_{name}_sec"] = "failed"
             print(f"# x_{name}: FAILED {exc}", file=sys.stderr)
     try:
         from t_spoon_spark.bench_txn import (
-            bank_transfer_tps,
-            bank_transfer_tps_fold,
-            bank_transfer_tps_pl4,
-            bank_transfer_tps_pl4_contended,
+            bank_transfer_tps_fold_stats,
+            bank_transfer_tps_pl4_contended_stats,
+            bank_transfer_tps_pl4_stats,
+            bank_transfer_tps_stats,
             sustainable_tps,
             txn_latency_ms_at_rate,
-            txn_latency_ms_unloaded,
+            txn_latency_ms_unloaded_stats,
         )
     except ImportError:
-        return out
+        return
 
-    def _run(name: str, fn) -> None:
+    def _run_stats(name: str, fn) -> None:
+        """best-of-N + spread for a txn metric (round-6 verdict missing
+        #2: single-shot txn numbers can't distinguish machine drift from
+        regression inside one artifact)."""
         try:
-            out[name] = fn()
+            best, spread = fn()
+            compact[name] = best
+            details[name] = {"best": best, "spread": spread}
+            print(f"# {name}: best={best} spread={spread}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — per-metric isolation
-            out[name] = "failed"
+            compact[name] = "failed"
+            details[name] = "failed"
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
-    _run("txn_bank_tps_pl3", lambda: bank_transfer_tps(spark, sf_dir))
-    _run("txn_bank_tps_fold", lambda: bank_transfer_tps_fold(spark, sf_dir))
+    _run_stats("txn_bank_tps_pl3", lambda: bank_transfer_tps_stats(spark, sf_dir))
+    _run_stats("txn_bank_tps_fold", lambda: bank_transfer_tps_fold_stats(spark, sf_dir))
     # reference PL4 comparables: 1,000 tx/s (series/pessimistic) and
     # 500 tx/s (1k-key contended) — start_rates.properties.example:5-6
-    _run("txn_bank_tps_pl4", lambda: bank_transfer_tps_pl4(spark, sf_dir))
-    _run(
+    _run_stats("txn_bank_tps_pl4", lambda: bank_transfer_tps_pl4_stats(spark, sf_dir))
+    _run_stats(
         "txn_bank_tps_pl4_contended",
-        lambda: bank_transfer_tps_pl4_contended(spark, sf_dir),
+        lambda: bank_transfer_tps_pl4_contended_stats(spark, sf_dir),
     )
 
     # BASELINE.md engine gate: >= 2,500 tx/s measured with a
     # rate-targeting loop (TunableSource semantics), not a fixed
     # workload — plus end-to-end commit latency AT that rate (the
     # reference's latency-at-sustained-rate metric).
-    def _sustained() -> None:
-        curve: list = []
-        try:
-            rate, latency_ms = sustainable_tps(
-                spark, sf_dir, measure_latency=True, curve=curve
-            )
-            out["sustainable_tps_pl3"] = rate
-            out["txn_latency_ms_at_sustained_pl3"] = latency_ms
-            # the full probe trace (reference: `targeting-curve`
-            # accumulator, evaluation/TunableSource.java:29-33) — makes
-            # the sustained-rate claim auditable from the bench artifact
-            out["sustainable_tps_pl3_curve"] = curve
-            # latency backed off to 0.8x sustained: at the saturation
-            # edge the wall equals its budget by construction
-            # (queueing); 20% under it measures service time — the
-            # deployment operating point (round-5 verdict item 4)
-            out["txn_latency_ms_at_80pct_sustained"] = txn_latency_ms_at_rate(
-                spark, sf_dir, 0.8 * rate
-            )
-        except Exception as exc:  # noqa: BLE001
-            out["sustainable_tps_pl3"] = "failed"
-            if curve:
-                out["sustainable_tps_pl3_curve"] = curve
-            print(f"# sustainable_tps_pl3: FAILED {exc}", file=sys.stderr)
+    curve: list = []
+    rate = None
+    try:
+        rate, latency_ms = sustainable_tps(
+            spark, sf_dir, measure_latency=True, curve=curve
+        )
+        compact["sustainable_tps_pl3"] = rate
+        compact["txn_latency_ms_at_sustained_pl3"] = latency_ms
+    except Exception as exc:  # noqa: BLE001
+        compact["sustainable_tps_pl3"] = "failed"
+        print(f"# sustainable_tps_pl3: FAILED {exc}", file=sys.stderr)
+    # the full probe trace (reference: `targeting-curve` accumulator,
+    # evaluation/TunableSource.java:29-33) — makes the sustained-rate
+    # claim auditable; details-file only (the curve is what blew the
+    # round-6 contract line)
+    if curve:
+        details["sustainable_tps_pl3_curve"] = curve
 
-    _sustained()
-    # the reference's latency-unloaded accumulator: commit latency
-    # of a small epoch on an idle engine (the micro-batch floor)
-    _run("txn_latency_ms_unloaded", lambda: txn_latency_ms_unloaded(spark, sf_dir))
-    return out
+    # latency backed off to 0.8x sustained: at the saturation edge the
+    # wall equals its budget by construction (queueing); 20% under it
+    # measures service time — the deployment operating point.  Own
+    # try/except (ADVICE r6 medium): a failure here must not clobber the
+    # already-landed sustained-rate keys.
+    if rate is not None:
+        try:
+            lat, lat_spread = txn_latency_ms_at_rate(spark, sf_dir, 0.8 * rate)
+            compact["txn_latency_ms_at_80pct_sustained"] = lat
+            details["txn_latency_ms_at_80pct_sustained"] = {
+                "best": lat,
+                "spread": lat_spread,
+            }
+        except Exception as exc:  # noqa: BLE001
+            compact["txn_latency_ms_at_80pct_sustained"] = "failed"
+            print(f"# txn_latency_ms_at_80pct_sustained: FAILED {exc}", file=sys.stderr)
+
+    # the reference's latency-unloaded accumulator: commit latency of a
+    # small epoch on an idle engine (the micro-batch floor)
+    _run_stats(
+        "txn_latency_ms_unloaded", lambda: txn_latency_ms_unloaded_stats(spark, sf_dir)
+    )
 
 
 if __name__ == "__main__":

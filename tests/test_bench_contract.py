@@ -1,0 +1,90 @@
+"""Bench artifact contract (round-6 verdict "What's wrong" #1): the
+single JSON line bench.py prints must stay inside the driver's ~2 kB
+tail capture, parse as JSON, and carry plain (non-dict) best values in
+"queries" — spreads and the probe curve belong to bench_details.json.
+
+These tests exercise the line assembly without running the (minutes-
+long) bench itself: a synthetic result dict shaped exactly like a full
+run — 18 headline + 7 x_* + 8 txn entries — must serialize under the
+cap, and an adversarially inflated one must shed x_* extras rather than
+overflow.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _full_shape_result() -> dict:
+    queries: dict[str, object] = {}
+    for name in bench.HEADLINE:
+        queries[name] = 123.456
+    for name in (
+        "text_bm25_search",
+        "graph_pagerank_nations",
+        "clustering_kmeans_fixed",
+        "decontamination_ngram_overlap",
+        "text_lm_bigram_score",
+        "skyline_orders_pareto",
+        "packing_greedy_whole_doc",
+    ):
+        queries[f"x_{name}_sec"] = 123.456
+    for name in (
+        "txn_bank_tps_pl3",
+        "txn_bank_tps_fold",
+        "txn_bank_tps_pl4",
+        "txn_bank_tps_pl4_contended",
+        "sustainable_tps_pl3",
+        "txn_latency_ms_at_sustained_pl3",
+        "txn_latency_ms_at_80pct_sustained",
+        "txn_latency_ms_unloaded",
+    ):
+        queries[name] = 123456.7
+    return {
+        "metric": "headline_total",
+        "value": 12345.678,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "details_file": bench.DETAILS_FILE,
+    }
+
+
+def test_full_run_line_fits_and_parses():
+    result = _full_shape_result()
+    line = bench.format_line(result)
+    assert len(line) <= bench.MAX_LINE_BYTES, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_total"
+    assert parsed["value"] == 12345.678
+    # contract keys intact, all plain scalars (no nested dicts)
+    for name in bench.HEADLINE:
+        assert isinstance(parsed["queries"][name], (int, float, str))
+    assert "txn_bank_tps_pl3" in parsed["queries"]
+    assert not any(isinstance(v, dict) for v in parsed["queries"].values())
+
+
+def test_oversized_line_sheds_extras_not_contract_keys():
+    result = _full_shape_result()
+    # inflate: pretend 40 more x_* families landed
+    for i in range(40):
+        result["queries"][f"x_some_very_long_family_name_number_{i:02d}_sec"] = 9999.999
+    line = bench.format_line(result)
+    assert len(line) <= bench.MAX_LINE_BYTES, len(line)
+    parsed = json.loads(line)
+    for name in bench.HEADLINE:  # headline + txn keys never shed
+        assert name in parsed["queries"]
+    assert "txn_latency_ms_at_80pct_sustained" in parsed["queries"]
+
+
+def test_failed_run_still_fits():
+    result = _full_shape_result()
+    result["value"] = None
+    result["failed"] = [bench.HEADLINE[0], bench.HEADLINE[1]]
+    result["valid"] = False
+    result["queries"][bench.HEADLINE[0]] = "failed"
+    line = bench.format_line(result)
+    assert len(line) <= bench.MAX_LINE_BYTES
+    assert json.loads(line)["valid"] is False

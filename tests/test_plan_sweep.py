@@ -15,6 +15,14 @@ Per-entry plan tests (test_plans*.py) pin stronger per-operator claims
 two global invariants hold for the WHOLE corpus, including every entry
 added later — a new query with a cartesian or a pickled UDF fails CI
 here, not the cluster bill.
+
+Known limitation (ADVICE r6): entries that RETURN a materialize()'d
+frame (the iterative graph/dedup/clustering families) present here as
+LocalTableScan — their per-round INNER plans are invisible to
+``executed_plan`` on the returned DataFrame, so an anti-pattern inside
+an iteration would not trip this sweep.  Those inner plans are pinned
+by the per-family plan tests (test_plans*.py assert the per-iteration
+join strategies and exchange counts directly on the loop bodies).
 """
 
 from __future__ import annotations

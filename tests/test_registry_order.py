@@ -136,19 +136,28 @@ def test_high_risk_red_or_unchecked_keeps_slot_even_when_unchanged(monkeypatch):
 
 
 def test_live_window_drains_never_checked_tier():
-    """Against the REAL artifacts + git state of this worktree: every
-    entry with no CORRECTNESS_r* row must sit inside the 50-entry
-    window (the round-6 drain contract).  Engine code is frozen this
-    round, so the demotion must actually fire."""
+    """Against the REAL artifacts + git state of this worktree: the
+    never-checked tier must fill whatever window slots the high-risk
+    reservation leaves free (the round-6 drain contract).  In a round
+    that touches watched engine code, the high-risk entries legitimately
+    keep their ~19 reserved slots, so the drain expectation is the
+    REMAINING window, not all 50 (ADVICE r6)."""
     registry._CHANGED_CACHE.clear()
     registry._load_all()
-    last_round, _red, rounds = registry._correctness_history()
+    last_round, red, rounds = registry._correctness_history()
     if rounds == 0:  # artifacts not visible (vanilla checkout) — vacuous
         return
     ordered = [e.name for e in registry._ordered()]
+    reserved = sum(
+        1
+        for n in ordered
+        if n.startswith(registry._HIGH_RISK_PREFIXES)
+        and registry._keeps_reservation(n, last_round, red)
+    )
+    free = max(0, 50 - reserved)
     never = [n for n in ordered if n not in last_round]
-    if len(never) > 50:  # corpus grew past one window; contract is best-effort
-        never = never[:50]
+    if len(never) > free:  # tier overflows the free slots; best-effort prefix
+        never = never[:free]
     window = set(ordered[:50])
     missing = [n for n in never if n not in window]
     assert not missing, missing

@@ -79,6 +79,24 @@ def test_tcp_server_roundtrip_and_errors(spark):
         )
         assert resp["ok"] and resp["rows"] == [["a1"], ["a2"]]
 
+        # the network sql op is read-only: DDL/DML/config statements are
+        # rejected before reaching the session (ADVICE r6 — a TCP client
+        # must not be able to drop views or mutate the shared session)
+        for stmt in (
+            "DROP VIEW state_balances",
+            "CREATE TABLE t (x INT)",
+            "SET spark.sql.shuffle.partitions=1",
+            "INSERT INTO state_balances VALUES ('z', 1.0)",
+            "/* sneaky */ DROP VIEW state_balances",
+        ):
+            resp = call({"op": "sql", "query": stmt})
+            assert not resp["ok"] and "read-only" in resp["error"], stmt
+        # comments and parenthesized set-ops still pass the whitelist
+        resp = call(
+            {"op": "sql", "query": "-- c\n(SELECT key FROM state_balances) ORDER BY key"}
+        )
+        assert resp["ok"] and resp["rows"] == [["a1"], ["a2"]]
+
         # errors are per-request, the connection survives them
         resp = call({"op": "keys", "ns": "nope", "keys": ["x"]})
         assert not resp["ok"] and "error" in resp
