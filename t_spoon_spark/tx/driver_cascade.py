@@ -1,0 +1,886 @@
+"""Driver-side abort-cascade fixpoint for the pandas materialize mode.
+
+The abort cascade (runner._close) is control-plane ITERATION: exclude
+the globally-aborted transactions, refold the touched key chains, merge
+votes, repeat until the abort set is stable.  On the distributed path
+each round is a Spark job over control-sized frames — correct anywhere,
+but in local pandas mode a 26k-txn round was measured at ~0.95 s of
+almost pure plan/exchange overhead (BENCHNOTES "round-7 starting map":
+149-node / 22-Exchange refold plans; the chains themselves are
+milliseconds of arithmetic).  Round-6 verdict item #1 asked for exactly
+this: route the cascade through the already-driver-sized control frames.
+
+So: when the session materializes epoch control frames through pandas
+anyway (materialize_mode == "pandas", i.e. single-JVM local — a cluster
+session NEVER enters here), and every state stage's update/invariant has
+a Python twin, the whole fixpoint runs on the driver:
+
+- the per-stage ops and evaluation frames are pulled once (they are
+  bounded by BATCH size, not state size — the same argument that makes
+  pandas materialize mode sound);
+- each cascade round is a pure-Python refold of the affected key chains
+  (cost proportional to the contended key set, zero Spark jobs);
+- the final votes / writes re-enter Spark as LocalRelations, and the
+  resolved per-namespace finals are handed to the store's fused pandas
+  commit when its size gates allow.
+
+Result identity with the Spark refold path is pinned by tests
+(tests/test_driver_cascade.py): same votes, same balances, same epoch
+count, with the Spark path still exercised via TSPOON_DRIVER_CASCADE=0.
+
+Python twins for expression stages are AUTO-DERIVED: the same rendered
+SQL the JVM chain fold executes (runner._chain_update_sql — Catalyst's
+Expression.sql() in function-call form, e.g. ``+`(acc.value, x.delta)``)
+is compiled by a tiny whitelisted parser into a Python closure with
+Spark's null semantics.  Anything outside the whitelist (division —
+engine semantics differ at edges —, unknown functions, non-numeric
+value types) makes the stage INELIGIBLE and the runner silently keeps
+the distributed cascade; eligibility never changes results, only where
+the fixpoint runs.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import pandas as pd
+
+from t_spoon_spark.tx.vote import ABORT, COMMIT
+
+
+class Ineligible(Exception):
+    """This stage cannot run the driver-side cascade — fall back."""
+
+
+# ---------------------------------------------------------------------------
+# Spark-SQL-fragment -> Python compiler (whitelisted grammar)
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<bq>`[^`]+`)
+      | (?P<str>'(?:[^'\\]|\\.|'')*')
+      | (?P<num>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?[DdLlFf]?)
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
+      | (?P<op>>=|<=|!=|<>|==|[-+*/%()<>=,])
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "case", "when", "then", "else", "end", "and", "or", "not",
+    "cast", "as", "true", "false", "null", "is",
+}
+
+
+def _tokenize(sql: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN.match(sql, pos)
+        if m is None:
+            rest = sql[pos:].strip()
+            if not rest:
+                break
+            raise Ineligible(f"unparseable at: {rest[:30]!r}")
+        pos = m.end()
+        if m.lastgroup == "bq":
+            out.append(("fn", m.group("bq")[1:-1]))
+        elif m.lastgroup == "str":
+            raw = m.group("str")[1:-1]
+            raw = raw.replace("''", "'")
+            raw = re.sub(r"\\(.)", lambda mm: {"n": "\n", "t": "\t"}.get(mm.group(1), mm.group(1)), raw)
+            out.append(("str", raw))
+        elif m.lastgroup == "num":
+            out.append(("num", m.group("num")))
+        elif m.lastgroup == "ident":
+            t = m.group("ident")
+            out.append(("kw", t.lower()) if t.lower() in _KEYWORDS else ("ident", t))
+        else:
+            out.append(("op", m.group("op")))
+    return out
+
+
+# -- null-propagating evaluation helpers (Spark semantics) ------------------
+
+def _arith(op: str, a, b):
+    if a is None or b is None:
+        return None
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    raise Ineligible(op)  # pragma: no cover - parser only routes + - *
+
+
+def _compare(op: str, a, b):
+    if a is None or b is None:
+        return None
+    if op in ("=", "=="):
+        return bool(a == b)
+    if op in ("!=", "<>"):
+        return bool(a != b)
+    if op == ">":
+        return bool(a > b)
+    if op == ">=":
+        return bool(a >= b)
+    if op == "<":
+        return bool(a < b)
+    return bool(a <= b)
+
+
+def _and(a, b):
+    if a is False or b is False:
+        return False
+    if a is None or b is None:
+        return None
+    return True
+
+
+def _or(a, b):
+    if a is True or b is True:
+        return True
+    if a is None or b is None:
+        return None
+    return False
+
+
+def _greatest(*vals):
+    nn = [v for v in vals if v is not None]
+    return max(nn) if nn else None
+
+
+def _least(*vals):
+    nn = [v for v in vals if v is not None]
+    return min(nn) if nn else None
+
+
+def _to_int(v):
+    return None if v is None else int(v)  # Spark CAST truncates toward zero
+
+
+def _to_float(v):
+    return None if v is None else float(v)
+
+
+def _to_bool(v):
+    return None if v is None else bool(v)
+
+
+# Spark DDL type -> python cast. Types outside this table (string,
+# decimal, arrays...) make the stage ineligible: their cast/render
+# semantics are not guaranteed to round-trip bit-identically.
+CASTS: dict[str, Callable[[Any], Any]] = {
+    "double": _to_float,
+    "float": _to_float,
+    "real": _to_float,
+    "bigint": _to_int,
+    "long": _to_int,
+    "int": _to_int,
+    "integer": _to_int,
+    "smallint": _to_int,
+    "tinyint": _to_int,
+    "boolean": _to_bool,
+}
+
+
+class _Parser:
+    """Pratt parser over the token stream; builds closures fn(scope)
+    where scope = (acc_value, rec_dict, inv_value)."""
+
+    def __init__(self, tokens: list[tuple[str, str]], cols: set[str]):
+        self.toks = tokens
+        self.i = 0
+        self.cols = cols
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _expect(self, kind, val=None):
+        k, v = self._next()
+        if k != kind or (val is not None and v != val):
+            raise Ineligible(f"expected {kind} {val}, got {k} {v}")
+        return v
+
+    # precedence: OR < AND < NOT < cmp < add < mul < unary
+    def parse(self):
+        e = self._or()
+        if self.i != len(self.toks):
+            raise Ineligible(f"trailing tokens: {self.toks[self.i:]}")
+        return e
+
+    def _or(self):
+        left = self._and()
+        while self._peek() == ("kw", "or"):
+            self._next()
+            right = self._and()
+            left = (lambda l, r: lambda s: _or(l(s), r(s)))(left, right)
+        return left
+
+    def _and(self):
+        left = self._not()
+        while self._peek() == ("kw", "and"):
+            self._next()
+            right = self._not()
+            left = (lambda l, r: lambda s: _and(l(s), r(s)))(left, right)
+        return left
+
+    def _not(self):
+        if self._peek() == ("kw", "not"):
+            self._next()
+            inner = self._not()
+            return lambda s: None if inner(s) is None else not inner(s)
+        return self._cmp()
+
+    def _cmp(self):
+        left = self._add()
+        k, v = self._peek()
+        if k == "op" and v in (">=", "<=", "!=", "<>", "==", "=", ">", "<"):
+            self._next()
+            right = self._add()
+            return (lambda l, r, o: lambda s: _compare(o, l(s), r(s)))(left, right, v)
+        if self._peek() == ("kw", "is"):  # IS [NOT] NULL
+            self._next()
+            neg = False
+            if self._peek() == ("kw", "not"):
+                self._next()
+                neg = True
+            self._expect("kw", "null")
+            return (lambda l, n: lambda s: (l(s) is None) != n)(left, neg)
+        return left
+
+    def _add(self):
+        left = self._mul()
+        while True:
+            k, v = self._peek()
+            if k == "op" and v in ("+", "-"):
+                self._next()
+                right = self._mul()
+                left = (lambda l, r, o: lambda s: _arith(o, l(s), r(s)))(left, right, v)
+            else:
+                return left
+
+    def _mul(self):
+        left = self._unary()
+        while True:
+            k, v = self._peek()
+            if k == "op" and v == "*":
+                self._next()
+                right = self._unary()
+                left = (lambda l, r: lambda s: _arith("*", l(s), r(s)))(left, right)
+            elif k == "op" and v in ("/", "%"):
+                # division/modulo: Spark's type promotion and
+                # zero/negative-operand semantics differ from Python's —
+                # excluded from the whitelist, the Spark path handles it
+                raise Ineligible(f"operator {v} not whitelisted")
+            else:
+                return left
+
+    def _unary(self):
+        k, v = self._peek()
+        if k == "op" and v == "-":
+            self._next()
+            inner = self._unary()
+            return lambda s: None if inner(s) is None else -inner(s)
+        if k == "op" and v == "+":
+            self._next()
+            return self._unary()
+        return self._primary()
+
+    def _fn_call(self, name: str):
+        self._expect("op", "(")
+        args = []
+        if self._peek() != ("op", ")"):
+            args.append(self._or())
+            while self._peek() == ("op", ","):
+                self._next()
+                args.append(self._or())
+        self._expect("op", ")")
+        if name in ("+", "-", "*") and len(args) == 2:
+            a, b = args
+            return (lambda a, b, o: lambda s: _arith(o, a(s), b(s)))(a, b, name)
+        if name in (">", ">=", "<", "<=", "=", "==", "!=", "<>") and len(args) == 2:
+            a, b = args
+            return (lambda a, b, o: lambda s: _compare(o, a(s), b(s)))(a, b, name)
+        if name == "negative" and len(args) == 1:
+            a = args[0]
+            return lambda s: None if a(s) is None else -a(s)
+        if name == "abs" and len(args) == 1:
+            a = args[0]
+            return lambda s: None if a(s) is None else abs(a(s))
+        if name == "greatest":
+            return lambda s: _greatest(*[a(s) for a in args])
+        if name == "least":
+            return lambda s: _least(*[a(s) for a in args])
+        if name == "coalesce":
+            def co(s, _args=args):
+                for a in _args:
+                    v = a(s)
+                    if v is not None:
+                        return v
+                return None
+            return co
+        if name == "and" and len(args) == 2:
+            a, b = args
+            return lambda s: _and(a(s), b(s))
+        if name == "or" and len(args) == 2:
+            a, b = args
+            return lambda s: _or(a(s), b(s))
+        raise Ineligible(f"function {name!r} not whitelisted")
+
+    def _primary(self):
+        k, v = self._next()
+        if k == "num":
+            text = v
+            suffix = text[-1] if text[-1] in "DdLlFf" else ""
+            if suffix:
+                text = text[:-1]
+            if suffix in "DdFf" or "." in text or "e" in text or "E" in text:
+                val = float(text)
+            else:
+                val = int(text)
+            return lambda s: val
+        if k == "str":
+            return lambda s, _v=v: _v
+        if k == "fn":  # backquoted operator-named function
+            return self._fn_call(v)
+        if k == "kw":
+            if v == "true":
+                return lambda s: True
+            if v == "false":
+                return lambda s: False
+            if v == "null":
+                return lambda s: None
+            if v == "cast":
+                self._expect("op", "(")
+                inner = self._or()
+                self._expect("kw", "as")
+                tk, tv = self._next()
+                if tk != "ident" or tv.lower() not in CASTS:
+                    raise Ineligible(f"cast target {tv!r} not whitelisted")
+                cast = CASTS[tv.lower()]
+                self._expect("op", ")")
+                return (lambda i, c: lambda s: c(i(s)))(inner, cast)
+            if v == "case":
+                whens = []
+                while self._peek() == ("kw", "when"):
+                    self._next()
+                    cond = self._or()
+                    self._expect("kw", "then")
+                    val = self._or()
+                    whens.append((cond, val))
+                default = None
+                if self._peek() == ("kw", "else"):
+                    self._next()
+                    default = self._or()
+                self._expect("kw", "end")
+
+                def case(s, _whens=whens, _default=default):
+                    for c, val in _whens:
+                        if c(s) is True:
+                            return val(s)
+                    return _default(s) if _default is not None else None
+
+                return case
+            raise Ineligible(f"keyword {v!r} in expression position")
+        if k == "op" and v == "(":
+            inner = self._or()
+            self._expect("op", ")")
+            return inner
+        if k == "ident":
+            if self._peek() == ("op", "("):
+                return self._fn_call(v.lower())
+            low = v.lower()
+            if low == "acc.value":
+                return lambda s: s[0]
+            if low == "value":
+                return lambda s: s[2]
+            if low.startswith("x."):
+                col = v[2:]
+                if col not in self.cols:
+                    raise Ineligible(f"unknown column x.{col}")
+                return lambda s, _c=col: _nan_none(s[1].get(_c))
+            if v in self.cols:  # bare record column (raw invariant SQL)
+                return lambda s, _c=v: _nan_none(s[1].get(_c))
+            raise Ineligible(f"unknown reference {v!r}")
+        raise Ineligible(f"unexpected token {k} {v}")
+
+
+def _nan_none(v):
+    """pandas surfaces SQL NULL in float columns as NaN; Spark's null
+    semantics (not NaN's) are what the chain fold sees for a null
+    record value, so normalize at the reference boundary."""
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+
+def compile_fragment(sql: str, cols: list[str]) -> Callable:
+    """Compile a rendered Spark SQL fragment to fn(acc, rec, value).
+
+    `sql` is either runner._chain_update_sql output (refs ``acc.value``
+    and ``x.<col>``) or a raw namespace invariant (refs ``value`` and
+    bare record columns).  Raises Ineligible outside the whitelist."""
+    fn = _Parser(_tokenize(sql), set(cols)).parse()
+
+    def run(acc, rec, value=None):
+        return fn((acc, rec, value))
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# per-stage compiled context
+# ---------------------------------------------------------------------------
+
+_AGGS = {
+    "sum": lambda vs: sum(vs) if vs else None,
+    "min": lambda vs: min(vs) if vs else None,
+    "max": lambda vs: max(vs) if vs else None,
+    "count": lambda vs: len(vs),
+}
+
+
+@dataclass
+class StageCtx:
+    """Captured by GraphRunner._run_state for the epoch being closed."""
+
+    kind: str  # 'chain_expr' | 'pandas' | 'epoch_combine'
+    stage: Any
+    ns: Any
+    stage_idx: int
+    ops: Any  # persisted Spark DataFrame (alive ops with __key)
+    snapshot: Any  # committed snapshot DataFrame at epoch open
+    value_cols: list[str]
+    evaluated: Any  # persisted evaluation frame (None for epoch_combine)
+
+
+@dataclass
+class _Compiled:
+    update: Callable  # fn(acc, rec) -> candidate (raw)
+    invariant: Callable | None  # fn(value, rec) -> bool|None
+    cast: Callable  # value-type cast
+
+
+def compile_stage(spark, ctx: StageCtx) -> _Compiled:
+    """Python twin for one state stage, or raise Ineligible."""
+    from t_spoon_spark.tx.runner import _chain_update_sql
+
+    ns = ctx.ns
+    vt = re.sub(r"\s", "", ns.value_type.lower())
+    if vt not in CASTS:
+        raise Ineligible(f"value type {ns.value_type!r}")
+    cast = CASTS[vt]
+
+    if ctx.kind == "pandas":
+        # the Arrow chain path already HAS python twins — reuse them
+        # verbatim so the driver fold is the same code the executors run
+        if ctx.stage.py_update is None:  # pragma: no cover - impl invariant
+            raise Ineligible("pandas path without py_update")
+        upd = ctx.stage.py_update
+        inv = ns.py_invariant
+        return _Compiled(
+            update=lambda acc, rec, _u=upd: _u(acc, rec),
+            invariant=(lambda v, rec, _i=inv: _i(v)) if inv else None,
+            cast=cast,
+        )
+
+    if ctx.stage.pre_combine:
+        for how in ctx.stage.pre_combine.values():
+            if how.lower() not in _AGGS:
+                raise Ineligible(f"pre_combine agg {how!r}")
+
+    upd_sql = _chain_update_sql(spark, ctx.stage, ctx.value_cols)
+    upd = compile_fragment(upd_sql, ctx.value_cols)
+    inv = None
+    if ctx.kind == "chain_expr" and ns.invariant:
+        inv = compile_fragment(ns.invariant, ctx.value_cols)
+    return _Compiled(
+        update=lambda acc, rec, _u=upd: _u(acc, rec),
+        invariant=(lambda v, rec, _i=inv: _i(None, rec, v)) if inv else None,
+        cast=cast,
+    )
+
+
+# the driver fixpoint
+# ---------------------------------------------------------------------------
+
+# pandas-native aggregations for the vectorized pre-combine; each must
+# match Spark's null handling (skip nulls; all-null group -> NULL,
+# except count -> 0)
+def _pd_agg(gb, col: str, how: str):
+    how = how.lower()
+    if how == "sum":
+        return gb[col].sum(min_count=1)  # all-NaN group -> NaN (Spark: NULL)
+    if how == "min":
+        return gb[col].min()
+    if how == "max":
+        return gb[col].max()
+    return gb[col].count()  # non-null count (Spark semantics)
+
+
+def _sort_key_field(v):
+    """Per-field struct-comparison key matching Spark's ascending
+    ordering: null first, NaN greatest among doubles, strings by UTF-8
+    bytes (Spark compares UTF8String binary)."""
+    if v is None:
+        return (0,)
+    if isinstance(v, float) and math.isnan(v):
+        return (3,)
+    if isinstance(v, str):
+        return (1, v.encode("utf-8"))
+    if isinstance(v, (list, tuple)):
+        return (1, tuple(_sort_key_field(x) for x in v))
+    return (1, v)
+
+
+@dataclass
+class _StageState:
+    ctx: StageCtx
+    comp: _Compiled
+    # raw per-op frame: _tid, __key, (+ _path, value cols) — for chain
+    # kinds pre-combined per (tid, key) when the stage pre-combines
+    ops_pdf: Any = None
+    # original evaluation (chain kinds): key, _tid, value, vote, _ord, __wr
+    eval_pdf: Any = None
+    v0: dict = field(default_factory=dict)
+    # lazily-built per-key chains: key -> [(tid, rec)] in fold order
+    chains: dict = field(default_factory=dict)
+    # per-key refold results superseding eval_pdf rows:
+    # key -> [(tid, vote, value, ord, wr)]
+    overrides: dict = field(default_factory=dict)
+
+
+@dataclass
+class CascadeResult:
+    gv_pdf: pd.DataFrame  # _tid, vote, any_commit
+    writes: dict[str, list[pd.DataFrame]]  # ns -> per-stage writes pdfs
+    finals: dict[str, pd.DataFrame]  # ns -> resolved (key, value)
+    rounds: int
+
+
+class DriverCascade:
+    """One epoch's driver-side cascade; built lazily by the runner.
+
+    Control-frame sizes here are bounded by BATCH size (ops and links
+    are one row per key-touch of the epoch), never by state size — the
+    same invariant that justifies the pandas materialize mode itself.
+    All per-round set algebra is vectorized pandas; the only Python
+    loops run over the REFOLDED chains (the contended-key subset)."""
+
+    def __init__(self, spark, ctxs: list[StageCtx], compiled: list[_Compiled]):
+        self.spark = spark
+        self.states = [_StageState(ctx=c, comp=k) for c, k in zip(ctxs, compiled)]
+        self._pulled_eval = False
+        self._pulled_ops = False
+
+    # -- data pulls -----------------------------------------------------
+
+    def _pull_eval(self, store) -> None:
+        """Eager per-epoch pull: the evaluation links of every chain
+        stage (one Spark job each — THE epoch's compute job), plus the
+        raw ops of epoch_combine stages (their links and writes are
+        derived driver-side)."""
+        if self._pulled_eval:
+            return
+        for st in self.states:
+            ctx = st.ctx
+            if ctx.kind == "epoch_combine":
+                self._pull_stage_ops(st)
+                self._pull_v0(store, st)
+            else:
+                st.eval_pdf = ctx.evaluated.select(
+                    "key", "_tid", "value", "vote", "_ord", "__wr"
+                ).toPandas()
+        self._pulled_eval = True
+
+    def _pull_refold(self, store) -> None:
+        """Lazy pull for cascade refolds: the raw ops and v0 snapshot of
+        every chain stage — only paid when a refold actually happens."""
+        if self._pulled_ops:
+            return
+        for st in self.states:
+            if st.ctx.kind != "epoch_combine":
+                self._pull_stage_ops(st)
+                self._pull_v0(store, st)
+        self._pulled_ops = True
+
+    def _pull_stage_ops(self, st: _StageState) -> None:
+        ctx = st.ctx
+        pre = ctx.stage.pre_combine
+        if ctx.kind != "pandas" and pre:
+            pdf = ctx.ops.select("_tid", "__key", *pre).toPandas()
+            if ctx.kind == "chain_expr":
+                # the JVM path pre-combines per (tid, key); the chain
+                # then sorts by tid alone
+                gb = pdf.groupby(["_tid", "__key"], sort=False)
+                agg = {c: _pd_agg(gb, c, h) for c, h in pre.items()}
+                pdf = pd.DataFrame(agg).reset_index()
+        else:
+            cols = ["_tid", "__key", "_path", *ctx.value_cols]
+            pdf = ctx.ops.select(*dict.fromkeys(cols)).toPandas()
+        for c in ctx.value_cols:
+            if pdf[c].dtype.kind == "O" and len(pdf):
+                probe = pdf[c].iloc[0]
+                if not isinstance(probe, (str, type(None), bool, int, float)):
+                    raise Ineligible(f"non-atomic value column {c}")
+        st.ops_pdf = pdf
+
+    def _pull_v0(self, store, st: _StageState) -> None:
+        """v0: committed snapshot values for the touched keys — from the
+        store's pandas twin when present (free), else one bounded Spark
+        job (distinct batch keys join snapshot).  A NULL/absent v0
+        coalesces to the namespace default in BOTH engines (the chain
+        folds read coalesce(__v0, default))."""
+        import pyspark.sql.functions as F
+
+        ctx = st.ctx
+        twin = store._current_pdf.get(ctx.ns.name)
+        if twin is not None:
+            st.v0 = dict(zip(twin["key"], twin["value"]))
+        else:
+            spdf = (
+                ctx.ops.select("__key")
+                .distinct()
+                .join(
+                    ctx.snapshot.select(F.col("key").alias("__key"), F.col("value")),
+                    "__key",
+                    "left",
+                )
+                .toPandas()
+            )
+            st.v0 = dict(zip(spdf["__key"], spdf["value"]))
+
+    # -- chains (built lazily for refolded keys only) -------------------
+
+    def _ensure_chains(self, st: _StageState, keys) -> None:
+        missing = [k for k in keys if k not in st.chains]
+        if not missing:
+            return
+        ctx = st.ctx
+        pdf = st.ops_pdf
+        sub = pdf[pdf["__key"].isin(set(missing))]
+        pre = ctx.stage.pre_combine
+        cols = ctx.value_cols
+        rows_by_key: dict = {k: [] for k in missing}
+        if ctx.kind != "pandas" and pre:
+            for key, tid, *vals in zip(
+                sub["__key"], sub["_tid"], *[sub[c] for c in cols]
+            ):
+                rec = dict(zip(cols, vals))
+                rows_by_key[key].append(((int(tid),), int(tid), rec))
+        else:
+            for key, tid, path, *vals in zip(
+                sub["__key"], sub["_tid"], sub["_path"], *[sub[c] for c in cols]
+            ):
+                rec = dict(zip(cols, vals))
+                p = tuple(path) if path is not None else ()
+                if ctx.kind == "chain_expr":
+                    # sort_array orders by the FULL element struct:
+                    # (tid, path, value cols) with Spark field ordering
+                    sk = (int(tid), p, *[_sort_key_field(rec[c]) for c in cols])
+                else:  # the Arrow fold sorts by (tid, path) only, stably
+                    sk = (int(tid), p)
+                rows_by_key[key].append((sk, int(tid), rec))
+        for key, rows in rows_by_key.items():
+            rows.sort(key=lambda x: x[0])
+            st.chains[key] = [(tid, rec) for _sk, tid, rec in rows]
+
+    # -- refold ---------------------------------------------------------
+
+    def _refold_key(self, st: _StageState, key: str, excluded: set) -> list:
+        ctx, comp = st.ctx, st.comp
+        kept = [(tid, rec) for tid, rec in st.chains[key] if tid not in excluded]
+        default = ctx.ns.default
+        raw_v0 = st.v0.get(key, default)
+        out: list = []
+        if ctx.kind == "chain_expr":
+            # mirrors the SQL aggregate() fold in _state_chain_expr:
+            # acc starts at CAST(coalesce(v0, default) AS vt); candidate
+            # cast to vt; invariant sees the cast candidate; committed
+            # links advance the chain, aborted ones record acc
+            acc = comp.cast(
+                _nan_none(raw_v0) if _nan_none(raw_v0) is not None else default
+            )
+            for tid, rec in kept:
+                cand = comp.cast(comp.update(acc, rec))
+                ok = comp.invariant(cand, rec) if comp.invariant else True
+                ok = ok is True
+                val = cand if ok else acc
+                out.append((tid, COMMIT if ok else ABORT, val, tid, ok))
+                if ok:
+                    acc = cand
+        else:
+            # mirrors _state_chain_pandas.fold: UNCAST chain value, value
+            # recorded = candidate even when aborted (writes filter __wr)
+            acc = _nan_none(raw_v0) if _nan_none(raw_v0) is not None else default
+            for pos, (tid, rec) in enumerate(kept):
+                cand = comp.update(acc, rec)
+                ok = comp.invariant(cand, rec) if comp.invariant else True
+                out.append((tid, COMMIT if ok else ABORT, cand, pos, bool(ok)))
+                if ok:
+                    acc = cand
+        return out
+
+    # -- vote merge (vectorized) ----------------------------------------
+
+    def _merge_votes(self, all_tids: pd.Series, excluded: set) -> pd.DataFrame:
+        parts: list[pd.DataFrame] = []
+        for st in self.states:
+            if st.ctx.kind == "epoch_combine":
+                # every kept op row votes COMMIT
+                t = st.ops_pdf["_tid"]
+                kept = t[~t.isin(excluded)] if excluded else t
+                parts.append(pd.DataFrame({"_tid": kept, "vote": COMMIT}))
+                continue
+            ep = st.eval_pdf
+            if st.overrides:
+                base = ep[~ep["key"].isin(st.overrides)][["_tid", "vote"]]
+                ov = [
+                    (tid, vote)
+                    for links in st.overrides.values()
+                    for tid, vote, _v, _o, _w in links
+                ]
+                parts.append(base)
+                if ov:
+                    parts.append(pd.DataFrame(ov, columns=["_tid", "vote"]))
+            else:
+                parts.append(ep[["_tid", "vote"]])
+        links = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        gb = links.groupby("_tid", sort=False)["vote"]
+        merged = pd.DataFrame(
+            {"vote": gb.max(), "any_commit": (gb.min() == COMMIT).astype("int32")}
+        ).reset_index()
+        gv = pd.DataFrame({"_tid": all_tids}).merge(merged, on="_tid", how="left")
+        gv["vote"] = gv["vote"].fillna(COMMIT).astype("int32")
+        gv["any_commit"] = gv["any_commit"].fillna(0).astype("int32")
+        if excluded:
+            ex = gv["_tid"].isin(excluded)
+            gv.loc[ex, "vote"] = ABORT
+            gv.loc[ex, "any_commit"] = 0
+        return gv
+
+    # -- the driver close: merge + fixpoint + finals --------------------
+
+    def close(
+        self, store, tids_pdf: pd.Series, has_ec: bool, run_cascade: bool
+    ) -> CascadeResult:
+        """Full driver-side vote resolution for one epoch: initial merge
+        from the pulled evaluation links, the abort-cascade fixpoint
+        (PL3/PL4), and the writes/finals assembly — all pandas.  The
+        fixpoint's control flow is identical to the distributed loop in
+        runner._close (same exits, same monotone override)."""
+        self._pull_eval(store)
+        all_tids = pd.Series(tids_pdf, dtype="int64").reset_index(drop=True)
+        gv = self._merge_votes(all_tids, set())
+        excluded: set = set()
+        n_excluded = 0
+        rounds = 0  # refold rounds actually executed
+        guard = 0
+        while run_cascade:
+            ab = gv["vote"] == ABORT
+            n_aborted = int(ab.sum())
+            if n_aborted == n_excluded:
+                break
+            guard += 1
+            if guard > 100_000:  # pragma: no cover - same bug trap as Spark loop
+                raise RuntimeError("driver cascade failed to converge")
+            contaminated = bool((ab & (gv["any_commit"] == 1)).any())
+            if not has_ec and not contaminated:
+                break
+            self._pull_refold(store)
+            rounds += 1
+            new_excluded = set(int(t) for t in gv.loc[ab, "_tid"]) - excluded
+            excluded = excluded | new_excluded
+            n_excluded = n_aborted
+            for st in self.states:
+                if st.ctx.kind == "epoch_combine":
+                    continue  # links derived from ops minus excluded
+                # refold ONLY keys touched by NEWLY excluded txns: keys
+                # refolded in earlier rounds already exclude the older
+                # tids, and untouched keys' original evaluation stands —
+                # the same key-locality as the distributed rerun()
+                p = st.ops_pdf
+                touched = p.loc[p["_tid"].isin(new_excluded), "__key"].unique()
+                self._ensure_chains(st, touched)
+                for key in touched:
+                    st.overrides[key] = self._refold_key(st, key, excluded)
+            gv = self._merge_votes(all_tids, excluded)
+
+        gv_out = pd.DataFrame(
+            {
+                "_tid": all_tids,
+                "vote": gv["vote"].astype("int32"),
+                "any_commit": gv["any_commit"].astype("int32"),
+            }
+        )
+        commit_tids = set(int(t) for t in gv.loc[gv["vote"] == COMMIT, "_tid"])
+        writes: dict[str, list[pd.DataFrame]] = {}
+        for st in self.states:
+            ctx = st.ctx
+            if ctx.kind == "epoch_combine":
+                pre = ctx.stage.pre_combine
+                p = st.ops_pdf
+                kept = p[~p["_tid"].isin(excluded)] if excluded else p
+                gb = kept.groupby("__key", sort=False)
+                agg = {c: _pd_agg(gb, c, h) for c, h in pre.items()}
+                combined = pd.DataFrame(agg).reset_index()
+                rows = []
+                cols = list(pre)
+                for key, *vals in zip(combined["__key"], *[combined[c] for c in cols]):
+                    rec = {c: _nan_none(v) for c, v in zip(cols, vals)}
+                    raw_v0 = st.v0.get(key, ctx.ns.default)
+                    v0 = st.comp.cast(
+                        _nan_none(raw_v0)
+                        if _nan_none(raw_v0) is not None
+                        else ctx.ns.default
+                    )
+                    rows.append((key, st.comp.cast(st.comp.update(v0, rec)), -1, 0))
+                wdf = pd.DataFrame(rows, columns=["key", "value", "_tid", "_ord"])
+            else:
+                ep = st.eval_pdf
+                base = ep[ep["__wr"]]
+                if st.overrides:
+                    base = base[~base["key"].isin(st.overrides)]
+                ov_rows = [
+                    (key, st.comp.cast(val), tid, ordv)
+                    for key, links in st.overrides.items()
+                    for tid, _vote, val, ordv, wr in links
+                    if wr
+                ]
+                frames = [base[["key", "value", "_tid", "_ord"]]]
+                if ov_rows:
+                    frames.append(
+                        pd.DataFrame(ov_rows, columns=["key", "value", "_tid", "_ord"])
+                    )
+                wdf = (
+                    pd.concat(frames, ignore_index=True)
+                    if len(frames) > 1
+                    else frames[0].reset_index(drop=True)
+                )
+            wdf["_stage"] = ctx.stage_idx
+            writes.setdefault(ctx.ns.name, []).append(wdf)
+
+        finals: dict[str, pd.DataFrame] = {}
+        for ns_name, parts in writes.items():
+            allw = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            wc = allw[(allw["_tid"] < 0) | allw["_tid"].isin(commit_tids)]
+            # last writer per key: max (_stage, _ord) — the pandas twin
+            # of the close's row_number window
+            wc = wc.sort_values(["_stage", "_ord"], kind="mergesort")
+            finals[ns_name] = wc.drop_duplicates("key", keep="last")[
+                ["key", "value"]
+            ].reset_index(drop=True)
+        return CascadeResult(gv_pdf=gv_out, writes=writes, finals=finals, rounds=rounds)

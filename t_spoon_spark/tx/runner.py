@@ -44,6 +44,13 @@ _DEBUG = os.environ.get("TSPOON_DEBUG") == "1"
 # None = auto-select per session master (local → pandas, cluster →
 # reliable); an explicit TSPOON_MATERIALIZE always wins.
 _MATERIALIZE = os.environ.get("TSPOON_MATERIALIZE") or None
+# Driver-side cascade fixpoint (pandas materialize mode only; see
+# tx/driver_cascade.py). On by default; TSPOON_DRIVER_CASCADE=0 pins
+# the distributed refold loop (tests use it to keep both paths covered).
+_DRIVER_CASCADE = os.environ.get("TSPOON_DRIVER_CASCADE", "1") != "0"
+# Fused no-abort single-job close (pandas mode). TSPOON_FUSED=0 pins the
+# two-action path for comparisons/tests.
+_FUSED = os.environ.get("TSPOON_FUSED", "1") != "0"
 
 
 def _dbg(label: str, t0: float) -> float:
@@ -149,23 +156,51 @@ def _stage_outputs(evaluated: DataFrame, stage_idx: int) -> tuple[DataFrame, Dat
     return votes, writes
 
 
-@dataclass
 class EpochResult:
-    epoch: int
-    # TransactionResult (tgraph/TransactionResult.java:8-15): original
-    # record + (_tid, _ts, vote, updates array<struct<ns,key,value>>)
-    results: DataFrame
-    # the transformed stream after all stages (reference exposes it via
-    # sinks on the closed TStream; tests golden-check it)
-    stream: DataFrame
-    spu_results: DataFrame | None
-    n_replay: int
-    # materialized (_tid, vote:int) frame — lets vote accounting run off
-    # the small control frame instead of re-executing the results plan
-    votes: DataFrame | None = None
+    """One epoch's outputs.
+
+    ``results`` is the TransactionResult stream
+    (tgraph/TransactionResult.java:8-15): original record + (_tid, _ts,
+    vote, updates array<struct<ns,key,value>>).  Its DataFrame is built
+    LAZILY on first access — the plan construction (unions + to_json
+    over every namespace) costs ~0.3 s of driver time per epoch, pure
+    overhead for throughput/latency paths that only read vote_counts()
+    off the materialized vote frame."""
+
+    def __init__(
+        self,
+        epoch: int,
+        results,  # DataFrame or zero-arg thunk returning one
+        stream: DataFrame,
+        spu_results: DataFrame | None,
+        n_replay: int,
+        votes: DataFrame | None = None,
+    ):
+        self.epoch = epoch
+        self._results = results
+        # the transformed stream after all stages (reference exposes it
+        # via sinks on the closed TStream; tests golden-check it)
+        self.stream = stream
+        self.spu_results = spu_results
+        self.n_replay = n_replay
+        # materialized (_tid, vote:int) frame — lets vote accounting run
+        # off the small control frame instead of the results plan
+        self.votes = votes
+
+    @property
+    def results(self) -> DataFrame:
+        if callable(self._results):
+            self._results = self._results()
+        return self._results
 
     def vote_counts(self) -> dict[str, int]:
         if self.votes is not None:
+            pdf = getattr(self.votes, "_tspoon_pdf", None)
+            if pdf is not None:  # driver twin: zero Spark jobs
+                from t_spoon_spark.tx.vote import VOTE_NAMES
+
+                counts = pdf["vote"].value_counts()
+                return {VOTE_NAMES[int(v)]: int(n) for v, n in counts.items()}
             rows = (
                 self.votes.select(vote_name(F.col("vote")).alias("v")).groupBy("v").count().collect()
             )
@@ -180,6 +215,13 @@ class GraphRunner:
         self.graph = tgraph
         self._replay: DataFrame | None = None  # source cols + _tid
         self._epoch_persisted: list[DataFrame] = []
+        # driver-cascade compile cache (per runner — the graph is
+        # immutable): None = not tried, False = ineligible, list = twins
+        self._dc_compiled = None
+        self._stage_ctxs: list = []
+        # rendered chain-update SQL per stage (py4j round-trips once per
+        # runner, not once per epoch)
+        self._chain_sql_cache: dict = {}
 
     # ------------------------------------------------------------------
 
@@ -212,6 +254,7 @@ class GraphRunner:
         store = env.store
         epoch = store.committed_epoch() + 1
         self._epoch_persisted = []
+        self._stage_ctxs = []
         self._batch_id = batch_id
         self._query_id = query_id
 
@@ -326,17 +369,54 @@ class GraphRunner:
         pandas_path = stage.py_update is not None or env.isolation in ("PL0", "PL1")
         if pandas_path:
             impl = self._state_chain_pandas
+            kind = "pandas"
         elif stage.epoch_combine:
             impl = self._state_epoch_combine
+            kind = "epoch_combine"
         elif env.isolation in ("PL3", "PL4"):
             impl = self._state_chain_expr
+            kind = "chain_expr"
         else:
             impl = self._state_expr
+            kind = "expr"
 
-        if persist_ops:
+        # On the driver-close path each frame has exactly ONE consumer
+        # (the pandas pull), so persist() is pure overhead — plan
+        # analysis + cache write per epoch. `_dc_compiled is not False`
+        # errs toward skipping on the first epoch; if compilation then
+        # fails, that one epoch runs the distributed path uncached and
+        # the next epoch persists again.
+        self._skip_persist = (
+            _DRIVER_CASCADE
+            and kind != "expr"
+            and self._dc_compiled is not False
+            and materialize_mode(env.spark) == "pandas"
+        )
+        if persist_ops and not self._skip_persist:
             ops = ops.persist()
             self._epoch_persisted.append(ops)
         votes, writes, evaluated = impl(ops, stage, ns, snapshot, stage_idx)
+
+        # context for the driver-side cascade (tx/driver_cascade.py):
+        # the fixpoint refolds from these exact frames when eligible
+        from t_spoon_spark.tx.driver_cascade import StageCtx
+
+        if kind in ("epoch_combine",) or (kind == "chain_expr" and stage.pre_combine):
+            value_cols = list(stage.pre_combine)
+        else:
+            value_cols = [c for c in ops.columns if c not in (*G.META_COLS, "__key")]
+        self._stage_ctxs.append(
+            StageCtx(
+                kind=kind,
+                stage=stage,
+                ns=ns,
+                stage_idx=stage_idx,
+                ops=ops,
+                snapshot=snapshot,
+                value_cols=value_cols,
+                evaluated=evaluated,
+            )
+        )
 
         def rerun(excluded: DataFrame, full: bool = False) -> tuple[DataFrame, DataFrame]:
             kept = ops.join(excluded, "_tid", "left_anti")
@@ -436,6 +516,14 @@ class GraphRunner:
             aggs = [
                 F.expr(f"{how}({col})").alias(col) for col, how in stage.pre_combine.items()
             ]
+            # one shuffle, not two: hash-partitioning on __key satisfies
+            # the (tid, key) clustering of the pre-combine AND the key
+            # clustering of the chain groupBy, so both aggregates run
+            # exchange-free on top of a single repartition.  Trade-off
+            # at scale: the key shuffle moves raw ops (no map-side
+            # combine first), but op count per txn is bounded by the
+            # graph's flat_map fan-out — batch-sized either way.
+            ops = ops.repartition(F.col("__key"))
             ops = ops.groupBy("_tid", "__key").agg(*aggs)
             value_cols = list(stage.pre_combine)
             elem = F.struct(F.col("_tid"), *[F.col(c) for c in value_cols])
@@ -444,13 +532,17 @@ class GraphRunner:
             # _path after _tid: intra-transaction ops apply in lineage order
             elem = F.struct(F.col("_tid"), F.col("_path"), *[F.col(c) for c in value_cols])
 
-        try:
-            cand = _chain_update_sql(self.env.spark, stage, value_cols)
-        except Exception as e:  # pragma: no cover - exotic expressions
-            raise ValueError(
-                f"state('{ns.name}'): cannot derive a SQL chain from the update "
-                f"expression ({e}); supply py_update for the pandas chain path"
-            ) from e
+        sql_key = (id(stage), tuple(value_cols))
+        cand = self._chain_sql_cache.get(sql_key)
+        if cand is None:
+            try:
+                cand = _chain_update_sql(self.env.spark, stage, value_cols)
+            except Exception as e:  # pragma: no cover - exotic expressions
+                raise ValueError(
+                    f"state('{ns.name}'): cannot derive a SQL chain from the update "
+                    f"expression ({e}); supply py_update for the pandas chain path"
+                ) from e
+            self._chain_sql_cache[sql_key] = cand
         ok = _chain_invariant_sql(ns, cand, vt, value_cols)
 
         grouped = ops.groupBy("__key").agg(F.sort_array(F.collect_list(elem)).alias("__ops"))
@@ -486,8 +578,10 @@ class GraphRunner:
         # several epoch actions consume this frame (vote merge, writes,
         # contamination check, results build) — cache it executor-side
         # so the collect_list+fold shuffle runs once, not per action.
-        evaluated = evaluated.persist()
-        self._epoch_persisted.append(evaluated)
+        # (Driver-close mode: single consumer, skip the cache.)
+        if not getattr(self, "_skip_persist", False):
+            evaluated = evaluated.persist()
+            self._epoch_persisted.append(evaluated)
         return (*_stage_outputs(evaluated, stage_idx), evaluated)
 
     def _state_epoch_combine(
@@ -590,10 +684,38 @@ class GraphRunner:
             joined.groupBy("__key")
             .applyInPandas(fold, out_schema)
             .withColumnRenamed("_exec", "__wr")
-            .persist()  # the Arrow fold is the expensive part; cache it
         )
-        self._epoch_persisted.append(evaluated)
+        if not getattr(self, "_skip_persist", False):
+            # the Arrow fold is the expensive part; cache it
+            evaluated = evaluated.persist()
+            self._epoch_persisted.append(evaluated)
         return (*_stage_outputs(evaluated, stage_idx), evaluated)
+
+    # -- driver cascade eligibility --------------------------------------
+
+    def _driver_cascade_or_none(self, spark):
+        """A DriverCascade for this epoch, or None when the distributed
+        refold loop must run instead (cluster materialize mode, the
+        feature flag, or a stage without a compilable python twin)."""
+        from t_spoon_spark.tx import driver_cascade as dcm
+
+        if not _DRIVER_CASCADE or materialize_mode(spark) != "pandas":
+            return None
+        if not self._stage_ctxs or any(c.kind == "expr" for c in self._stage_ctxs):
+            return None
+        if self._dc_compiled is False:
+            return None
+        if self._dc_compiled is None:
+            try:
+                self._dc_compiled = [
+                    dcm.compile_stage(spark, c) for c in self._stage_ctxs
+                ]
+            except dcm.Ineligible as e:
+                if _DEBUG:
+                    print(f"    [tspoon] driver cascade ineligible: {e}", flush=True)
+                self._dc_compiled = False
+                return None
+        return dcm.DriverCascade(spark, self._stage_ctxs, self._dc_compiled)
 
     # -- close ----------------------------------------------------------
 
@@ -651,6 +773,18 @@ class GraphRunner:
         t0 = time.time()
         tids = src.select("_tid")
         votes_parts, writes_parts = exec_states(None)
+        spark = tids.sparkSession
+
+        # Driver-side close (pandas materialize mode + compiled python
+        # twins, tx/driver_cascade.py): ONE Spark job per chain stage —
+        # the evaluation pull — then vote merge, abort-cascade fixpoint,
+        # and finals resolution all in pandas over batch-sized control
+        # frames.  Replaces both the fused union job and the distributed
+        # cascade loop; ineligible graphs and cluster sessions fall
+        # through to those paths unchanged.
+        dc = self._driver_cascade_or_none(spark) if n_state > 0 else None
+        if dc is not None:
+            return self._driver_close(epoch, src, stream, tids, spus, dc, t0)
 
         # Fused no-abort fast path: ONE Spark job per epoch instead of
         # two. The votes materialize and the commit's state cut are the
@@ -669,12 +803,12 @@ class GraphRunner:
         fused_updates_pdf = None  # {ns_name: finals pdf} when the fast path lands
         fuse_types = {env.namespaces[n].value_type for n in writes_parts}
         fusable = (
-            spus is None
+            _FUSED
+            and spus is None
             and bool(votes_parts)
             and len(fuse_types) == 1  # one union frame needs one value type
             and all(store.can_commit_pandas(n) for n in writes_parts)
         )
-        spark = tids.sparkSession
         if fusable and materialize_mode(spark) == "pandas":
             vt = next(iter(fuse_types))
             w = None
@@ -773,6 +907,7 @@ class GraphRunner:
         # cascading aborts, as in the reference's forward-dependency
         # replay), so this terminates; the round cap bounds pathological
         # cascade depth. Cost: zero extra passes when nothing aborts.
+        driver_res = None
         if n_state > 0 and env.isolation in ("PL3", "PL4"):
             # epoch_combine folds every txn unconditionally, so its sums
             # must always be re-derived when something aborts — the
@@ -860,76 +995,180 @@ class GraphRunner:
                     )
             t0 = _dbg("abort_cascade", t0)
 
+        return self._finish_close(
+            epoch, src, stream, gvotes, lambda: writes_parts, spus,
+            fused_updates_pdf, driver_res, t0,
+        )
+
+    def _driver_close(
+        self,
+        epoch: int,
+        src: DataFrame,
+        stream: DataFrame,
+        tids: DataFrame,
+        spus: DataFrame | None,
+        dc,
+        t0: float,
+    ) -> EpochResult:
+        """Pandas-mode close via the driver cascade module: pull the
+        evaluation links (the epoch's one real Spark job per stage),
+        resolve votes/cascade/finals in pandas, re-enter Spark as
+        LocalRelations."""
+        env = self.env
+        store = env.store
+        spark = tids.sparkSession
+        has_ec = any(
+            isinstance(s, G.StateStage) and s.epoch_combine for s in self.graph.stages
+        )
+        src_pdf = getattr(src, "_tspoon_pdf", None)
+        tids_pdf = (
+            src_pdf["_tid"] if src_pdf is not None else tids.toPandas()["_tid"]
+        )
+        out = dc.close(
+            store, tids_pdf, has_ec, run_cascade=env.isolation in ("PL3", "PL4")
+        )
+        gvotes = spark.createDataFrame(
+            out.gv_pdf, schema="_tid long, vote int, any_commit int"
+        )
+        gvotes._tspoon_pdf = out.gv_pdf
+
+        def writes_supplier() -> dict[str, list[DataFrame]]:
+            return {
+                ns_name: [
+                    spark.createDataFrame(
+                        w,
+                        schema=(
+                            f"key string, value {env.namespaces[ns_name].value_type},"
+                            " _tid long, _ord long, _stage int"
+                        ),
+                    )
+                    for w in parts
+                ]
+                for ns_name, parts in out.writes.items()
+            }
+
+        t0 = _dbg(f"driver_close rounds={out.rounds}", t0)
+        return self._finish_close(
+            epoch, src, stream, gvotes, writes_supplier, spus, None, out, t0
+        )
+
+    def _finish_close(
+        self,
+        epoch: int,
+        src: DataFrame,
+        stream: DataFrame,
+        gvotes: DataFrame,
+        writes_supplier,
+        spus: DataFrame | None,
+        fused_updates_pdf,
+        driver_res,
+        t0: float,
+    ) -> EpochResult:
+        """Post-cascade close: resolve finals, commit, build results —
+        shared by the distributed and driver paths.  The updates /
+        results plans are built lazily: an epoch that commits via the
+        pandas store twin and is only asked for vote counts never pays
+        their construction."""
+        env = self.env
+        store = env.store
+
         commit_tids = gvotes.filter(F.col("vote") == COMMIT).select("_tid")
+        built: dict[str, object] = {}
 
-        # resolve each namespace's final value per key among committed writes
-        updates: dict[str, DataFrame] = {}
-        upd_rows: list[DataFrame] = []
-        for ns_name, parts in writes_parts.items():
-            w = parts[0]
-            for p in parts[1:]:
-                w = w.unionByName(p)
-            wc = w.filter(F.col("_tid") < 0).unionByName(
-                w.filter(F.col("_tid") >= 0).join(commit_tids, "_tid", "left_semi")
-            )
-            rn = F.row_number().over(
-                W.partitionBy("key").orderBy(F.desc("_stage"), F.desc("_ord"))
-            )
-            final = wc.withColumn("__rn", rn).filter(F.col("__rn") == 1).select("key", "value")
-            updates[ns_name] = final
-            upd_rows.append(
-                wc.select(
-                    "_tid",
-                    F.lit(ns_name).alias("ns"),
-                    "key",
-                    F.to_json(F.struct(F.col("value").alias("v"))).alias("value"),
+        def updates_and_rows() -> tuple[dict[str, DataFrame], list[DataFrame]]:
+            # each namespace's final value per key among committed
+            # writes, plus the per-txn write-set rows for results
+            if "u" in built:
+                return built["u"]  # type: ignore[return-value]
+            updates: dict[str, DataFrame] = {}
+            upd_rows: list[DataFrame] = []
+            for ns_name, parts in writes_supplier().items():
+                w = parts[0]
+                for p in parts[1:]:
+                    w = w.unionByName(p)
+                wc = w.filter(F.col("_tid") < 0).unionByName(
+                    w.filter(F.col("_tid") >= 0).join(commit_tids, "_tid", "left_semi")
                 )
-            )
+                rn = F.row_number().over(
+                    W.partitionBy("key").orderBy(F.desc("_stage"), F.desc("_ord"))
+                )
+                final = (
+                    wc.withColumn("__rn", rn).filter(F.col("__rn") == 1).select("key", "value")
+                )
+                updates[ns_name] = final
+                upd_rows.append(
+                    wc.select(
+                        "_tid",
+                        F.lit(ns_name).alias("ns"),
+                        "key",
+                        F.to_json(F.struct(F.col("value").alias("v"))).alias("value"),
+                    )
+                )
+            built["u"] = (updates, upd_rows)
+            return built["u"]  # type: ignore[return-value]
 
-        # single-partition updates run after the epoch's transactions
+        def build_results() -> DataFrame:
+            # TransactionResult stream (tgraph/TransactionResult.java:8-15):
+            # committed txns carry their write-set.
+            if "r" in built:
+                return built["r"]  # type: ignore[return-value]
+            _updates, upd_rows = updates_and_rows()
+            if upd_rows:
+                u = upd_rows[0]
+                for p in upd_rows[1:]:
+                    u = u.unionByName(p)
+                upd_agg = u.groupBy("_tid").agg(
+                    F.collect_list(F.struct("ns", "key", "value")).alias("updates")
+                )
+            else:
+                upd_agg = None
+            results = src.join(gvotes.select("_tid", "vote"), "_tid").select(
+                "*", F.col("_tid").alias("_ts")
+            ).withColumn("vote", vote_name(F.col("vote")))
+            if upd_agg is not None:
+                results = results.join(upd_agg, "_tid", "left")
+            else:
+                results = results.withColumn(
+                    "updates",
+                    F.lit(None).cast("array<struct<ns:string,key:string,value:string>>"),
+                )
+            built["r"] = results
+            return results
+
         spu_results = None
-        if spus is not None:
-            spu_results, updates = self._apply_spus(spus, updates)
-
-        # TransactionResult stream (tgraph/TransactionResult.java:8-15):
-        # committed txns carry their write-set.
-        if upd_rows:
-            u = upd_rows[0]
-            for p in upd_rows[1:]:
-                u = u.unionByName(p)
-            upd_agg = u.groupBy("_tid").agg(
-                F.collect_list(F.struct("ns", "key", "value")).alias("updates")
+        pandas_commit = spus is None and (
+            fused_updates_pdf is not None
+            or (
+                driver_res is not None
+                and all(store.can_commit_pandas(n) for n in driver_res.finals)
             )
-        else:
-            upd_agg = None
-        results = src.join(gvotes.select("_tid", "vote"), "_tid").select(
-            "*", F.col("_tid").alias("_ts")
-        ).withColumn("vote", vote_name(F.col("vote")))
-        if upd_agg is not None:
-            results = results.join(upd_agg, "_tid", "left")
-        else:
-            results = results.withColumn(
-                "updates", F.lit(None).cast("array<struct<ns:string,key:string,value:string>>")
-            )
-
-        wal = results.select(
-            "_tid", "_ts", "vote", F.to_json(F.col("updates")).alias("updates_json")
         )
         t0 = _dbg("build_updates", t0)
-        if fused_updates_pdf is not None:
-            # all votes committed and the resolved finals already rode
-            # the fused materialize — pandas merge, zero Spark jobs
+        if pandas_commit:
+            # resolved finals already live driver-side (fused no-abort
+            # materialize, or the driver close) — pandas merge, zero
+            # Spark jobs
             store.commit_pandas(
                 epoch,
-                fused_updates_pdf,
+                fused_updates_pdf if fused_updates_pdf is not None else driver_res.finals,
                 batch_id=getattr(self, "_batch_id", None),
                 query_id=getattr(self, "_query_id", None),
             )
         else:
+            updates, _ = updates_and_rows()
+            if spus is not None:
+                # single-partition updates run after the epoch's txns
+                spu_results, updates = self._apply_spus(spus, updates)
+            wal = None
+            if env.store.durable:
+                results = build_results()
+                wal = results.select(
+                    "_tid", "_ts", "vote", F.to_json(F.col("updates")).alias("updates_json")
+                )
             store.commit(
                 epoch,
                 updates,
-                wal if env.store.durable else None,
+                wal,
                 batch_id=getattr(self, "_batch_id", None),
                 query_id=getattr(self, "_query_id", None),
             )
@@ -960,7 +1199,7 @@ class GraphRunner:
 
         return EpochResult(
             epoch=epoch,
-            results=results,
+            results=build_results,  # lazy: built on first .results access
             stream=stream,
             spu_results=spu_results,
             n_replay=n_replay,

@@ -258,15 +258,24 @@ class StateStore:
 
     # snapshots estimated under these stay on the Arrow fast path;
     # above (or on a cluster) the distributed parquet spill takes over.
-    # Deliberately small: a LocalRelation snapshot is embedded in every
-    # downstream job's task binary, so a multi-MB state re-ships with
-    # each epoch job — only truly control-sized state belongs here.
+    # A LocalRelation snapshot is embedded in every downstream job's
+    # task binary, so multi-MB state re-ships with each epoch job — but
+    # since the driver-side cascade + fused commit landed, a local-mode
+    # epoch runs 1-3 jobs total, and measurements at the loaded-latency
+    # operating point (26k-txn epochs, 100k-key state ≈ 6.5 MB deep)
+    # show the twin saving ~2 s/epoch of spill-commit against ~0.2 s of
+    # extra task-binary shipping.  16 MB covers that point with margin;
+    # beyond it (or on any cluster) the distributed spill takes over.
     # Two thresholds because the two estimators measure different
     # units (pandas deep in-memory bytes vs compressed parquet bytes,
     # ~6x apart) — a single cutoff oscillates between the paths on
     # state near the boundary, alternating the commit cost every epoch.
-    SMALL_SNAPSHOT_MEM_BYTES = 2 << 20
-    SMALL_SNAPSHOT_PARQUET_BYTES = 256 << 10
+    SMALL_SNAPSHOT_MEM_BYTES = int(
+        os.environ.get("TSPOON_SMALL_SNAPSHOT_MEM_MB", "16")
+    ) * (1 << 20)
+    SMALL_SNAPSHOT_PARQUET_BYTES = int(
+        os.environ.get("TSPOON_SMALL_SNAPSHOT_PARQUET_KB", "2560")
+    ) * (1 << 10)
 
     def _nondurable_cut(self, name: str, epoch: int, merged: DataFrame) -> DataFrame:
         """Non-durable lineage cut for one namespace snapshot.

@@ -119,10 +119,13 @@ def test_default_mode_keyed_off_master(spark, monkeypatch):
 
 
 def test_refold_strategies_result_identical(spark, monkeypatch):
-    """The cascade's two refold strategies — key-local (refold only
-    keys touched by aborted txns) and full (refold everything) — must
-    produce identical votes and final balances on a workload with
-    aborts, cascades, and cross-key contamination."""
+    """The DISTRIBUTED cascade's two refold strategies — key-local
+    (refold only keys touched by aborted txns) and full (refold
+    everything) — must produce identical votes and final balances on a
+    workload with aborts, cascades, and cross-key contamination.
+    Driver cascade pinned OFF so the Spark refold paths stay covered
+    (their driver twin is pinned by tests/test_driver_cascade.py)."""
+    monkeypatch.setattr(runner_mod, "_DRIVER_CASCADE", False)
     out = {}
     for frac, tag in [(2.0, "key_local"), (-1.0, "full")]:
         # frac > 1: n_aborted never exceeds it -> always key-local;
