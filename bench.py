@@ -281,6 +281,19 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
         "txn_latency_ms_unloaded", lambda: txn_latency_ms_unloaded_stats(spark, sf_dir)
     )
 
+    # streaming end-to-end trigger-to-commit latency — the epoch-model
+    # analogue of the reference's LatencyTrackerStart/End sink pair
+    # (evaluation/LatencyTracker*.java)
+    try:
+        from t_spoon_spark.bench_streaming import streaming_bank_latency_ms
+
+        _run_stats(
+            "streaming_bank_commit_latency_ms",
+            lambda: streaming_bank_latency_ms(spark, sf_dir),
+        )
+    except ImportError:
+        pass
+
 
 if __name__ == "__main__":
     main()

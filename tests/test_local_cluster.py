@@ -88,12 +88,24 @@ for name in (
     gate[name] = compare_frames(spark_pdf, duck_pdf) or "ok"
 out["gate"] = gate
 
+# Contended abort-cascade epoch on the multi-JVM path (round-6 verdict
+# item 6): the overdraft workload on a small keyspace forces chain
+# conflicts + cross-key contamination, exercising the DISTRIBUTED
+# cascade refold machinery (driver cascade is pandas-mode-only) under
+# 2 executor JVMs.  The host test replays the identical workload on the
+# local[] session (driver cascade ON) and asserts vote-for-vote and
+# balance-for-balance equality.
+from tests.cascade_workload import run_cascade_workload
+
+env2 = TxEnvironment(spark, isolation="PL4")
+out["cascade"] = run_cascade_workload(spark, env2)
+
 print("RESULT " + json.dumps(out))
 spark.stop()
 """
 
 
-def test_engine_on_multi_jvm_local_cluster():
+def test_engine_on_multi_jvm_local_cluster(spark):
     proc = subprocess.run(
         [sys.executable, "-c", SCRIPT],
         capture_output=True,
@@ -118,3 +130,15 @@ def test_engine_on_multi_jvm_local_cluster():
     # gate queries: exact DuckDB-oracle value match on the reliable path
     bad = {k: v for k, v in out["gate"].items() if v != "ok"}
     assert not bad, bad
+
+    # contended cascade epoch: the 2-JVM reliable path must agree
+    # vote-for-vote and balance-for-balance with the local driver-
+    # cascade run of the identical workload
+    from t_spoon_spark.tx import TxEnvironment
+    from tests.cascade_workload import run_cascade_workload
+
+    local = run_cascade_workload(spark, TxEnvironment(spark, isolation="PL4"))
+    assert local["votes"] == out["cascade"]["votes"]
+    assert local["balances"] == out["cascade"]["balances"]
+    n_abort = sum(1 for v in local["votes"].values() if v == "ABORT")
+    assert n_abort >= 3  # the workload truly cascades

@@ -2,13 +2,20 @@
 scale rehearsals (SCALING.md): replicate every scaling table N times
 with disjoint key offsets so primary keys stay unique and foreign keys
 stay consistent within each copy.  Fixed dims (region, nation) are
-copied once.  Non-key attributes are left verbatim — the amplified
-corpus therefore has an ~(N-1)/N exact-duplicate rate on documents and
-embeddings, which makes it a deliberately heavy stress for the dedup /
-similarity families (noted alongside the rehearsal numbers).
+copied once.
+
+Document texts and embedding vectors are PERTURBED per copy with a
+deterministic salt (round-6 verdict missing #4: verbatim replication
+made sf1 ~90% exact duplicates, so the dedup/similarity rehearsal rows
+measured a pathological corpus).  Copy 0 is verbatim; copy k>0 mutates
+~1 token in 8 (hash-gated on (doc_id, copy, position)) and nudges
+~1 embedding component in 4 by a small deterministic offset — the
+amplified corpus then carries a realistic NEAR-duplicate spectrum
+(shingle overlap ~0.75-0.95, cosine ~0.99) instead of exact copies.
+``--verbatim`` restores the old behavior for worst-case stress runs.
 
 Usage: python tools/make_sfn.py [--copies 10] [--src /root/testdata/sf0.1]
-                                [--out /root/repo/.scratch/sf1]
+                                [--out /root/repo/.scratch/sf1] [--verbatim]
 
 The output dir is scratch (gitignored) — TESTDATA.md's sf dirs are
 read-only and never touched.
@@ -48,6 +55,11 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=str(REPO / ".scratch" / "sf1"))
+    ap.add_argument(
+        "--verbatim",
+        action="store_true",
+        help="replicate payloads unmodified (exact-duplicate stress corpus)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -74,6 +86,59 @@ def main() -> None:
         if not os.path.exists(src):
             continue
         df = spark.read.parquet(src).select("*", copies)
+        if not args.verbatim and t == "documents":
+            # hash-gated token mutation: ~1/8 of positions get a salted
+            # token on copies > 0; deterministic in (doc_id, copy, pos)
+            toks = F.split(F.col("text"), " ")
+            idx = F.sequence(F.lit(0), F.size(toks) - 1)
+            salted = F.transform(
+                idx,
+                lambda i: F.when(
+                    (F.col("_copy") > 0)
+                    & (
+                        F.pmod(
+                            F.hash(F.col("doc_id"), F.col("_copy"), i), F.lit(8)
+                        )
+                        == 0
+                    ),
+                    F.concat(
+                        F.element_at(toks, i + 1),
+                        F.lit("v"),
+                        F.col("_copy").cast("string"),
+                    ),
+                ).otherwise(F.element_at(toks, i + 1)),
+            )
+            df = df.withColumn("text", F.array_join(salted, " ")).withColumn(
+                "n_chars", F.length("text")
+            )
+        if not args.verbatim and t == "embeddings":
+            # nudge ~1/4 of components by ±[0, 0.02): cosine vs copy 0
+            # lands ~0.99 — near-duplicate, not identical
+            emb = F.col("embedding")
+            idx = F.sequence(F.lit(0), F.size(emb) - 1)
+            nudged = F.transform(
+                idx,
+                lambda i: (
+                    F.element_at(emb, i + 1)
+                    + F.when(
+                        (F.col("_copy") > 0)
+                        & (
+                            F.pmod(
+                                F.hash(F.col("vec_id"), F.col("_copy"), i), F.lit(4)
+                            )
+                            == 0
+                        ),
+                        (
+                            F.pmod(
+                                F.hash(i, F.col("vec_id"), F.col("_copy")), F.lit(400)
+                            ).cast("float")
+                            - F.lit(200.0)
+                        )
+                        / F.lit(10000.0),
+                    ).otherwise(F.lit(0.0))
+                ).cast("float"),
+            )
+            df = df.withColumn("embedding", nudged)
         for col, stride in offs.items():
             df = df.withColumn(col, F.col(col) + F.col("_copy").cast("long") * stride)
         out = os.path.join(args.out, f"{t}.parquet")
