@@ -275,6 +275,16 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
             compact["txn_latency_ms_at_80pct_sustained"] = "failed"
             print(f"# txn_latency_ms_at_80pct_sustained: FAILED {exc}", file=sys.stderr)
 
+    # fixed-rate loaded latency at 5,200 tx/s — the round-6 operating
+    # point (0.8x the rate the un-amplified probe discovered).  The
+    # 80pct metric's operating point MOVES when sustained moves (round
+    # 7 amplified the probe stream and sustained tripled), so this pin
+    # is the cross-round comparable for the loaded-epoch close cost.
+    _run_stats(
+        "txn_latency_ms_at_5200_fixed",
+        lambda: txn_latency_ms_at_rate(spark, sf_dir, 5200.0),
+    )
+
     # the reference's latency-unloaded accumulator: commit latency of a
     # small epoch on an idle engine (the micro-batch floor)
     _run_stats(

@@ -606,6 +606,97 @@ class DriverCascade:
                 ).toPandas()
         self._pulled_eval = True
 
+    def _pull_fused(self, store, tids_df) -> pd.Series | None:
+        """ONE-job pull of everything a loaded epoch needs: the tid set,
+        every chain stage's evaluation links, AND the raw ops the
+        cascade would refold from — as a part-tagged union frame (the
+        same single-materialize idea as the fused no-abort commit).
+        Job launches dominate control-frame pulls locally (~0.1-0.2 s
+        each), so three pulls into one job is a direct latency cut.
+
+        Returns the tid Series, or None when the graph shape doesn't
+        fit one union frame (non-chain stages, multi-column records,
+        value-type mismatches) — callers then use the per-frame pulls."""
+        import pyspark.sql.functions as F
+
+        if self._pulled_eval:
+            return None
+        vts = {re.sub(r"\s", "", st.ctx.ns.value_type.lower()) for st in self.states}
+        if len(vts) != 1:
+            return None
+        vt = next(iter(vts))
+        for st in self.states:
+            ctx = st.ctx
+            if ctx.kind != "chain_expr" or len(ctx.value_cols) != 1:
+                return None
+            if not ctx.stage.pre_combine:
+                # without a pre-combiner the chain sorts by (tid, _path,
+                # value) and the union frame carries no _path — use the
+                # per-frame pulls
+                return None
+            col = ctx.value_cols[0]
+            if ctx.ops.schema[col].dataType.simpleString() != vt:
+                return None
+
+        def row(part, stage, tid, key, value, vote, ordv, wr):
+            return [
+                F.lit(part).alias("part"),
+                F.lit(stage).alias("stage"),
+                tid.alias("_tid"),
+                key.alias("key"),
+                value.cast(vt).alias("value"),
+                vote.alias("vote"),
+                ordv.cast("long").alias("_ord"),
+                wr.alias("wr"),
+            ]
+
+        nil = F.lit(None)
+        u = tids_df.select(
+            *row(0, -1, F.col("_tid"), F.lit(""), nil, F.lit(-1), F.lit(-1), F.lit(False))
+        )
+        for i, st in enumerate(self.states):
+            ev = st.ctx.evaluated.select(
+                *row(
+                    1, i, F.col("_tid"), F.col("key"), F.col("value"),
+                    F.col("vote"), F.col("_ord"), F.col("__wr"),
+                )
+            )
+            col = st.ctx.value_cols[0]
+            op = st.ctx.ops.select(
+                *row(
+                    2, i, F.col("_tid"), F.col("__key"), F.col(col),
+                    F.lit(-1), F.lit(-1), F.lit(False),
+                )
+            )
+            u = u.unionByName(ev).unionByName(op)
+        pdf = u.toPandas()
+
+        tids_pdf = pdf.loc[pdf["part"] == 0, "_tid"].reset_index(drop=True)
+        for i, st in enumerate(self.states):
+            stage_rows = pdf[pdf["stage"] == i]
+            st.eval_pdf = (
+                stage_rows[stage_rows["part"] == 1][
+                    ["key", "_tid", "value", "vote", "_ord", "wr"]
+                ]
+                .rename(columns={"wr": "__wr"})
+                .reset_index(drop=True)
+            )
+            ops = (
+                stage_rows[stage_rows["part"] == 2][["_tid", "key", "value"]]
+                .rename(columns={"key": "__key", "value": st.ctx.value_cols[0]})
+                .reset_index(drop=True)
+            )
+            pre = st.ctx.stage.pre_combine
+            if pre:
+                gb = ops.groupby(["_tid", "__key"], sort=False)
+                agg = {c: _pd_agg(gb, c, h) for c, h in pre.items()}
+                ops = pd.DataFrame(agg).reset_index()
+            st.ops_pdf = ops
+            self._pull_v0(store, st)
+        self._pulled_eval = True
+        self._pulled_ops = True
+        return tids_pdf
+
     def _pull_refold(self, store) -> None:
         """Lazy pull for cascade refolds: the raw ops and v0 snapshot of
         every chain stage — only paid when a refold actually happens."""
@@ -774,15 +865,26 @@ class DriverCascade:
 
     # -- the driver close: merge + fixpoint + finals --------------------
 
-    def close(
-        self, store, tids_pdf: pd.Series, has_ec: bool, run_cascade: bool
-    ) -> CascadeResult:
+    def close(self, store, tids, has_ec: bool, run_cascade: bool) -> CascadeResult:
         """Full driver-side vote resolution for one epoch: initial merge
         from the pulled evaluation links, the abort-cascade fixpoint
         (PL3/PL4), and the writes/finals assembly — all pandas.  The
         fixpoint's control flow is identical to the distributed loop in
-        runner._close (same exits, same monotone override)."""
-        self._pull_eval(store)
+        runner._close (same exits, same monotone override).
+
+        ``tids`` is either a pandas Series (the source's driver twin —
+        free) or a Spark DataFrame of ``_tid`` — then the fused one-job
+        pull covers it together with the evaluation links and refold
+        ops when the graph shape allows, and falls back to separate
+        pulls otherwise."""
+        if isinstance(tids, pd.Series):
+            tids_pdf = tids
+            self._pull_eval(store)
+        else:
+            tids_pdf = self._pull_fused(store, tids)
+            if tids_pdf is None:
+                self._pull_eval(store)
+                tids_pdf = tids.toPandas()["_tid"]
         all_tids = pd.Series(tids_pdf, dtype="int64").reset_index(drop=True)
         gv = self._merge_votes(all_tids, set())
         excluded: set = set()

@@ -1021,11 +1021,11 @@ class GraphRunner:
             isinstance(s, G.StateStage) and s.epoch_combine for s in self.graph.stages
         )
         src_pdf = getattr(src, "_tspoon_pdf", None)
-        tids_pdf = (
-            src_pdf["_tid"] if src_pdf is not None else tids.toPandas()["_tid"]
-        )
         out = dc.close(
-            store, tids_pdf, has_ec, run_cascade=env.isolation in ("PL3", "PL4")
+            store,
+            src_pdf["_tid"] if src_pdf is not None else tids,
+            has_ec,
+            run_cascade=env.isolation in ("PL3", "PL4"),
         )
         gvotes = spark.createDataFrame(
             out.gv_pdf, schema="_tid long, vote int, any_commit int"
