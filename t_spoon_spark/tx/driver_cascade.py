@@ -487,6 +487,8 @@ def compile_stage(spark, ctx: StageCtx) -> _Compiled:
     if ctx.kind == "pandas":
         # the Arrow chain path already HAS python twins — reuse them
         # verbatim so the driver fold is the same code the executors run
+        # (record values of ANY type are fine here: the fold sorts by
+        # (tid, path) only and py_update owns the value semantics)
         if ctx.stage.py_update is None:  # pragma: no cover - impl invariant
             raise Ineligible("pandas path without py_update")
         upd = ctx.stage.py_update
@@ -496,6 +498,15 @@ def compile_stage(spark, ctx: StageCtx) -> _Compiled:
             invariant=(lambda v, rec, _i=inv: _i(v)) if inv else None,
             cast=cast,
         )
+
+    if ctx.kind == "chain_expr" and not ctx.stage.pre_combine:
+        # the chain sorts by the FULL element struct (tid, path, value
+        # cols) — validate sortability from the Spark schema NOW so a
+        # pull can never discover ineligibility mid-close
+        atomic = re.compile(r"^(string|boolean|tinyint|smallint|int|bigint|float|double)$")
+        for c in ctx.value_cols:
+            if not atomic.match(ctx.ops.schema[c].dataType.simpleString()):
+                raise Ineligible(f"non-atomic chain sort column {c}")
 
     if ctx.stage.pre_combine:
         for how in ctx.stage.pre_combine.values():
@@ -722,11 +733,6 @@ class DriverCascade:
         else:
             cols = ["_tid", "__key", "_path", *ctx.value_cols]
             pdf = ctx.ops.select(*dict.fromkeys(cols)).toPandas()
-        for c in ctx.value_cols:
-            if pdf[c].dtype.kind == "O" and len(pdf):
-                probe = pdf[c].iloc[0]
-                if not isinstance(probe, (str, type(None), bool, int, float)):
-                    raise Ineligible(f"non-atomic value column {c}")
         st.ops_pdf = pdf
 
     def _pull_v0(self, store, st: _StageState) -> None:

@@ -784,7 +784,18 @@ class GraphRunner:
         # through to those paths unchanged.
         dc = self._driver_cascade_or_none(spark) if n_state > 0 else None
         if dc is not None:
-            return self._driver_close(epoch, src, stream, tids, spus, dc, t0)
+            from t_spoon_spark.tx.driver_cascade import Ineligible
+
+            try:
+                return self._driver_close(epoch, src, stream, tids, spus, dc, t0)
+            except Ineligible as e:
+                # belt-and-braces: a pull-time ineligibility (shapes the
+                # compile gate cannot see) falls back to the distributed
+                # close below — nothing was committed yet, and the
+                # exec_states frames are untouched
+                if _DEBUG:
+                    print(f"    [tspoon] driver close fell back: {e}", flush=True)
+                self._dc_compiled = False
 
         # Fused no-abort fast path: ONE Spark job per epoch instead of
         # two. The votes materialize and the commit's state cut are the

@@ -211,6 +211,40 @@ def test_compiler_rejects_non_whitelisted():
             dcm.compile_fragment(frag, ["delta"])
 
 
+def test_array_value_column_falls_back(spark, monkeypatch):
+    """A chain stage WITHOUT pre_combine sorts by the full element
+    struct; an array-typed record column is not driver-sortable, so the
+    compile gate must mark the graph ineligible and the distributed
+    path must produce the (identical) answer."""
+    monkeypatch.setattr(runner_mod, "_DRIVER_CASCADE", True)
+
+    def run():
+        env = TxEnvironment(spark, isolation="PL3")
+        env.create_namespace("balances", "double", 100.0, invariant="value >= 0")
+        g = env.graph().state(
+            "balances",
+            key=lambda df: F.col("account"),
+            update=lambda v: v + F.col("delta"),
+        )
+        rows = [(i, f"a{i % 3}", float(10 + i), [f"t{i}"]) for i in range(12)]
+        rows.append((50, "a0", -5000.0, ["over"]))  # overdraw -> abort
+        batch = spark.createDataFrame(
+            rows, "_tid long, account string, delta double, tags array<string>"
+        )
+        runner = env.runner(g)
+        res = runner.run_epoch(batch)
+        votes = res.vote_counts()
+        bal = {r["key"]: r["value"] for r in env.store.read("balances").collect()}
+        return votes, bal, runner
+
+    votes_on, bal_on, runner = run()
+    assert runner._dc_compiled is False  # ineligible, distributed path ran
+    monkeypatch.setattr(runner_mod, "_DRIVER_CASCADE", False)
+    votes_off, bal_off, _ = run()
+    assert (votes_on, bal_on) == (votes_off, bal_off)
+    assert votes_on.get("ABORT", 0) == 1
+
+
 def test_driver_close_engages_on_bank_graph(spark, monkeypatch):
     """Guard against silent fallback: the canonical bank graph must
     actually compile and take the driver path in pandas mode."""
