@@ -244,11 +244,14 @@ def sustainable_tps(
 
         # start the exponential bracket at a rate the dataset can
         # actually feed (small SFs would otherwise fail every probe on
-        # data volume, not backpressure, and report 0)
+        # data volume, not backpressure, and report 0).  8k start: the
+        # engine sustains well above it post-r7, and a start ABOVE the
+        # true rate is harmless — the first failed probe brackets
+        # [0, start] and the binary search proceeds normally.
         warm = min(1000, max(1, total // 10))
         max_rate = (total - warm) / (epoch_seconds * n_epochs)
         lo, hi = 0.0, None
-        rate = max(1.0, min(1000.0, max_rate / 2))
+        rate = max(1.0, min(8000.0, max_rate / 2))
         while hi is None:
             ok = _probe(
                 env_factory, transfers, total, rate, epoch_seconds, n_epochs, curve

@@ -1,5 +1,14 @@
 """Driver-side abort-cascade fixpoint for the pandas materialize mode.
 
+Reference semantics this realizes (unchanged from the distributed loop
+in runner._close): forward dependency tracking + replay of transactions
+that read an aborted write (tgraph/state/PL4DependencyTrackingStrategy.java:23-44,
+tgraph/twopc/StrictnessEnforcer.java:27-118), with the global vote as a
+MAX lattice over per-key link votes (tgraph/twopc/ReduceVotesFunction.java).
+Only WHERE the fixpoint iterates moves: the reference replays through
+its record-at-a-time 2PC, the distributed path refolds via Spark jobs,
+and this module refolds the same chains in driver pandas.
+
 The abort cascade (runner._close) is control-plane ITERATION: exclude
 the globally-aborted transactions, refold the touched key chains, merge
 votes, repeat until the abort set is stable.  On the distributed path
