@@ -71,6 +71,10 @@ def streaming_bank_latency_ms(
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     walls = [e["wall_s"] for e in sr.metrics.epochs if e["n_results"] > 0]
     measured = walls[1:] if len(walls) > 1 else walls
+    if not measured:
+        raise RuntimeError(
+            f"no measured micro-batch epochs at {sf_dir} (empty transfer stream?)"
+        )
     mean = round(1000.0 * sum(measured) / len(measured), 1)
     spread = round(1000.0 * (max(measured) - min(measured)), 1)
     return mean, spread

@@ -55,13 +55,57 @@ from typing import Any
 _READ_ONLY_HEADS = ("select", "with", "values", "table", "explain", "show", "describe", "desc")
 _COMMENT = re.compile(r"(?s)--[^\n]*|/\*.*?\*/")
 
+# logical-plan node names that mean the statement writes or mutates —
+# Spark's grammar allows CTE-prefixed DML ("WITH x AS (...) INSERT ..."),
+# so the head check alone is bypassable; the parsed plan is not.
+_MUTATING_NODES = (
+    "InsertInto",
+    "MergeInto",
+    "DeleteFrom",
+    "UpdateTable",
+    "CreateTable",
+    "CreateView",
+    "CreateNamespace",
+    "DropTable",
+    "DropView",
+    "DropNamespace",
+    "AlterTable",
+    "AlterView",
+    "RenameTable",
+    "SetCatalog",
+    "SetNamespace",
+    "SetCommand",
+    "TruncateTable",
+    "CacheTable",
+    "UncacheTable",
+    "RefreshTable",
+    "RefreshResource",
+    "AddJar",
+    "AddFile",
+    "WriteFiles",
+)
 
-def _is_read_only_sql(query: str) -> bool:
-    """Whitelist check on the statement head, comments stripped.  A
-    leading ``(`` (set-op parenthesization) is transparent."""
+
+def _is_read_only_sql(query: str, spark=None) -> bool:
+    """Two layers: (1) whitelist on the statement head (comments
+    stripped; a leading ``(`` set-op parenthesization is transparent);
+    (2) parse the statement with Spark's own parser and reject any plan
+    containing a mutating node — Spark accepts CTE-prefixed DML, so
+    ``WITH x AS (...) INSERT ...`` passes the head check but not this
+    one.  Unparseable text is rejected (it could only error later
+    anyway)."""
     head = _COMMENT.sub(" ", query).lstrip(" \t\r\n(")
     word = head.split(None, 1)[0].lower() if head.split() else ""
-    return word in _READ_ONLY_HEADS
+    if word not in _READ_ONLY_HEADS:
+        return False
+    if spark is None:
+        return True
+    try:
+        plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(query)
+        tree = plan.toString()
+    except Exception:  # noqa: BLE001 — parse failure: reject, don't execute
+        return False
+    return not any(node in tree for node in _MUTATING_NODES)
 
 
 class StateService:
@@ -123,7 +167,7 @@ class StateService:
             elif op == "predicate":
                 out = self.query_predicate(request["ns"], request["predicate"], epoch)
             elif op == "sql":
-                if not _is_read_only_sql(request["query"]):
+                if not _is_read_only_sql(request["query"], self.env.spark):
                     return {
                         "ok": False,
                         "error": "rejected: sql op accepts read-only statements "

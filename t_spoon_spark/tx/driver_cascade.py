@@ -248,7 +248,12 @@ class _Parser:
         if self._peek() == ("kw", "not"):
             self._next()
             inner = self._not()
-            return lambda s: None if inner(s) is None else not inner(s)
+
+            def neg(s, _i=inner):
+                v = _i(s)
+                return None if v is None else not v
+
+            return neg
         return self._cmp()
 
     def _cmp(self):
@@ -300,7 +305,12 @@ class _Parser:
         if k == "op" and v == "-":
             self._next()
             inner = self._unary()
-            return lambda s: None if inner(s) is None else -inner(s)
+
+            def neg(s, _i=inner):
+                val = _i(s)
+                return None if val is None else -val
+
+            return neg
         if k == "op" and v == "+":
             self._next()
             return self._unary()
@@ -323,10 +333,20 @@ class _Parser:
             return (lambda a, b, o: lambda s: _compare(o, a(s), b(s)))(a, b, name)
         if name == "negative" and len(args) == 1:
             a = args[0]
-            return lambda s: None if a(s) is None else -a(s)
+
+            def negf(s, _a=a):
+                v = _a(s)
+                return None if v is None else -v
+
+            return negf
         if name == "abs" and len(args) == 1:
             a = args[0]
-            return lambda s: None if a(s) is None else abs(a(s))
+
+            def absf(s, _a=a):
+                v = _a(s)
+                return None if v is None else abs(v)
+
+            return absf
         if name == "greatest":
             return lambda s: _greatest(*[a(s) for a in args])
         if name == "least":
@@ -483,8 +503,13 @@ class _Compiled:
     cast: Callable  # value-type cast
 
 
-def compile_stage(spark, ctx: StageCtx) -> _Compiled:
-    """Python twin for one state stage, or raise Ineligible."""
+def compile_stage(spark, ctx: StageCtx, sql_cache: dict | None = None) -> _Compiled:
+    """Python twin for one state stage, or raise Ineligible.
+
+    ``sql_cache`` is the runner's rendered-SQL memo — the SAME fragment
+    the JVM fold executes is what gets compiled (and the py4j
+    Expression.sql() round-trip is paid once per runner, not once per
+    compile site)."""
     from t_spoon_spark.tx.runner import _chain_update_sql
 
     ns = ctx.ns
@@ -522,7 +547,12 @@ def compile_stage(spark, ctx: StageCtx) -> _Compiled:
             if how.lower() not in _AGGS:
                 raise Ineligible(f"pre_combine agg {how!r}")
 
-    upd_sql = _chain_update_sql(spark, ctx.stage, ctx.value_cols)
+    sql_key = (id(ctx.stage), tuple(ctx.value_cols))
+    upd_sql = sql_cache.get(sql_key) if sql_cache is not None else None
+    if upd_sql is None:
+        upd_sql = _chain_update_sql(spark, ctx.stage, ctx.value_cols)
+        if sql_cache is not None:
+            sql_cache[sql_key] = upd_sql
     upd = compile_fragment(upd_sql, ctx.value_cols)
     inv = None
     if ctx.kind == "chain_expr" and ns.invariant:
@@ -553,17 +583,22 @@ def _pd_agg(gb, col: str, how: str):
 
 def _sort_key_field(v):
     """Per-field struct-comparison key matching Spark's ascending
-    ordering: null first, NaN greatest among doubles, strings by UTF-8
-    bytes (Spark compares UTF8String binary)."""
+    ordering: null first, strings by UTF-8 bytes (Spark compares
+    UTF8String binary).  A float NaN here can only be SQL NULL read
+    through a pandas float column — true NaN record values make the
+    stage ineligible at pull time — so NaN sorts null-first too."""
     if v is None:
         return (0,)
     if isinstance(v, float) and math.isnan(v):
-        return (3,)
+        return (0,)
     if isinstance(v, str):
         return (1, v.encode("utf-8"))
     if isinstance(v, (list, tuple)):
         return (1, tuple(_sort_key_field(x) for x in v))
     return (1, v)
+
+
+_INT_VTS = {"bigint", "long", "int", "integer", "smallint", "tinyint"}
 
 
 @dataclass
@@ -576,6 +611,7 @@ class _StageState:
     # original evaluation (chain kinds): key, _tid, value, vote, _ord, __wr
     eval_pdf: Any = None
     v0: dict = field(default_factory=dict)
+    v0_ready: bool = False
     # lazily-built per-key chains: key -> [(tid, rec)] in fold order
     chains: dict = field(default_factory=dict)
     # per-key refold results superseding eval_pdf rows:
@@ -619,11 +655,12 @@ class DriverCascade:
             ctx = st.ctx
             if ctx.kind == "epoch_combine":
                 self._pull_stage_ops(st)
-                self._pull_v0(store, st)
+                self._ensure_v0(store, st)
             else:
                 st.eval_pdf = ctx.evaluated.select(
                     "key", "_tid", "value", "vote", "_ord", "__wr"
                 ).toPandas()
+                self._sanitize_eval_values(st)
         self._pulled_eval = True
 
     def _pull_fused(self, store, tids_df) -> pd.Series | None:
@@ -670,9 +707,15 @@ class DriverCascade:
                 wr.alias("wr"),
             ]
 
-        nil = F.lit(None)
+        # value sentinel is a TYPED ZERO, not NULL: one null in an
+        # integer Arrow column degrades the whole pandas column to
+        # float64, where values past 2^53 round — the same degrade the
+        # fused commit guards _tid against (part-0 values are never read)
         u = tids_df.select(
-            *row(0, -1, F.col("_tid"), F.lit(""), nil, F.lit(-1), F.lit(-1), F.lit(False))
+            *row(
+                0, -1, F.col("_tid"), F.lit(""), F.lit(0), F.lit(-1),
+                F.lit(-1), F.lit(False),
+            )
         )
         for i, st in enumerate(self.states):
             ev = st.ctx.evaluated.select(
@@ -701,18 +744,19 @@ class DriverCascade:
                 .rename(columns={"wr": "__wr"})
                 .reset_index(drop=True)
             )
+            self._sanitize_eval_values(st)
             ops = (
                 stage_rows[stage_rows["part"] == 2][["_tid", "key", "value"]]
                 .rename(columns={"key": "__key", "value": st.ctx.value_cols[0]})
                 .reset_index(drop=True)
             )
+            self._check_ops_nan(st, ops, [st.ctx.value_cols[0]])
             pre = st.ctx.stage.pre_combine
             if pre:
                 gb = ops.groupby(["_tid", "__key"], sort=False)
                 agg = {c: _pd_agg(gb, c, h) for c, h in pre.items()}
                 ops = pd.DataFrame(agg).reset_index()
             st.ops_pdf = ops
-            self._pull_v0(store, st)
         self._pulled_eval = True
         self._pulled_ops = True
         return tids_pdf
@@ -720,12 +764,11 @@ class DriverCascade:
     def _pull_refold(self, store) -> None:
         """Lazy pull for cascade refolds: the raw ops and v0 snapshot of
         every chain stage — only paid when a refold actually happens."""
-        if self._pulled_ops:
-            return
         for st in self.states:
             if st.ctx.kind != "epoch_combine":
-                self._pull_stage_ops(st)
-                self._pull_v0(store, st)
+                if not self._pulled_ops:
+                    self._pull_stage_ops(st)
+                self._ensure_v0(store, st)
         self._pulled_ops = True
 
     def _pull_stage_ops(self, st: _StageState) -> None:
@@ -733,6 +776,7 @@ class DriverCascade:
         pre = ctx.stage.pre_combine
         if ctx.kind != "pandas" and pre:
             pdf = ctx.ops.select("_tid", "__key", *pre).toPandas()
+            self._check_ops_nan(st, pdf, list(pre))
             if ctx.kind == "chain_expr":
                 # the JVM path pre-combines per (tid, key); the chain
                 # then sorts by tid alone
@@ -742,20 +786,85 @@ class DriverCascade:
         else:
             cols = ["_tid", "__key", "_path", *ctx.value_cols]
             pdf = ctx.ops.select(*dict.fromkeys(cols)).toPandas()
+            if ctx.kind != "pandas":
+                # pandas-kind folds never null-normalize record values
+                # (py_update owns them), so only chain_expr needs the
+                # NaN/NULL disambiguation
+                self._check_ops_nan(st, pdf, ctx.value_cols)
         st.ops_pdf = pdf
 
-    def _pull_v0(self, store, st: _StageState) -> None:
-        """v0: committed snapshot values for the touched keys — from the
-        store's pandas twin when present (free), else one bounded Spark
-        job (distinct batch keys join snapshot).  A NULL/absent v0
-        coalesces to the namespace default in BOTH engines (the chain
-        folds read coalesce(__v0, default))."""
+    def _check_ops_nan(self, st: _StageState, pdf, cols: list[str]) -> None:
+        """pandas reads BOTH SQL NULL and double NaN as NaN; the driver
+        treats every NaN as NULL (null propagation, null-first sort,
+        null-skipping aggregation — Spark's NULL semantics).  That is
+        only sound if the source has no TRUE NaN, so when the ambiguity
+        appears (any NaN in a float record column) ask Spark: genuine
+        NaN record values make the stage ineligible and the distributed
+        path (which distinguishes them natively) takes over.  Integer
+        record columns that arrived as float (a null somewhere in the
+        column) either fall back (nulls present — int64 can't hold
+        them alongside exact >2^53 values) or are restored to int64."""
         import pyspark.sql.functions as F
 
+        for c in cols:
+            if pdf[c].dtype.kind != "f" or c not in st.ctx.ops.columns:
+                continue
+            dt = st.ctx.ops.schema[c].dataType.simpleString()
+            has_na = bool(pdf[c].isna().any())
+            if dt in _INT_VTS:
+                if has_na:
+                    raise Ineligible(f"NULL integer record values in {c}")
+                pdf[c] = pdf[c].astype("int64")
+            elif has_na and dt in ("double", "float") and (
+                st.ctx.ops.filter(F.isnan(F.col(c))).limit(1).count() > 0
+            ):
+                raise Ineligible(f"NaN values in record column {c}")
+
+    def _sanitize_eval_values(self, st: _StageState) -> None:
+        """The pulled evaluation's `value` column feeds writes VERBATIM,
+        so its NULL/NaN/precision must survive the pandas round-trip:
+        integer value types are restored to int64 (or the stage falls
+        back if nulls make that impossible), and float NULLs — read as
+        NaN — are turned back into None unless the evaluation really
+        contains NaN (then fall back; Spark distinguishes, pandas
+        cannot)."""
+        import pyspark.sql.functions as F
+
+        vt = re.sub(r"\s", "", st.ctx.ns.value_type.lower())
+        col = st.eval_pdf["value"]
+        if col.dtype.kind != "f":
+            return
+        has_na = bool(col.isna().any())
+        if vt in _INT_VTS:
+            if has_na:
+                raise Ineligible("NULL chain values with integer value type")
+            st.eval_pdf["value"] = col.astype("int64")
+        elif has_na:
+            if (
+                st.ctx.evaluated.filter(F.isnan(F.col("value"))).limit(1).count()
+                > 0
+            ):
+                raise Ineligible("NaN chain values")
+            st.eval_pdf["value"] = col.astype(object).where(col.notna(), None)
+
+    def _ensure_v0(self, store, st: _StageState) -> None:
+        """v0: committed snapshot values for the touched keys — from the
+        store's pandas twin when present (vectorized filter to the
+        batch's keys — never a dict over the whole state), else one
+        bounded Spark job (distinct batch keys join snapshot).  A
+        NULL/absent v0 coalesces to the namespace default in BOTH
+        engines (the chain folds read coalesce(__v0, default))."""
+        import pyspark.sql.functions as F
+
+        if st.v0_ready:
+            return
+        st.v0_ready = True
         ctx = st.ctx
         twin = store._current_pdf.get(ctx.ns.name)
         if twin is not None:
-            st.v0 = dict(zip(twin["key"], twin["value"]))
+            keys = set(st.ops_pdf["__key"]) if st.ops_pdf is not None else None
+            sub = twin if keys is None else twin[twin["key"].isin(keys)]
+            st.v0 = dict(zip(sub["key"], sub["value"]))
         else:
             spdf = (
                 ctx.ops.select("__key")
@@ -825,16 +934,17 @@ class DriverCascade:
             # mirrors the SQL aggregate() fold in _state_chain_expr:
             # acc starts at CAST(coalesce(v0, default) AS vt); candidate
             # cast to vt; invariant sees the cast candidate; committed
-            # links advance the chain, aborted ones record acc
+            # links advance the chain, aborted ones record acc; _ord is
+            # the chain POSITION (matching the fold's posexplode)
             acc = comp.cast(
                 _nan_none(raw_v0) if _nan_none(raw_v0) is not None else default
             )
-            for tid, rec in kept:
+            for pos, (tid, rec) in enumerate(kept):
                 cand = comp.cast(comp.update(acc, rec))
                 ok = comp.invariant(cand, rec) if comp.invariant else True
                 ok = ok is True
                 val = cand if ok else acc
-                out.append((tid, COMMIT if ok else ABORT, val, tid, ok))
+                out.append((tid, COMMIT if ok else ABORT, val, pos, ok))
                 if ok:
                     acc = cand
         else:

@@ -562,13 +562,20 @@ class GraphRunner:
                 'vote', CASE WHEN {ok} THEN {COMMIT} ELSE {ABORT} END,
                 'value', CASE WHEN {ok} THEN CAST({cand} AS {vt}) ELSE acc.value END))))"""
         evaluated = (
-            joined.select("__key", F.explode(F.expr(fold).getField("votes")).alias("__v"))
+            joined.select(
+                "__key", F.posexplode(F.expr(fold).getField("votes")).alias("__pos", "__v")
+            )
             .select(
                 F.col("__key").alias("key"),
                 F.col("__v.tid").alias("_tid"),
                 F.col("__v.value").alias("value"),
                 F.col("__v.vote").alias("vote"),
-                F.col("__v.tid").alias("_ord"),
+                # _ord = CHAIN POSITION, not tid: a txn with several ops
+                # on one key (no pre-combine) yields several links with
+                # the SAME tid, and a tid-based ordinal would tie the
+                # close's last-writer resolution — the position makes
+                # "last chain link wins" exact and deterministic.
+                F.col("__pos").cast("long").alias("_ord"),
                 # only chain-committed links are writes; the close's
                 # commit filter (global vote) prunes cross-namespace
                 # aborts on top.
@@ -708,7 +715,8 @@ class GraphRunner:
         if self._dc_compiled is None:
             try:
                 self._dc_compiled = [
-                    dcm.compile_stage(spark, c) for c in self._stage_ctxs
+                    dcm.compile_stage(spark, c, self._chain_sql_cache)
+                    for c in self._stage_ctxs
                 ]
             except dcm.Ineligible as e:
                 if _DEBUG:
@@ -834,11 +842,12 @@ class GraphRunner:
             links = votes_parts[0]
             for v in votes_parts[1:]:
                 links = links.unionByName(v)
-            # _tid and vote use -1 sentinels (never nulls) on the parts
-            # that don't carry them: a null in an int64 Arrow column
-            # degrades the whole pandas column to float64, and stamped
-            # tids ((epoch+1)<<40 | row) exceed 2^53 from epoch ~8191 —
-            # adjacent tids would then collide in the driver-side merge.
+            # _tid, vote AND value use typed sentinels (never nulls) on
+            # the parts that don't carry them: a null in an int64 Arrow
+            # column degrades the whole pandas column to float64 —
+            # stamped tids ((epoch+1)<<40 | row) exceed 2^53 from epoch
+            # ~8191 and would collide, and a BIGINT namespace's values
+            # past 2^53 would silently round in the merged twin.
             combined = (
                 tids.select(
                     F.lit(0).alias("__part"),
@@ -846,7 +855,7 @@ class GraphRunner:
                     F.lit(-1).cast("int").alias("vote"),
                     F.lit(None).cast("string").alias("__ns"),
                     F.lit(None).cast("string").alias("key"),
-                    F.lit(None).cast(vt).alias("value"),
+                    F.lit(0).cast(vt).alias("value"),
                 )
                 .unionByName(
                     links.select(
@@ -855,7 +864,7 @@ class GraphRunner:
                         F.col("vote").cast("int"),
                         F.lit(None).cast("string").alias("__ns"),
                         F.lit(None).cast("string").alias("key"),
-                        F.lit(None).cast(vt).alias("value"),
+                        F.lit(0).cast(vt).alias("value"),
                     )
                 )
                 .unionByName(

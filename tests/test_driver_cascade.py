@@ -211,6 +211,201 @@ def test_compiler_rejects_non_whitelisted():
             dcm.compile_fragment(frag, ["delta"])
 
 
+def test_parity_no_pre_combine_full_struct_sort(spark, monkeypatch):
+    """Without a pre-combiner the chain sorts by the FULL element
+    struct (tid, _path, value cols) — the subtlest ordering code in the
+    driver twin.  A flat_map that emits TWO ops on the SAME key per txn
+    exercises the _path tiebreak; the string account column exercises
+    UTF-8-byte ordering."""
+
+    def run():
+        env = TxEnvironment(spark, isolation="PL3")
+        env.create_namespace("balances", "double", 100.0, invariant="value >= 0")
+        g = (
+            env.graph()
+            .flat_map(
+                lambda df: F.array(
+                    F.struct(F.col("src").alias("account"), (-F.col("amt")).alias("delta")),
+                    # second half of the debit hits the SAME key -> two
+                    # chain links per (tid, key), ordered by _path
+                    F.struct(F.col("src").alias("account"), (-F.col("amt2")).alias("delta")),
+                    F.struct(F.col("dst").alias("account"), (F.col("amt") + F.col("amt2")).alias("delta")),
+                )
+            )
+            .state(
+                "balances",
+                key=lambda df: F.col("account"),
+                update=lambda v: v + F.col("delta"),
+            )
+        )
+        rows = []
+        for i in range(40):
+            rows.append((i, f"a{i % 5}", f"a{(i * 3 + 1) % 5}", float(10 + i % 25), float(i % 7)))
+        rows.append((99, "a1", "a2", 4000.0, 1000.0))  # overdraw cascade food
+        rows = [(t, a, b, x, y) for t, a, b, x, y in rows if a != b]
+        batch = spark.createDataFrame(
+            rows, "_tid long, src string, dst string, amt double, amt2 double"
+        )
+        runner = env.runner(g)
+        res = runner.run_epoch(batch)
+        votes = res.vote_counts()
+        bal = {r["key"]: r["value"] for r in env.store.read("balances").collect()}
+        return votes, bal, runner
+
+    monkeypatch.setattr(runner_mod, "_DRIVER_CASCADE", True)
+    votes_on, bal_on, runner = run()
+    assert isinstance(runner._dc_compiled, list)  # eligible, driver path ran
+    monkeypatch.setattr(runner_mod, "_DRIVER_CASCADE", False)
+    votes_off, bal_off, _ = run()
+    assert (votes_on, bal_on) == (votes_off, bal_off)
+    assert votes_on.get("ABORT", 0) >= 1
+
+
+def test_parity_bigint_values_past_2_53(spark, monkeypatch):
+    """Integer namespaces must keep EXACT int64 through the driver
+    close's pandas round-trips: values past 2^53 round silently in
+    float64, the classic Arrow null-union degrade."""
+    big = (1 << 55) + 3
+
+    def run():
+        env = TxEnvironment(spark, isolation="PL3")
+        env.create_namespace("balances", "bigint", big, invariant="value >= 0")
+        g = (
+            env.graph()
+            .flat_map(
+                lambda df: F.array(
+                    F.struct(F.col("src").alias("account"), (-F.col("amt")).alias("delta")),
+                    F.struct(F.col("dst").alias("account"), F.col("amt").alias("delta")),
+                )
+            )
+            .state(
+                "balances",
+                key=lambda df: F.col("account"),
+                update=lambda v: v + F.col("delta"),
+                pre_combine={"delta": "sum"},
+            )
+        )
+        rows = [(i, f"a{i % 4}", f"a{(i + 1) % 4}", 1 + i % 5) for i in range(20)]
+        rows.append((50, "a0", "a1", big * 4))  # overdraw -> cascade
+        rows = [(t, a, b, x) for t, a, b, x in rows if a != b]
+        batch = spark.createDataFrame(
+            rows, "_tid long, src string, dst string, amt long"
+        )
+        runner = env.runner(g)
+        res = runner.run_epoch(batch)
+        votes = res.vote_counts()
+        bal = {r["key"]: r["value"] for r in env.store.read("balances").collect()}
+        return votes, bal
+
+    monkeypatch.setattr(runner_mod, "_DRIVER_CASCADE", True)
+    on = run()
+    monkeypatch.setattr(runner_mod, "_DRIVER_CASCADE", False)
+    off = run()
+    assert on == off
+    # odd-offset exactness: a float64 round-trip would have flattened +3
+    assert all(v % (1 << 10) != 0 for v in on[1].values() if v > (1 << 54))
+
+
+def test_nan_record_values_fall_back(spark, monkeypatch):
+    """A TRUE NaN record value is indistinguishable from SQL NULL after
+    toPandas; the driver path must detect it (one Spark-side isnan
+    probe) and fall back to the distributed close, which handles NaN
+    natively — identical results either way."""
+
+    def run():
+        env = TxEnvironment(spark, isolation="PL3")
+        env.create_namespace("balances", "double", 100.0, invariant="value >= 0")
+        g = (
+            env.graph()
+            .flat_map(
+                lambda df: F.array(
+                    F.struct(F.col("src").alias("account"), (-F.col("amt")).alias("delta")),
+                    F.struct(F.col("dst").alias("account"), F.col("amt").alias("delta")),
+                )
+            )
+            .state(
+                "balances",
+                key=lambda df: F.col("account"),
+                update=lambda v: v + F.col("delta"),
+                pre_combine={"delta": "sum"},
+            )
+        )
+        rows = [(i, f"a{i % 4}", f"a{(i + 1) % 4}", float(5 + i)) for i in range(10)]
+        rows.append((40, "a0", "a1", float("nan")))
+        rows.append((41, "a2", "a3", 5000.0))  # overdraw -> cascade needed
+        batch = spark.createDataFrame(
+            rows, "_tid long, src string, dst string, amt double"
+        )
+        runner = env.runner(g)
+        res = runner.run_epoch(batch)
+        votes = {r["_tid"]: r["vote"] for r in res.results.select("_tid", "vote").collect()}
+        bal = {
+            r["key"]: (None if r["value"] is None else r["value"])
+            for r in env.store.read("balances").collect()
+        }
+        return votes, bal
+
+    monkeypatch.setattr(runner_mod, "_DRIVER_CASCADE", True)
+    on = run()
+    monkeypatch.setattr(runner_mod, "_DRIVER_CASCADE", False)
+    off = run()
+    v_on, b_on = on
+    v_off, b_off = off
+    assert v_on == v_off
+    # NaN != NaN, so compare balances with NaN-aware equality
+    assert set(b_on) == set(b_off)
+    import math as _m
+
+    for k in b_on:
+        a, b = b_on[k], b_off[k]
+        assert (a == b) or (
+            isinstance(a, float) and isinstance(b, float) and _m.isnan(a) and _m.isnan(b)
+        ), (k, a, b)
+
+
+def test_null_record_values_stay_on_driver_path(spark, monkeypatch):
+    """SQL NULL record values (no true NaN) keep the driver path: a
+    NULL candidate fails the invariant (unknown -> ABORT) identically
+    in both engines."""
+
+    def run(flag):
+        monkeypatch.setattr(runner_mod, "_DRIVER_CASCADE", flag)
+        env = TxEnvironment(spark, isolation="PL3")
+        env.create_namespace("balances", "double", 100.0, invariant="value >= 0")
+        g = (
+            env.graph()
+            .flat_map(
+                lambda df: F.array(
+                    F.struct(F.col("src").alias("account"), (-F.col("amt")).alias("delta")),
+                    F.struct(F.col("dst").alias("account"), F.col("amt").alias("delta")),
+                )
+            )
+            .state(
+                "balances",
+                key=lambda df: F.col("account"),
+                update=lambda v: v + F.col("delta"),
+                pre_combine={"delta": "sum"},
+            )
+        )
+        rows = [(i, f"a{i % 4}", f"a{(i + 1) % 4}", float(5 + i)) for i in range(10)]
+        rows.append((40, "a0", "a1", None))  # NULL amount -> NULL delta -> ABORT
+        rows.append((41, "a2", "a3", 5000.0))  # overdraw -> cascade runs
+        batch = spark.createDataFrame(
+            rows, "_tid long, src string, dst string, amt double"
+        )
+        runner = env.runner(g)
+        res = runner.run_epoch(batch)
+        votes = {r["_tid"]: r["vote"] for r in res.results.select("_tid", "vote").collect()}
+        bal = {r["key"]: r["value"] for r in env.store.read("balances").collect()}
+        return votes, bal, runner
+
+    v_on, b_on, runner = run(True)
+    assert isinstance(runner._dc_compiled, list)  # still eligible
+    assert v_on[40] == "ABORT"
+    v_off, b_off, _ = run(False)
+    assert (v_on, b_on) == (v_off, b_off)
+
+
 def test_array_value_column_falls_back(spark, monkeypatch):
     """A chain stage WITHOUT pre_combine sorts by the full element
     struct; an array-typed record column is not driver-sortable, so the

@@ -88,6 +88,11 @@ def test_tcp_server_roundtrip_and_errors(spark):
             "SET spark.sql.shuffle.partitions=1",
             "INSERT INTO state_balances VALUES ('z', 1.0)",
             "/* sneaky */ DROP VIEW state_balances",
+            # CTE-prefixed DML parses under a 'WITH' head — the parsed-
+            # plan check must reject it even though the head passes
+            "WITH x AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY "
+            "'/tmp/pwn' USING parquet SELECT * FROM x",
+            "WITH x AS (SELECT 'z' k, 1.0 v) INSERT INTO state_balances SELECT * FROM x",
         ):
             resp = call({"op": "sql", "query": stmt})
             assert not resp["ok"] and "read-only" in resp["error"], stmt
