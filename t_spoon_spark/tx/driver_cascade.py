@@ -41,11 +41,12 @@ Python twins for expression stages are AUTO-DERIVED: the same rendered
 SQL the JVM chain fold executes (runner._chain_update_sql — Catalyst's
 Expression.sql() in function-call form, e.g. ``+`(acc.value, x.delta)``)
 is compiled by a tiny whitelisted parser into a Python closure with
-Spark's null semantics.  Anything outside the whitelist (division —
-engine semantics differ at edges —, unknown functions, non-numeric
-value types) makes the stage INELIGIBLE and the runner silently keeps
-the distributed cascade; eligibility never changes results, only where
-the fixpoint runs.
+Spark's null semantics (division binds the session's ANSI
+divide-by-zero behavior at compile).  Anything outside the whitelist
+(unknown functions, non-numeric value types, NaN-bearing records) makes
+the stage INELIGIBLE and the runner silently keeps the distributed
+cascade; eligibility never changes results, only where the fixpoint
+runs.
 """
 
 from __future__ import annotations
@@ -55,6 +56,7 @@ import re
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
+import numpy as _np
 import pandas as pd
 
 from t_spoon_spark.tx.vote import ABORT, COMMIT
@@ -125,6 +127,35 @@ def _arith(op: str, a, b):
     if op == "*":
         return a * b
     raise Ineligible(op)  # pragma: no cover - parser only routes + - *
+
+
+def _divide(a, b, ansi: bool):
+    """Spark `/`: always double; divisor 0 raises under ANSI (the same
+    failure the JVM fold raises — both paths crash the epoch), returns
+    NULL otherwise."""
+    if a is None or b is None:
+        return None
+    if b == 0:
+        if ansi:
+            raise ArithmeticError("[DIVIDE_BY_ZERO] Division by zero")
+        return None
+    return float(a) / float(b)
+
+
+def _modulo(a, b, ansi: bool):
+    """Spark `%`: remainder with the DIVIDEND's sign (Java semantics —
+    Python's % follows the divisor, so use fmod); integer operands stay
+    integral."""
+    if a is None or b is None:
+        return None
+    if b == 0:
+        if ansi:
+            raise ArithmeticError("[DIVIDE_BY_ZERO] Division by zero")
+        return None
+    r = math.fmod(a, b)
+    if isinstance(a, (int, _np.integer)) and isinstance(b, (int, _np.integer)):
+        return int(r)
+    return r
 
 
 def _compare(op: str, a, b):
@@ -200,12 +231,14 @@ CASTS: dict[str, Callable[[Any], Any]] = {
 
 class _Parser:
     """Pratt parser over the token stream; builds closures fn(scope)
-    where scope = (acc_value, rec_dict, inv_value)."""
+    where scope = (acc_value, rec_dict, inv_value).  `ansi` binds the
+    session's divide-by-zero behavior (raise vs NULL) at compile."""
 
-    def __init__(self, tokens: list[tuple[str, str]], cols: set[str]):
+    def __init__(self, tokens: list[tuple[str, str]], cols: set[str], ansi: bool = True):
         self.toks = tokens
         self.i = 0
         self.cols = cols
+        self.ansi = ansi
 
     def _peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -292,11 +325,18 @@ class _Parser:
                 self._next()
                 right = self._unary()
                 left = (lambda l, r: lambda s: _arith("*", l(s), r(s)))(left, right)
-            elif k == "op" and v in ("/", "%"):
-                # division/modulo: Spark's type promotion and
-                # zero/negative-operand semantics differ from Python's —
-                # excluded from the whitelist, the Spark path handles it
-                raise Ineligible(f"operator {v} not whitelisted")
+            elif k == "op" and v == "/":
+                self._next()
+                right = self._unary()
+                left = (
+                    lambda l, r, a=self.ansi: lambda s: _divide(l(s), r(s), a)
+                )(left, right)
+            elif k == "op" and v == "%":
+                self._next()
+                right = self._unary()
+                left = (
+                    lambda l, r, a=self.ansi: lambda s: _modulo(l(s), r(s), a)
+                )(left, right)
             else:
                 return left
 
@@ -328,6 +368,14 @@ class _Parser:
         if name in ("+", "-", "*") and len(args) == 2:
             a, b = args
             return (lambda a, b, o: lambda s: _arith(o, a(s), b(s)))(a, b, name)
+        if name == "/" and len(args) == 2:
+            a, b = args
+            return (lambda a, b, an=self.ansi: lambda s: _divide(a(s), b(s), an))(a, b)
+        if name in ("%", "mod", "pmod") and len(args) == 2:
+            if name == "pmod":
+                raise Ineligible("pmod (positive modulo) not whitelisted")
+            a, b = args
+            return (lambda a, b, an=self.ansi: lambda s: _modulo(a(s), b(s), an))(a, b)
         if name in (">", ">=", "<", "<=", "=", "==", "!=", "<>") and len(args) == 2:
             a, b = args
             return (lambda a, b, o: lambda s: _compare(o, a(s), b(s)))(a, b, name)
@@ -456,13 +504,15 @@ def _nan_none(v):
     return v
 
 
-def compile_fragment(sql: str, cols: list[str]) -> Callable:
+def compile_fragment(sql: str, cols: list[str], ansi: bool = True) -> Callable:
     """Compile a rendered Spark SQL fragment to fn(acc, rec, value).
 
     `sql` is either runner._chain_update_sql output (refs ``acc.value``
     and ``x.<col>``) or a raw namespace invariant (refs ``value`` and
-    bare record columns).  Raises Ineligible outside the whitelist."""
-    fn = _Parser(_tokenize(sql), set(cols)).parse()
+    bare record columns).  Raises Ineligible outside the whitelist.
+    ``ansi`` binds the divide-by-zero behavior (raise vs NULL) to the
+    session's `spark.sql.ansi.enabled` at compile time."""
+    fn = _Parser(_tokenize(sql), set(cols), ansi).parse()
 
     def run(acc, rec, value=None):
         return fn((acc, rec, value))
@@ -553,10 +603,11 @@ def compile_stage(spark, ctx: StageCtx, sql_cache: dict | None = None) -> _Compi
         upd_sql = _chain_update_sql(spark, ctx.stage, ctx.value_cols)
         if sql_cache is not None:
             sql_cache[sql_key] = upd_sql
-    upd = compile_fragment(upd_sql, ctx.value_cols)
+    ansi = str(spark.conf.get("spark.sql.ansi.enabled", "true")).lower() == "true"
+    upd = compile_fragment(upd_sql, ctx.value_cols, ansi)
     inv = None
     if ctx.kind == "chain_expr" and ns.invariant:
-        inv = compile_fragment(ns.invariant, ctx.value_cols)
+        inv = compile_fragment(ns.invariant, ctx.value_cols, ansi)
     return _Compiled(
         update=lambda acc, rec, _u=upd: _u(acc, rec),
         invariant=(lambda v, rec, _i=inv: _i(None, rec, v)) if inv else None,

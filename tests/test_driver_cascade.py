@@ -151,21 +151,29 @@ def test_parity_bigint_cast_truncation(spark, monkeypatch):
     assert on == off
 
 
-def test_division_falls_back_to_distributed(spark, monkeypatch):
-    """Division is outside the compiler whitelist (engine semantics
-    differ at the edges): the runner must mark the graph ineligible and
-    keep the distributed cascade — with the same results as pinning it
-    off explicitly."""
+def test_unknown_function_falls_back_to_distributed(spark, monkeypatch):
+    """A function outside the compiler whitelist (exp) must mark the
+    graph ineligible and keep the distributed cascade — with the same
+    results as pinning it off explicitly."""
+    upd = lambda v: v + F.col("delta") * F.exp(F.lit(0.0))  # noqa: E731
     monkeypatch.setattr(runner_mod, "_DRIVER_CASCADE", True)
-    votes_on, bal_on, n_on, runner = _run_bank(
-        spark, update=lambda v: (v + F.col("delta")) / F.lit(1.0), overdraws=3
-    )
+    votes_on, bal_on, n_on, runner = _run_bank(spark, update=upd, overdraws=3)
     assert runner._dc_compiled is False  # compile tried once, ineligible
     monkeypatch.setattr(runner_mod, "_DRIVER_CASCADE", False)
-    votes_off, bal_off, n_off, _ = _run_bank(
-        spark, update=lambda v: (v + F.col("delta")) / F.lit(1.0), overdraws=3
-    )
+    votes_off, bal_off, n_off, _ = _run_bank(spark, update=upd, overdraws=3)
     assert (votes_on, bal_on, n_on) == (votes_off, bal_off, n_off)
+
+
+def test_parity_division_update(spark, monkeypatch):
+    """Division is whitelisted with the session's ANSI semantics bound
+    at compile: a decay-style update (v + delta) / 1.25 must agree with
+    the distributed path exactly, including through cascade refolds."""
+    upd = lambda v: (v + F.col("delta")) / F.lit(1.25)  # noqa: E731
+    on, off = _both_paths(
+        spark, monkeypatch, update=upd, invariant="value >= 0", keymod=4, overdraws=4
+    )
+    assert on == off
+    assert "ABORT" in on[0].values()
 
 
 def test_compiler_spark_semantics():
@@ -201,14 +209,29 @@ def test_compiler_spark_semantics():
 
 def test_compiler_rejects_non_whitelisted():
     for frag in (
-        "`/`(acc.value, 2)",
-        "`%`(acc.value, 2)",
         "exp(acc.value)",
+        "pmod(acc.value, 2)",
         "`+`(acc.value, x.nope)",
         "CAST(acc.value AS STRING)",
     ):
         with pytest.raises(dcm.Ineligible):
             dcm.compile_fragment(frag, ["delta"])
+
+
+def test_compiler_division_semantics():
+    """Spark `/` is always double; `%` keeps the dividend's sign; zero
+    divisors raise under ANSI and yield NULL otherwise."""
+    div = dcm.compile_fragment("`/`(acc.value, x.d)", ["d"], ansi=True)
+    assert div(7, {"d": 2}) == 3.5
+    assert div(None, {"d": 2}) is None
+    with pytest.raises(ArithmeticError):
+        div(7, {"d": 0})
+    div_na = dcm.compile_fragment("`/`(acc.value, x.d)", ["d"], ansi=False)
+    assert div_na(7, {"d": 0}) is None
+
+    mod = dcm.compile_fragment("`%`(acc.value, x.d)", ["d"], ansi=True)
+    assert mod(-7.0, {"d": 2.0}) == -1.0  # dividend sign, not Python's +1
+    assert mod(7, {"d": 3}) == 1
 
 
 def test_parity_no_pre_combine_full_struct_sort(spark, monkeypatch):

@@ -50,9 +50,18 @@ def _trees(depth: int):
     if depth == 0:
         return leaf
     sub = _trees(depth - 1)
+    nonzero = st.one_of(
+        st.integers(min_value=1, max_value=5),
+        st.floats(min_value=0.5, max_value=4.0, allow_nan=False, width=32).map(
+            lambda x: round(x, 3)
+        ),
+    )
     return st.one_of(
         leaf,
         st.tuples(st.sampled_from(["+", "-", "*"]), sub, sub),
+        # divisor is a NONZERO literal: a zero divisor raises in BOTH
+        # engines under ANSI, which would abort the whole batch select
+        st.tuples(st.just("div"), sub, nonzero.map(lambda v: ("lit", v))),
         st.tuples(st.just("neg"), sub),
         st.tuples(st.just("abs"), sub),
         st.tuples(st.just("greatest"), sub, sub),
@@ -75,6 +84,8 @@ def _to_column(tree, acc, col):
         return -_to_column(tree[1], acc, col)
     if k == "abs":
         return F.abs(_to_column(tree[1], acc, col))
+    if k == "div":
+        return _to_column(tree[1], acc, col) / _to_column(tree[2], acc, col)
     if k in ("greatest", "least"):
         fn = F.greatest if k == "greatest" else F.least
         return fn(_to_column(tree[1], acc, col), _to_column(tree[2], acc, col))
