@@ -251,3 +251,61 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rnk", "doc_id", "lang", "n_chars")
         .orderBy("rnk")
     )
+
+
+_DD_SPLIT_H = dd_md5_long("'split:' || CAST(doc_id AS VARCHAR)")
+_DD_SPLIT_BUCKET = f"({_DD_SPLIT_H} % 1000)"
+
+
+@register(
+    "sample_train_val_test_split",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN {_DD_SPLIT_BUCKET} < 900 THEN 'train'
+                  WHEN {_DD_SPLIT_BUCKET} < 950 THEN 'val'
+                  ELSE 'test' END AS split,
+             len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS n_tok
+      FROM documents
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment: split membership
+    is a pure function of md5('split:' || doc_id), so it is stable
+    across runs, engines, partitionings, and INDEPENDENT of every other
+    sampling gate in this module (those hash the bare doc_id — a shared
+    hash would correlate sample membership with split membership, the
+    classic leakage bug).  Row-local gate in the scan's codegen stage,
+    zero shuffle before the 3-row report; the id_checksum makes split
+    MEMBERSHIP auditable downstream (a train-set doc leaking into test
+    changes the checksum, not just the count)."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
+    assigned = docs.select(
+        F.when(bucket < 900, "train")
+        .when(bucket < 950, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        "doc_id",
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tok_total"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )

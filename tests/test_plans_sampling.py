@@ -21,6 +21,18 @@ def test_bernoulli_sample_no_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_split_assignment_single_aggregate_shuffle(spark):
+    from t_spoon_spark.queries.sampling import sample_train_val_test_split
+
+    df = sample_train_val_test_split(spark, SF_SMALL)
+    # the split gate is row-local codegen; the only exchanges are the
+    # 3-group aggregate (with map-side partial) and the tiny orderBy
+    assert count_shuffles(df) <= 2, executed_plan(df)
+    plan = executed_plan(df)
+    assert "partial" in plan.lower(), plan  # map-side combine present
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_reservoir_priority_partial_topk(spark):
     from t_spoon_spark.queries.sampling import sample_reservoir_priority
 
