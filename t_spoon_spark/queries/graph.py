@@ -337,3 +337,97 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+BFS_H = 4  # hop cap
+BFS_SEED_MOD = 50  # parts with partkey % mod == 0 seed the search
+
+
+@register(
+    "graph_bfs_hop_frontier",
+    f"""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS x,
+                      GREATEST(a.l_partkey, b.l_partkey) AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT x AS u, y AS v FROM pairs UNION ALL SELECT y, x FROM pairs
+    ),
+    seeds AS (
+      SELECT DISTINCT l_partkey AS v FROM lineitem
+      WHERE l_partkey % {BFS_SEED_MOD} = 0
+    ),
+    rk(it, v) AS (
+      SELECT 0, v FROM seeds
+      UNION
+      SELECT rk.it + 1, e.v FROM rk JOIN edges e ON rk.v = e.u
+      WHERE rk.it < {BFS_H}
+    ),
+    dist AS (SELECT v, MIN(it) AS hop FROM rk GROUP BY v)
+    SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(v) AS BIGINT) AS parts_ck
+    FROM dist GROUP BY hop ORDER BY hop
+    """,
+)
+def graph_bfs_hop_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS on the parts-co-ordered graph: minimum hop
+    count from the seed set (every {BFS_SEED_MOD}-th part), capped at
+    {BFS_H} hops, reported as a hop histogram with a vertex-id checksum.
+    The third staple iterative-graph schedule next to PageRank (fixed
+    rounds) and label propagation (fixpoint): frontier expansion with
+    visited-set subtraction, so each round's join touches only the
+    frontier — not the full vertex set — and the per-round shuffle is
+    bounded by the frontier's edge neighborhood. Oracle: recursive CTE
+    in UNION (dedup) mode; (it, v) pairs keep the working set bounded
+    by V per round while MIN(it) recovers the BFS distance. Scale
+    shape: the one corpus-sized job is the edge build (same self-join
+    as graph_triangle_parts); each BFS round then shuffles
+    frontier-degree rows on the destination key, and the visited set
+    stays partitioned on v for the anti-join. Lineage cut per round via
+    eager localCheckpoint, as in the other iterative kernels."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.least("a.l_partkey", "b.l_partkey").alias("x"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("y"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("x").alias("u"), F.col("y").alias("v")).unionByName(
+        pairs.select(F.col("y").alias("u"), F.col("x").alias("v"))
+    ).localCheckpoint(eager=True)
+    seeds = (
+        li.select(F.col("l_partkey").alias("v"))
+        .filter(F.col("v") % BFS_SEED_MOD == 0)
+        .distinct()
+    )
+    dist = seeds.withColumn("hop", F.lit(0).cast("int")).localCheckpoint(eager=True)
+    frontier = dist.select("v")
+    for it in range(1, BFS_H + 1):
+        reached = (
+            frontier.join(edges, frontier.v == edges.u)
+            .select(edges.v)
+            .distinct()
+        )
+        new = reached.join(dist, "v", "left_anti").withColumn(
+            "hop", F.lit(it).cast("int")
+        )
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("hop") == it).select("v")
+    return (
+        dist.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("v").cast("long").alias("parts_ck"),
+        )
+        .orderBy("hop")
+    )

@@ -309,3 +309,103 @@ def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+KC_K = 8  # coreset size
+KC_SHIFT = 10**7  # argmax encoding: score = mind2 * SHIFT + (MAXID - vec_id)
+KC_MAXID = KC_SHIFT - 1
+
+
+@register(
+    "sample_kcenter_coreset",
+    f"""
+    WITH RECURSIVE
+    ibase AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS ei
+      FROM embeddings
+    ),
+    rk(it, sel, picked, mind2) AS (
+      SELECT 0, [CAST(0 AS BIGINT)], CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT it + 1,
+             list_append(sel, CAST({KC_MAXID} - (MAX(score) % {KC_SHIFT}) AS BIGINT)),
+             CAST({KC_MAXID} - (MAX(score) % {KC_SHIFT}) AS BIGINT),
+             CAST(MAX(score) // {KC_SHIFT} AS BIGINT)
+      FROM (
+        SELECT rk.it AS it, rk.sel AS sel,
+               MIN(list_sum(list_transform(range(1, len(b.ei) + 1),
+                   i -> (b.ei[i] - c.ei[i]) * (b.ei[i] - c.ei[i])))) * {KC_SHIFT}
+                 + ({KC_MAXID} - b.vec_id) AS score
+        FROM rk
+        JOIN ibase b ON NOT list_contains(rk.sel, b.vec_id)
+        JOIN ibase c ON list_contains(rk.sel, c.vec_id)
+        WHERE rk.it < {KC_K} - 1
+        GROUP BY rk.it, rk.sel, b.vec_id
+      )
+      GROUP BY it, sel
+    )
+    SELECT it AS sel_rank, picked AS vec_id, mind2 FROM rk ORDER BY sel_rank
+    """,
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 2-approximation):
+    start from vec_id 0, then repeatedly add the point FARTHEST from
+    the already-selected set — the classic diversity-sampling /
+    facility-location move behind coreset curation of training data
+    (pick the k examples that best cover embedding space). All
+    arithmetic is exact BIGINT on the fixed-point embedding (squared
+    L2), and the argmax is encoded as max(mind2 * SHIFT + (MAXID -
+    vec_id)) so ties break to the smallest id identically in both
+    engines. The oracle carries the selected set as a LIST column
+    through a recursive CTE — the same aggregate-in-recursion pattern
+    as graph_pagerank_nations. Plan shape: per round one scan computing
+    min-distance-to-centers (centers broadcast as a literal — k is
+    tiny by construction) and a single-scalar aggregate to the driver;
+    k rounds total, the kmeans-style control-plane loop. At 100 TB each
+    round is one map + one treeAggregate-shaped reduce, nothing
+    shuffles the corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long")
+        ).alias("ei"),
+    ).localCheckpoint(eager=True)
+
+    def dist2_to(center_ei: list[int]):
+        lit = F.array(*[F.lit(int(v)).cast("long") for v in center_ei])
+        return F.aggregate(
+            F.zip_with(F.col("ei"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    first = base.filter(F.col("vec_id") == 0).select("ei").collect()[0]["ei"]
+    centers: list[tuple[int, list[int], int]] = [(0, list(first), 0)]
+    md = base.select("vec_id", "ei", dist2_to(first).alias("md"))
+    for _ in range(KC_K - 1):
+        sel_ids = [c[0] for c in centers]
+        score = (
+            md.filter(~F.col("vec_id").isin(sel_ids))
+            .select(
+                (
+                    F.col("md") * F.lit(KC_SHIFT)
+                    + (F.lit(KC_MAXID) - F.col("vec_id"))
+                ).alias("s")
+            )
+            .agg(F.max("s").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        picked = KC_MAXID - (score % KC_SHIFT)
+        mind2 = score // KC_SHIFT
+        pei = base.filter(F.col("vec_id") == picked).select("ei").collect()[0]["ei"]
+        centers.append((int(picked), list(pei), int(mind2)))
+        nd = dist2_to(pei)
+        md = md.select(
+            "vec_id", "ei", F.least(F.col("md"), nd).alias("md")
+        ).localCheckpoint(eager=True)
+    rows = [(i, cid, m) for i, (cid, _, m) in enumerate(centers)]
+    return spark.createDataFrame(
+        rows, "sel_rank int, vec_id long, mind2 long"
+    ).orderBy("sel_rank")

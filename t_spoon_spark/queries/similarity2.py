@@ -222,3 +222,86 @@ def similarity_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> Data
         .select("q_id", "c_id", "maxsim_c", "rnk")
         .orderBy("q_id", "rnk")
     )
+
+
+HN_QUERIES = 8
+HN_K = 5
+
+_DD_HN_EI = "list_transform(embedding, x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT))"
+_DD_HN_DOT = "list_sum(list_transform(range(1, len(a.ei) + 1), i -> a.ei[i] * b.ei[i]))"
+
+
+@register(
+    "similarity_hard_negatives",
+    f"""
+    WITH base AS (
+      SELECT vec_id, label, {_DD_HN_EI} AS ei FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, label, ei,
+             sqrt(CAST(list_sum(list_transform(range(1, len(ei) + 1), i -> ei[i] * ei[i])) AS DOUBLE)) AS norm
+      FROM base
+    ),
+    q AS (SELECT * FROM normed WHERE vec_id < {HN_QUERIES}),
+    scored AS (
+      SELECT a.vec_id AS q_id, a.label AS q_label, b.vec_id AS neg_id,
+             b.label AS neg_label,
+             CAST(FLOOR(CAST({_DD_HN_DOT} AS DOUBLE) * 1e6 / (a.norm * b.norm) + 0.5) AS BIGINT) AS cos_c
+      FROM q a JOIN normed b ON a.label <> b.label
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_c DESC, neg_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, q_label, neg_id, neg_label, cos_c, rnk FROM ranked
+    WHERE rnk <= {HN_K} ORDER BY q_id, rnk
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    label — the negatives that sit closest to the decision boundary,
+    which retrieval/embedding trainers (DPR, Contriever, SimCSE
+    pipelines) mine from the corpus between epochs. Same fixed-point
+    cosine contract as the other similarity entries (bit-exact BIGINT
+    scores). Plan: the query set is broadcast against the corpus scan
+    (the label-inequality predicate rides the broadcast join), then one
+    window per query ranks candidates — at 100 TB this is the same
+    one-pass shape as similarity_bruteforce_topk, and the LSH/IVF
+    bucketing entries show the sub-linear candidate-generation path
+    when Q grows past broadcast size."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", int_embedding("embedding").alias("ei"))
+    normed = base.withColumn(
+        "norm",
+        F.sqrt(dot_int(F.col("ei"), F.col("ei")).cast("double")),
+    )
+    q = normed.filter(F.col("vec_id") < HN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("ei").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = normed.join(
+        F.broadcast(q), F.col("q_label") != F.col("label")
+    ).select(
+        "q_id",
+        "q_label",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.floor(
+            dot_int(F.col("qe"), F.col("ei")).cast("double")
+            * 1e6
+            / (F.col("qnorm") * F.col("norm"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cos_c"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_c"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HN_K)
+        .select("q_id", "q_label", "neg_id", "neg_label", "cos_c", "rnk")
+        .orderBy("q_id", "rnk")
+    )

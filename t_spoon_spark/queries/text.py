@@ -4,7 +4,7 @@ pipeline surface: token stats, quality, lang-ID, fingerprints).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from t_spoon_spark.operators.text import (
@@ -205,3 +205,70 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(fps).alias("min_fp"),
         F.array_max(fps).alias("max_fp"),
     ).orderBy("doc_id")
+
+
+NGRAM_SPAN_K = 8  # span length (tokens) for cross-doc duplicate detection
+NGRAM_SPAN_TOP = 20
+
+
+@register(
+    "text_duplicate_ngram_spans",
+    f"""
+    WITH tok AS (SELECT doc_id, {{DD_TOKS}} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(toks[i:i+{NGRAM_SPAN_K}-1], ' ') AS gram
+      FROM tok, LATERAL unnest(range(1, len(toks) - {NGRAM_SPAN_K} + 2)) AS g(i)
+      WHERE len(toks) >= {NGRAM_SPAN_K}
+    ),
+    agg AS (
+      SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM grams GROUP BY gram
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occ DESC, gram) AS rnk
+      FROM agg WHERE n_docs >= 2
+    )
+    SELECT rnk, gram, n_docs, n_occ FROM ranked
+    WHERE rnk <= {NGRAM_SPAN_TOP} ORDER BY rnk
+    """.replace("{DD_TOKS}", DD_TOKS),
+)
+def text_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate n-gram spans: every token 8-gram that
+    appears in >= 2 distinct documents, ranked by document spread then
+    raw occurrence count. The span-level signal behind exact-substring
+    training-data dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): a suffix-array pass finds maximal repeated
+    substrings; the fixed-K token-gram formulation is its bounded,
+    shuffle-friendly equivalent — one explode (linear in corpus tokens),
+    one hash aggregate keyed on the gram. At 100 TB the gram aggregate
+    is the only shuffle; K bounds the blowup at (tokens - K + 1) rows
+    per doc, and map-side partial aggregation collapses within-doc
+    repeats before the exchange. Reference analogue: the reference's
+    windowed word-count chain (queries/windows.py W6) over spans
+    instead of single tokens."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= NGRAM_SPAN_K
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - NGRAM_SPAN_K + 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, NGRAM_SPAN_K)),
+            )
+        ).alias("gram"),
+    )
+    agg = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+    )
+    w = Window.orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("gram"))
+    return (
+        agg.filter(F.col("n_docs") >= 2)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NGRAM_SPAN_TOP)
+        .select("rnk", "gram", "n_docs", "n_occ")
+        .orderBy("rnk")
+    )
