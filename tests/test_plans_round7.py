@@ -1,0 +1,112 @@
+"""Plan-shape and invariant gates for the round-7 additions: duplicate
+n-gram spans, BFS hop frontier, hard-negative mining, and k-center
+coreset selection.  Value parity is pinned by the DuckDB oracles; these
+tests pin the SCALE claims each docstring makes — partial aggregation
+before the gram exchange, frontier-bounded per-round joins, a broadcast
+(never cartesian) query side, and a shuffle-free per-round distance
+update.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from t_spoon_spark.plans.explain import count_shuffles, executed_plan, has_broadcast_join
+from tests.conftest import SF_SMALL
+
+
+def test_ngram_spans_partial_agg_before_exchange(spark):
+    from t_spoon_spark.queries.text import text_duplicate_ngram_spans
+
+    df = text_duplicate_ngram_spans(spark, SF_SMALL)
+    plan = executed_plan(df)
+    # the gram aggregate must combine map-side before the one corpus
+    # exchange; the explode stays JVM-side (no Python crossing)
+    assert "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ngram_spans_greedy_invariants(spark):
+    from t_spoon_spark.queries.text import text_duplicate_ngram_spans
+
+    rows = text_duplicate_ngram_spans(spark, SF_SMALL).collect()
+    assert rows, "duplicate spans must exist in the synthetic corpus"
+    for r in rows:
+        assert r.n_docs >= 2
+        assert r.n_occ >= r.n_docs
+        assert len(r.gram.split(" ")) == 8
+    # ranked by (n_docs desc, n_occ desc, gram)
+    keys = [(-r.n_docs, -r.n_occ, r.gram) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_bfs_round_plan_frontier_bounded(spark):
+    """One BFS round — frontier join edges + visited anti-join — must
+    be equi-join shaped (no cartesian, no Python) and the visited-set
+    subtraction must plan as a real anti-join."""
+    from t_spoon_spark.queries.graph import graph_bfs_hop_frontier
+
+    df = graph_bfs_hop_frontier(spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    rows = {r.hop: (r.n_parts, r.parts_ck) for r in df.collect()}
+    # hop 0 = the seed set; every later hop non-empty until exhaustion
+    assert 0 in rows
+    hops = sorted(rows)
+    assert hops == list(range(len(hops))), f"gapped hop histogram: {hops}"
+
+
+def test_hard_negatives_broadcasts_queries(spark):
+    from t_spoon_spark.queries.similarity2 import HN_K, similarity_hard_negatives
+
+    df = similarity_hard_negatives(spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df) or "BroadcastNestedLoopJoin" in plan, plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.q_label != r.neg_label  # the defining constraint
+        assert 1 <= r.rnk <= HN_K
+
+
+def test_kcenter_round_update_is_map_only(spark):
+    """The per-round min-distance update (least(md, dist-to-new-center))
+    reads the checkpointed frame and writes a projection — zero
+    exchanges, which is what makes k rounds affordable at corpus
+    scale."""
+    from t_spoon_spark.operators.similarity import int_embedding
+    from t_spoon_spark.queries.relational import t
+
+    base = (
+        t(spark, SF_SMALL, "embeddings")
+        .select("vec_id", int_embedding("embedding").alias("ei"))
+        .localCheckpoint(eager=True)
+    )
+    center = base.filter(F.col("vec_id") == 0).select("ei").collect()[0]["ei"]
+    lit = F.array(*[F.lit(int(v)).cast("long") for v in center])
+    nd = F.aggregate(
+        F.zip_with(F.col("ei"), lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    md = base.select("vec_id", "ei", nd.alias("md"))
+    update = md.select("vec_id", "ei", F.least(F.col("md"), nd).alias("md"))
+    assert count_shuffles(update) == 0, executed_plan(update)
+
+
+def test_kcenter_greedy_radius_monotone(spark):
+    """Gonzalez greedy invariant: the distance of each newly selected
+    center to the prior set is non-increasing, and all selected ids are
+    distinct with the seed first."""
+    from t_spoon_spark.queries.sampling import KC_K, sample_kcenter_coreset
+
+    rows = sample_kcenter_coreset(spark, SF_SMALL).collect()
+    assert len(rows) == KC_K
+    assert rows[0].vec_id == 0 and rows[0].mind2 == 0
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == KC_K
+    dists = [r.mind2 for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists
