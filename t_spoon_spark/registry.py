@@ -286,6 +286,7 @@ def _load_all() -> None:
     import t_spoon_spark.queries.drift  # noqa: F401
     import t_spoon_spark.queries.skyline  # noqa: F401
     import t_spoon_spark.queries.similarity2  # noqa: F401
+    import t_spoon_spark.queries.dedup2  # noqa: F401
     import t_spoon_spark.queries.dataquality  # noqa: F401
     import t_spoon_spark.queries.forecast  # noqa: F401
 

@@ -110,3 +110,46 @@ def test_kcenter_greedy_radius_monotone(spark):
     assert len(set(ids)) == KC_K
     dists = [r.mind2 for r in rows[1:]]
     assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+
+
+def test_prefix_filter_complete_vs_uncapped_ground_truth(spark):
+    """The PPJoin claim: prefix-filter candidates lose NOTHING at the
+    threshold. Ground truth = exact Jaccard over ALL pairs sharing any
+    shingle (complete for tau > 0, no df cap, no prefix)."""
+    from t_spoon_spark.operators.dedup import doc_shingle_hashes
+    from t_spoon_spark.queries.dedup2 import PF_TAU, dedup_prefix_filter_jaccard
+    from t_spoon_spark.queries.relational import t
+
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.jaccard_c)
+        for r in dedup_prefix_filter_jaccard(spark, SF_SMALL).collect()
+    }
+
+    sh = doc_shingle_hashes(t(spark, SF_SMALL, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh_hash")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh_hash")
+    inter = (
+        a.join(b, "sh_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    truth = {}
+    for r in inter.join(za, "doc_a").join(zb, "doc_b").collect():
+        jac = (r.n_inter * 100) // (r.sz_a + r.sz_b - r.n_inter)
+        if jac >= PF_TAU:
+            truth[(r.doc_a, r.doc_b)] = (r.n_inter, jac)
+    assert got == truth, (len(got), len(truth))
+
+
+def test_prefix_filter_plan_no_cartesian_partial_agg(spark):
+    from t_spoon_spark.queries.dedup2 import dedup_prefix_filter_jaccard
+
+    df = dedup_prefix_filter_jaccard(spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "partial" in plan.lower(), plan
