@@ -177,6 +177,9 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
         "text_lm_bigram_score",
         "skyline_orders_pareto",
         "packing_greedy_whole_doc",
+        "dedup_prefix_filter_jaccard",
+        "graph_bfs_hop_frontier",
+        "text_duplicate_ngram_spans",
     ):
         if name not in qs:
             continue
