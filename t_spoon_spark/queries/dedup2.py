@@ -113,3 +113,92 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard_c") >= PF_TAU)
         .orderBy("doc_a", "doc_b")
     )
+
+
+CT_TAU = 80  # containment threshold, percent of the SMALLER doc's shingles
+
+
+@register(
+    "dedup_containment_join",
+    f"""
+    {_DD_SH_TABLE},
+    freq AS (SELECT sh_hash, COUNT(*) AS df FROM sh GROUP BY sh_hash),
+    ordered AS (
+      SELECT s.doc_id, s.sh_hash,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.sh_hash) AS pos
+      FROM sh s JOIN freq f USING (sh_hash)
+    ),
+    pref AS (
+      SELECT o.doc_id, o.sh_hash
+      FROM ordered o JOIN sizes z USING (doc_id)
+      WHERE o.pos <= z.sz - CEIL((z.sz * {CT_TAU}) / 100.0) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_in, b.doc_id AS doc_out
+      FROM pref a JOIN sh b ON a.sh_hash = b.sh_hash AND a.doc_id <> b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_in, c.doc_out, COUNT(*) AS n_inter
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_in
+        JOIN sh b ON b.doc_id = c.doc_out AND b.sh_hash = a.sh_hash
+      GROUP BY 1, 2
+    )
+    SELECT doc_in, doc_out, n_inter,
+           CAST(FLOOR(n_inter * 100.0 / za.sz) AS BIGINT) AS containment_c
+    FROM inter JOIN sizes za ON za.doc_id = doc_in
+    WHERE CAST(FLOOR(n_inter * 100.0 / za.sz) AS BIGINT) >= {CT_TAU}
+    ORDER BY doc_in, doc_out
+    """,
+)
+def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT join: ordered pairs (doc_in, doc_out)
+    where >= 80% of doc_in's 3-word shingles also appear in doc_out —
+    the subsumption/quotation detector (a short doc pasted inside a
+    longer one has low Jaccard but high containment, so the symmetric
+    entries miss exactly the case this one exists for).  Candidate
+    generation prefix-filters ONLY the contained side: if C(A->B) >=
+    tau then A's rarest (sz_a - ceil(tau*sz_a) + 1) shingles cannot all
+    miss B (pigeonhole), so joining A-prefixes against B's FULL posting
+    list is complete at the threshold.  Scale shape: the join-key
+    distribution is dictated by the prefix side, which by rarest-first
+    construction holds only low-df shingles — hot shingles never enter
+    a prefix, so postings on both sides of the equi-join stay short;
+    the verify aggregate is map-side partial on (doc_in, doc_out).
+    Reference analogue: none (LLM-pipeline family from the build
+    brief); algorithm is the asymmetric variant of AllPairs/PPJoin
+    prefix filtering (Bayardo et al., Xiao et al.)."""
+    docs = t(spark, sf_dir, "documents")
+    sh = doc_shingle_hashes(docs).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    freq = sh.groupBy("sh_hash").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh_hash"))
+    ordered = sh.join(freq, "sh_hash").withColumn("pos", F.row_number().over(w))
+    pref = ordered.join(sizes, "doc_id").filter(
+        F.col("pos")
+        <= F.col("sz") - F.ceil((F.col("sz") * CT_TAU) / F.lit(100.0)) + 1
+    )
+    a = pref.select(F.col("doc_id").alias("doc_in"), "sh_hash")
+    b = sh.select(F.col("doc_id").alias("doc_out"), "sh_hash")
+    cand = (
+        a.join(b, "sh_hash")
+        .filter(F.col("doc_in") != F.col("doc_out"))
+        .select("doc_in", "doc_out")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_in"), "sh_hash")
+    sb = sh.select(F.col("doc_id").alias("doc_out"), "sh_hash")
+    inter = (
+        cand.join(sa, "doc_in")
+        .join(sb, ["doc_out", "sh_hash"])
+        .groupBy("doc_in", "doc_out")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_in"), F.col("sz").alias("sz_in"))
+    ctn = F.floor(F.col("n_inter") * 100.0 / F.col("sz_in")).cast("long")
+    return (
+        inter.join(za, "doc_in")
+        .select("doc_in", "doc_out", "n_inter", ctn.alias("containment_c"))
+        .filter(F.col("containment_c") >= CT_TAU)
+        .orderBy("doc_in", "doc_out")
+    )

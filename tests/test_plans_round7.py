@@ -153,3 +153,104 @@ def test_prefix_filter_plan_no_cartesian_partial_agg(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_binary_hamming_two_stage(spark):
+    """Binary-quantization ANN: stage 1 must stay broadcast-shaped (no
+    cartesian, no Python), and the output must be the exact-cosine
+    re-rank of a Hamming pool — rnk dense per query, scores sorted with
+    the c_id tiebreak, ham within the 64-bit signature range."""
+    from t_spoon_spark.queries.similarity2 import N_Q, similarity_binary_hamming_topk
+
+    df = similarity_binary_hamming_topk(spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or has_broadcast_join(df), plan
+    rows = df.collect()
+    assert len(rows) == 5 * N_Q
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.ham <= 64
+        by_q.setdefault(r.q_id, []).append(r)
+    for rs in by_q.values():
+        assert [r.rnk for r in rs] == [1, 2, 3, 4, 5]
+        keys = [(-r.cos_c, r.c_id) for r in rs]
+        assert keys == sorted(keys)
+
+
+def test_binary_hamming_signature_bit_layout(spark):
+    """Pin the packed-word bit layout against a locally recomputed
+    signature for one vector: bit (i mod 32) of word (i div 32) is set
+    iff fixed-point dimension i is positive."""
+    from t_spoon_spark.operators.similarity import int_embedding
+    from t_spoon_spark.queries.relational import t
+    from t_spoon_spark.queries.similarity2 import similarity_binary_hamming_topk  # noqa: F401
+
+    row = (
+        t(spark, SF_SMALL, "embeddings")
+        .filter(F.col("vec_id") == 7)
+        .select(int_embedding("embedding").alias("ei"))
+        .collect()[0]
+    )
+    w0 = sum(1 << i for i, v in enumerate(row.ei[:32]) if v > 0)
+    w1 = sum(1 << i for i, v in enumerate(row.ei[32:64]) if v > 0)
+    import duckdb
+
+    got = duckdb.sql(
+        "SELECT list_sum(list_transform(range(1, 33), i -> CASE WHEN ei[i] > 0 "
+        "THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END)) AS w0, "
+        "list_sum(list_transform(range(33, 65), i -> CASE WHEN ei[i] > 0 "
+        "THEN CAST(1 AS BIGINT) << (i - 33) ELSE CAST(0 AS BIGINT) END)) AS w1 "
+        "FROM (SELECT ? AS ei)",
+        params=[list(row.ei)],
+    ).fetchone()
+    assert (w0, w1) == got
+
+
+def test_containment_complete_vs_uncapped_ground_truth(spark):
+    """Asymmetric prefix filtering loses nothing: ground truth = exact
+    containment over ALL ordered pairs sharing any shingle."""
+    from t_spoon_spark.operators.dedup import doc_shingle_hashes
+    from t_spoon_spark.queries.dedup2 import CT_TAU, dedup_containment_join
+    from t_spoon_spark.queries.relational import t
+
+    got = {
+        (r.doc_in, r.doc_out): (r.n_inter, r.containment_c)
+        for r in dedup_containment_join(spark, SF_SMALL).collect()
+    }
+
+    sh = doc_shingle_hashes(t(spark, SF_SMALL, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_in"), "sh_hash")
+    b = sh.select(F.col("doc_id").alias("doc_out"), "sh_hash")
+    inter = (
+        a.join(b, "sh_hash")
+        .filter(F.col("doc_in") != F.col("doc_out"))
+        .groupBy("doc_in", "doc_out")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_in"), F.col("sz").alias("sz_in"))
+    truth = {}
+    for r in inter.join(za, "doc_in").collect():
+        c = (r.n_inter * 100) // r.sz_in
+        if c >= CT_TAU:
+            truth[(r.doc_in, r.doc_out)] = (r.n_inter, c)
+    assert got == truth, (len(got), len(truth))
+    # the measure must be genuinely directional on this corpus: at
+    # least one pair scores differently in the two directions (the
+    # smaller doc is more contained than the larger one)
+    assert any(
+        (b_, a_) in got and got[(a_, b_)][1] != got[(b_, a_)][1]
+        for (a_, b_) in got
+    ), got
+
+
+def test_containment_plan_no_cartesian_partial_agg(spark):
+    from t_spoon_spark.queries.dedup2 import dedup_containment_join
+
+    df = dedup_containment_join(spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "partial" in plan.lower(), plan
