@@ -272,3 +272,126 @@ def text_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rnk", "gram", "n_docs", "n_occ")
         .orderBy("rnk")
     )
+
+
+BPE_ROUNDS = 6
+
+
+def _dd_bpe_oracle(rounds: int) -> str:
+    """Generate the K-round merge-learning oracle: each round counts
+    adjacent symbol pairs over the segmented vocabulary, picks the
+    argmax with the (count desc, lhs, rhs) tiebreak, and re-segments
+    via the same delimited-string replace the Spark side uses."""
+    ctes = [
+        "w AS (SELECT word, COUNT(*) AS freq FROM ("
+        "SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word "
+        "FROM documents) WHERE word <> '' GROUP BY 1)",
+        "seg_0 AS (SELECT word, freq, "
+        "regexp_replace(word, '(.)', '|\\1|', 'g') AS seg FROM w)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"pairs_{k} AS (SELECT p[1] AS lhs, p[2] AS rhs, SUM(freq) AS cnt "
+            f"FROM (SELECT freq, unnest(list_transform(range(1, len(syms)), "
+            f"i -> [syms[i], syms[i+1]])) AS p "
+            f"FROM (SELECT freq, string_split(trim(seg, '|'), '||') AS syms "
+            f"FROM seg_{k - 1})) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"best_{k} AS (SELECT CAST({k} AS BIGINT) AS step, lhs, rhs, "
+            f"CAST(cnt AS BIGINT) AS pair_n FROM pairs_{k} "
+            f"ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"seg_{k} AS (SELECT word, freq, "
+            f"replace(seg, '|' || b.lhs || '||' || b.rhs || '|', "
+            f"'|' || b.lhs || b.rhs || '|') AS seg "
+            f"FROM seg_{k - 1} CROSS JOIN best_{k} b)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM best_{k}" for k in range(1, rounds + 1))
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT * FROM ({union}) ORDER BY step"
+
+
+@register("text_bpe_learn_merges", _dd_bpe_oracle(BPE_ROUNDS))
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN a BPE merge table (Sennrich et al.), the tokenizer-training
+    loop itself — distinct from text_bpe_token_counts, which only
+    APPLIES a fixed pre-tokenization.  The corpus collapses once into a
+    word-frequency vocabulary (the classic BPE trick: training never
+    touches the corpus again), then each of K rounds counts adjacent
+    symbol pairs weighted by word frequency, takes the argmax with a
+    total-order tiebreak (count desc, lhs, rhs), and re-segments every
+    word by one left-to-right non-overlapping replace on a
+    '|sym||sym|'-delimited string — the identical primitive in Spark
+    and DuckDB, so the learned table matches bit-for-bit.  Scale shape
+    at 100 TB: the ONLY corpus-sized job is the word-count aggregate
+    (map-side partial, one shuffle on word); every round then runs on
+    the vocabulary table (~1e7 rows regardless of corpus size) — pair
+    counts partial-aggregate, the argmax plans as TakeOrderedAndProject
+    (no global sort), the merge application is a map-only projection,
+    and a per-round localCheckpoint cuts the growing lineage exactly as
+    the kmeans/pagerank kernels do.  The K driver-side collects are
+    1-row control frames (the learned merge), the same bounded
+    control-plane pattern as the kmeans centroid pull."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    # the vocabulary is materialized ONCE (it is tiny relative to the
+    # corpus); each round re-applies the k merges learned so far as one
+    # nested replace projection on top of it — no per-round shuffle or
+    # checkpoint.  At a real 32k-merge vocabulary you would checkpoint
+    # every ~64 rounds to cap expression depth; at K=6 the chain is
+    # trivially shallow.
+    seg0 = (
+        words.select(
+            "word", "freq", F.regexp_replace("word", "(.)", r"|$1|").alias("seg")
+        )
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, BPE_ROUNDS + 1):
+        resegment = F.col("seg")
+        for _, lhs, rhs, _ in merges:
+            resegment = F.replace(
+                resegment, F.lit(f"|{lhs}||{rhs}|"), F.lit(f"|{lhs}{rhs}|")
+            )
+        pairs = (
+            seg0.select("freq", resegment.alias("seg"))
+            .select(
+                "freq",
+                F.split(F.expr("trim(BOTH '|' FROM seg)"), r"\|\|").alias("syms"),
+            )
+            .filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), "
+                        "i -> struct(syms[i] AS lhs, syms[i + 1] AS rhs))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs")).limit(1).collect()
+        if not top:
+            break
+        b = top[0]
+        merges.append((step, b.lhs, b.rhs, int(b.cnt)))
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("step", LongType()),
+            StructField("lhs", StringType()),
+            StructField("rhs", StringType()),
+            StructField("pair_n", LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema).orderBy("step")

@@ -254,3 +254,63 @@ def test_containment_plan_no_cartesian_partial_agg(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_bpe_learn_merges_invariants(spark):
+    """BPE greedy invariants: steps dense from 1, symbols non-empty,
+    and the argmax pair count is monotone non-increasing (a merge only
+    removes occurrences of existing pairs; pairs it creates are bounded
+    by the merged pair's own count)."""
+    from t_spoon_spark.queries.text import BPE_ROUNDS, text_bpe_learn_merges
+
+    rows = text_bpe_learn_merges(spark, SF_SMALL).collect()
+    assert [r.step for r in rows] == list(range(1, BPE_ROUNDS + 1))
+    assert all(r.lhs and r.rhs and r.pair_n > 0 for r in rows)
+    counts = [r.pair_n for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    # later rounds may merge previously-merged symbols (multi-char lhs
+    # or rhs) — make sure nothing about the loop forbids that; at least
+    # the table must contain only [a-z]+ symbols
+    assert all(r.lhs.isalpha() and r.rhs.isalpha() for r in rows)
+
+
+def test_bpe_learn_round_plan_shape(spark):
+    """One learning round: the pair count must partial-aggregate before
+    its single exchange and the argmax must plan as a top-1
+    (TakeOrderedAndProject), never a global sort; the whole round stays
+    JVM-side."""
+    from t_spoon_spark.queries.relational import t as t_
+
+    seg0 = (
+        t_(spark, SF_SMALL, "documents")
+        .select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select("word", "freq", F.regexp_replace("word", "(.)", r"|$1|").alias("seg"))
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        seg0.select(
+            "freq", F.split(F.expr("trim(BOTH '|' FROM seg)"), r"\|\|").alias("syms")
+        )
+        .filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2), "
+                    "i -> struct(syms[i] AS lhs, syms[i + 1] AS rhs))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.lhs", "p.rhs")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+        .limit(1)
+    )
+    plan = executed_plan(pairs)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan, plan
