@@ -449,3 +449,101 @@ def similarity_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .select("q_id", "c_id", "ham", "cos_c", "rnk")
         .orderBy("q_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall report: measure, don't guess.
+
+_ANN_METHODS = (
+    ("bin_ham", "similarity_binary_hamming_topk"),
+    ("ivf", "similarity_ivf_topk"),
+    ("lsh", "similarity_lsh_topk"),
+    ("pq_adc", "similarity_pq_adc_topk"),
+    ("sq8", "similarity_sq8_topk"),
+)
+
+
+def _ann_recall_oracle() -> str:
+    """Compose the already-registered method oracles (verbatim, as
+    nested-WITH CTE bodies) against the brute-force oracle — the recall
+    numbers are then pinned by construction to the same SQL the driver
+    gates each method on."""
+    from t_spoon_spark.registry import _REGISTRY
+
+    import t_spoon_spark.queries.similarity  # noqa: F401  (registers bf/lsh/ivf/sq8)
+
+    parts = [f"bf AS ({_REGISTRY['similarity_bruteforce_topk'].duckdb_sql})"]
+    unions = []
+    for tag, name in _ANN_METHODS:
+        parts.append(f"m_{tag} AS ({_REGISTRY[name].duckdb_sql})")
+        unions.append(f"SELECT '{tag}' AS method, q_id, c_id FROM m_{tag}")
+    total = 5 * N_Q
+    tags = ", ".join(f"'{t}'" for t, _ in _ANN_METHODS)
+    return f"""
+    WITH {", ".join(parts)},
+    cand AS ({" UNION ALL ".join(unions)}),
+    hits AS (
+      SELECT method, COUNT(*) AS n_hits
+      FROM cand JOIN bf USING (q_id, c_id) GROUP BY method
+    ),
+    methods AS (SELECT unnest([{tags}]) AS method)
+    SELECT m.method,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST({total} AS BIGINT) AS n_total,
+           CAST(FLOOR(COALESCE(h.n_hits, 0) * 100.0 / {total}) AS BIGINT) AS recall_pct
+    FROM methods m LEFT JOIN hits h USING (method)
+    ORDER BY method
+    """
+
+
+@register("similarity_ann_recall_report", _ann_recall_oracle())
+def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of every ANN variant against the exact brute-force
+    top-5 — the measurement that decides which index family a corpus
+    actually deploys (build brief: 'measure, don't guess').  Each
+    method's candidate set is the entry the driver already gates, so
+    this report cannot drift from the per-method oracles; the recall
+    arithmetic is integer-exact.  Scale shape: the method pipelines
+    each carry their own documented plan; the report adds one
+    25-rows-per-method join against the 25-row ground truth and a
+    5-group aggregate — negligible against any corpus."""
+    from t_spoon_spark.queries.similarity import (
+        similarity_bruteforce_topk,
+        similarity_ivf_topk,
+        similarity_lsh_topk,
+        similarity_sq8_topk,
+    )
+
+    fns = {
+        "bin_ham": similarity_binary_hamming_topk,
+        "ivf": similarity_ivf_topk,
+        "lsh": similarity_lsh_topk,
+        "pq_adc": similarity_pq_adc_topk,
+        "sq8": similarity_sq8_topk,
+    }
+    bf = similarity_bruteforce_topk(spark, sf_dir).select("q_id", "c_id")
+    cand = None
+    for tag, _name in _ANN_METHODS:
+        part = fns[tag](spark, sf_dir).select(
+            F.lit(tag).alias("method"), "q_id", "c_id"
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    hits = (
+        cand.join(bf, ["q_id", "c_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    total = 5 * N_Q
+    methods = spark.createDataFrame([(tag,) for tag, _ in _ANN_METHODS], "method string")
+    return (
+        methods.join(hits, "method", "left")
+        .select(
+            "method",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.lit(total).cast("long").alias("n_total"),
+            F.floor(F.coalesce(F.col("n_hits"), F.lit(0)) * 100.0 / total)
+            .cast("long")
+            .alias("recall_pct"),
+        )
+        .orderBy("method")
+    )

