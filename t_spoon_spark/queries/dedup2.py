@@ -85,11 +85,20 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos")
         <= F.col("sz") - F.ceil((F.col("sz") * PF_TAU) / F.lit(100.0)) + 1
     )
-    a = pref.select(F.col("doc_id").alias("doc_a"), "sh_hash")
-    b = pref.select(F.col("doc_id").alias("doc_b"), "sh_hash")
+    # length filter (PPJoin): Jaccard >= tau forces
+    # tau * max(sz_a, sz_b) <= min(sz_a, sz_b), so candidate pairs
+    # outside the size band can be pruned BEFORE the distinct with zero
+    # recall loss — the completeness test pins that the output is still
+    # the uncapped ground truth.
+    a = pref.select(F.col("doc_id").alias("doc_a"), "sh_hash", F.col("sz").alias("sz_a"))
+    b = pref.select(F.col("doc_id").alias("doc_b"), "sh_hash", F.col("sz").alias("sz_b"))
     cand = (
         a.join(b, "sh_hash")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("sz_b") * 100 >= F.col("sz_a") * PF_TAU)
+            & (F.col("sz_a") * 100 >= F.col("sz_b") * PF_TAU)
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -180,11 +189,22 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = pref.select(F.col("doc_id").alias("doc_in"), "sh_hash")
     b = sh.select(F.col("doc_id").alias("doc_out"), "sh_hash")
+    # length filter, asymmetric form: C(in->out) >= tau forces
+    # sz_out >= tau * sz_in (the intersection cannot exceed sz_out).
+    # Applied AFTER the distinct — the candidate set is small there, so
+    # two broadcast-sized size joins prune the verify join's input with
+    # zero recall loss (the completeness test pins it).
+    zi = sizes.select(F.col("doc_id").alias("doc_in"), F.col("sz").alias("sz_i"))
+    zo = sizes.select(F.col("doc_id").alias("doc_out"), F.col("sz").alias("sz_o"))
     cand = (
         a.join(b, "sh_hash")
         .filter(F.col("doc_in") != F.col("doc_out"))
         .select("doc_in", "doc_out")
         .distinct()
+        .join(zi, "doc_in")
+        .join(zo, "doc_out")
+        .filter(F.col("sz_o") * 100 >= F.col("sz_i") * CT_TAU)
+        .select("doc_in", "doc_out")
     )
     sa = sh.select(F.col("doc_id").alias("doc_in"), "sh_hash")
     sb = sh.select(F.col("doc_id").alias("doc_out"), "sh_hash")
