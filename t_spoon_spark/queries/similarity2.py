@@ -458,6 +458,7 @@ _ANN_METHODS = (
     ("bin_ham", "similarity_binary_hamming_topk"),
     ("ivf", "similarity_ivf_topk"),
     ("lsh", "similarity_lsh_topk"),
+    ("lsh_mp", "similarity_lsh_multiprobe_topk"),
     ("pq_adc", "similarity_pq_adc_topk"),
     ("sq8", "similarity_sq8_topk"),
 )
@@ -510,6 +511,7 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from t_spoon_spark.queries.similarity import (
         similarity_bruteforce_topk,
         similarity_ivf_topk,
+        similarity_lsh_multiprobe_topk,
         similarity_lsh_topk,
         similarity_sq8_topk,
     )
@@ -518,6 +520,7 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin_ham": similarity_binary_hamming_topk,
         "ivf": similarity_ivf_topk,
         "lsh": similarity_lsh_topk,
+        "lsh_mp": similarity_lsh_multiprobe_topk,
         "pq_adc": similarity_pq_adc_topk,
         "sq8": similarity_sq8_topk,
     }

@@ -331,3 +331,20 @@ def test_ann_recall_report_arithmetic(spark):
     for r in rows:
         assert 0 <= r.n_hits <= r.n_total
         assert r.recall_pct == (r.n_hits * 100) // r.n_total
+
+
+def test_lsh_multiprobe_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of single-probe (the self
+    bucket is probed too), and under the shared (cos desc, c_id) total
+    order a superset pool's exact-re-ranked top-5 can only swap a
+    ground-truth hit for another hit — so recall is provably
+    non-decreasing.  Plan must stay cartesian-free and JVM-side."""
+    from t_spoon_spark.queries.similarity import similarity_lsh_multiprobe_topk
+    from t_spoon_spark.queries.similarity2 import similarity_ann_recall_report
+
+    df = similarity_lsh_multiprobe_topk(spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    rep = {r.method: r.n_hits for r in similarity_ann_recall_report(spark, SF_SMALL).collect()}
+    assert rep["lsh_mp"] >= rep["lsh"], rep
