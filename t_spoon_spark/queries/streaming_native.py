@@ -408,6 +408,69 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
+    "streaming_interval_join_full_outer",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS c_ts_us,
+           CAST(epoch_us(p.ts) AS BIGINT) AS p_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: clicks with their
+    in-window purchase, PLUS null-padded rows for clicks that never
+    converted AND purchases no click preceded — both tails flush only
+    when the watermark passes each row's match horizon, so state on
+    both sides stays watermark-bounded exactly as in the left-outer
+    entry.  Same far-future sentinel drain (one per side; the query
+    watermark is the min across inputs), and the same pushdown trap:
+    sentinels must filter AFTER the drain, and for full outer the
+    filter must keep null keys on EITHER side (a naive
+    `click_id >= 0 AND purchase_id >= 0` would delete every outer
+    row — the rows the join mode exists to produce)."""
+    from t_spoon_spark.streaming.windows import interval_join_stream
+
+    ev = t(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    far = F.expr("INTERVAL 20 HOURS")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c_sent = spark.createDataFrame(
+        [(-1, -1, max_ts)], "user_id long, click_id long, c_ts timestamp"
+    ).select("user_id", "click_id", (F.col("c_ts") + far).alias("c_ts"))
+    p_sent = spark.createDataFrame(
+        [(-1, -1, max_ts)], "user_id long, purchase_id long, p_ts timestamp"
+    ).select("user_id", "purchase_id", (F.col("p_ts") + far).alias("p_ts"))
+    cs = file_stream(
+        spark, clicks.unionByName(c_sent), n_slices=3, time_ordered="c_ts"
+    )
+    ps = file_stream(
+        spark, purchases.unionByName(p_sent), n_slices=3, time_ordered="p_ts"
+    )
+    j = interval_join_stream(cs, ps, "user_id", "c_ts", "p_ts", how="full_outer")
+    out = drain_stream(
+        j.select(
+            "click_id",
+            "purchase_id",
+            micros("c_ts").alias("c_ts_us"),
+            micros("p_ts").alias("p_ts_us"),
+        ),
+        output_mode="append",
+    )
+    keep_c = F.col("click_id").isNull() | (F.col("click_id") >= 0)
+    keep_p = F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0)
+    return out.filter(keep_c & keep_p).orderBy("click_id", "purchase_id")
+
+
+@register(
     "streaming_cdc_latest_state",
     f"""
     WITH ops AS (

@@ -348,3 +348,22 @@ def test_lsh_multiprobe_dominates_single_probe(spark):
     assert "BatchEvalPython" not in plan, plan
     rep = {r.method: r.n_hits for r in similarity_ann_recall_report(spark, SF_SMALL).collect()}
     assert rep["lsh_mp"] >= rep["lsh"], rep
+
+
+def test_streaming_full_outer_has_all_three_row_classes(spark):
+    """The full-outer drain must produce matched rows AND both
+    null-padded tails (never-converted clicks, un-preceded purchases) —
+    and no sentinel may survive the post-drain filter."""
+    from t_spoon_spark.queries.streaming_native import (
+        streaming_interval_join_full_outer,
+    )
+
+    rows = streaming_interval_join_full_outer(spark, SF_SMALL).collect()
+    assert rows
+    matched = [r for r in rows if r.click_id is not None and r.purchase_id is not None]
+    click_only = [r for r in rows if r.purchase_id is None]
+    purchase_only = [r for r in rows if r.click_id is None]
+    assert matched and click_only and purchase_only, (
+        len(matched), len(click_only), len(purchase_only),
+    )
+    assert all((r.click_id or 0) >= 0 and (r.purchase_id or 0) >= 0 for r in rows)
