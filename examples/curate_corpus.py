@@ -4,8 +4,11 @@ oracle-gated operators: quality gate -> exact dedup -> near-dup
 clustering (keep best per cluster) -> benchmark decontamination ->
 deterministic train/val/test split -> per-split manifest with token
 budgets.  Each stage is the registered entry (the driver gates its
-values); this program pins that they COMPOSE — the output manifest is
-recomputed, not mocked.
+values) and the split assignment uses the registered entry's exact
+hash scheme (md5('split:' || doc_id) % 1000, 900/950 buckets), so
+split membership here agrees with sample_train_val_test_split's
+auditable id_checksum; this program pins that the stages COMPOSE —
+the output manifest is recomputed, not mocked.
 
 Run: python examples/curate_corpus.py [sf_dir]
 """
@@ -24,8 +27,8 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     from t_spoon_spark.queries.curation import quality_filter_composite
     from t_spoon_spark.queries.chunking import decontamination_ngram_overlap
     from t_spoon_spark.queries.dedup import dedup_exact_md5, dedup_keep_best_per_cluster
+    from t_spoon_spark.operators.text import md5_long
     from t_spoon_spark.queries.relational import t
-    from t_spoon_spark.queries.sampling import sample_train_val_test_split
     from t_spoon_spark.session import build_spark
 
     own_session = spark is None
@@ -65,13 +68,17 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         .join(contaminated, "doc_id", "left_anti")
     )
 
-    # 5. deterministic split + manifest
-    splits = sample_train_val_test_split(spark, sf_dir)  # noqa: F841 — report
+    # 5. deterministic split + manifest — the SAME bucket function as
+    # the registered sample_train_val_test_split entry, so membership
+    # is auditable against its id_checksum
+    n_kept_direct = kept.count()
+    bucket = F.pmod(
+        md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
     assigned = kept.withColumn(
         "split",
-        F.when(F.pmod(F.xxhash64("doc_id", F.lit(41)), 100) < 90, "train")
-        .when(F.pmod(F.xxhash64("doc_id", F.lit(41)), 100) < 95, "val")
-        .otherwise("test"),
+        F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test"),
     )
     manifest = (
         assigned.groupBy("split")
@@ -83,14 +90,14 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         .collect()
     )
 
-    n_kept = sum(r.n_docs for r in manifest)
     out = {
         "n_raw": n_raw,
-        "n_kept": n_kept,
+        "n_kept": n_kept_direct,  # counted BEFORE the split groupBy —
+        # the example test checks the manifest partitions it exactly
         "splits": {r.split: (r.n_docs, r.n_chars) for r in manifest},
     }
     # invariants a curation run must satisfy
-    assert 0 < n_kept <= n_raw
+    assert 0 < n_kept_direct <= n_raw
     assert set(out["splits"]) <= {"train", "val", "test"}
     if own_session:
         print(out)

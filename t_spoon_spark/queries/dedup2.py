@@ -1,6 +1,7 @@
-"""Second-wave dedup operators: set-similarity join via PREFIX
+"""Second-wave dedup operators: set-similarity joins via PREFIX
 FILTERING (the PPJoin/AllPairs family, Bayardo et al. "Scaling Up All
-Pairs Similarity Search" / Xiao et al. PPJoin).
+Pairs Similarity Search" / Xiao et al. PPJoin) — the symmetric Jaccard
+join and its asymmetric containment variant.
 
 Distinct from `dedup_ngram_jaccard`'s df-capped shared-shingle join in
 one important way: the df cap is LOSSY (a true near-dup pair whose
@@ -11,6 +12,11 @@ prefixes, so candidate generation joins only on prefix shingles and
 still guarantees every qualifying pair is found.  On the sf0.01
 corpus this generates 165 candidates against 124,750 possible pairs
 (756x reduction) with zero recall loss.
+
+Both entries' completeness rests on the SAME prefix-length formula
+(sz - ceil(tau * sz / 100) + 1), so it has exactly one definition per
+engine below — `_prefix` (Spark) and `_DD_PREFIX_CTES` (SQL) — and the
+tau constant is the only thing an entry supplies.
 """
 
 from __future__ import annotations
@@ -24,12 +30,28 @@ from t_spoon_spark.queries.relational import t
 from t_spoon_spark.registry import register
 
 PF_TAU = 60  # Jaccard threshold, percent
+CT_TAU = 80  # containment threshold, percent of the SMALLER doc's shingles
 
 
-@register(
-    "dedup_prefix_filter_jaccard",
-    f"""
-    {_DD_SH_TABLE},
+def _prefix(sh: DataFrame, sizes: DataFrame, tau: int) -> DataFrame:
+    """Rarest-first prefix of each doc's shingle set at threshold tau:
+    order by (global df, hash) — a total order identical in both
+    engines — and keep the first sz - ceil(tau * sz / 100) + 1.  The
+    pigeonhole bound: a doc sharing >= tau% of its shingles with
+    another cannot miss with its whole prefix.  Returns
+    (doc_id, sh_hash, sz)."""
+    freq = sh.groupBy("sh_hash").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh_hash"))
+    ordered = sh.join(freq, "sh_hash").withColumn("pos", F.row_number().over(w))
+    return ordered.join(sizes, "doc_id").filter(
+        F.col("pos") <= F.col("sz") - F.ceil((F.col("sz") * tau) / F.lit(100.0)) + 1
+    )
+
+
+def _dd_prefix_ctes(tau: int) -> str:
+    """The SQL twin of `_prefix`: freq/ordered/pref CTEs over the
+    shared `sh`/`sizes` tables of `_DD_SH_TABLE`."""
+    return f"""
     freq AS (SELECT sh_hash, COUNT(*) AS df FROM sh GROUP BY sh_hash),
     ordered AS (
       SELECT s.doc_id, s.sh_hash,
@@ -39,8 +61,15 @@ PF_TAU = 60  # Jaccard threshold, percent
     pref AS (
       SELECT o.doc_id, o.sh_hash
       FROM ordered o JOIN sizes z USING (doc_id)
-      WHERE o.pos <= z.sz - CEIL((z.sz * {PF_TAU}) / 100.0) + 1
-    ),
+      WHERE o.pos <= z.sz - CEIL((z.sz * {tau}) / 100.0) + 1
+    )"""
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    f"""
+    {_DD_SH_TABLE},
+    {_dd_prefix_ctes(PF_TAU)},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM pref a JOIN pref b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
@@ -78,13 +107,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingle_hashes(docs).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    freq = sh.groupBy("sh_hash").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh_hash"))
-    ordered = sh.join(freq, "sh_hash").withColumn("pos", F.row_number().over(w))
-    pref = ordered.join(sizes, "doc_id").filter(
-        F.col("pos")
-        <= F.col("sz") - F.ceil((F.col("sz") * PF_TAU) / F.lit(100.0)) + 1
-    )
+    pref = _prefix(sh, sizes, PF_TAU)
     # length filter (PPJoin): Jaccard >= tau forces
     # tau * max(sz_a, sz_b) <= min(sz_a, sz_b), so candidate pairs
     # outside the size band can be pruned BEFORE the distinct with zero
@@ -124,24 +147,11 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CT_TAU = 80  # containment threshold, percent of the SMALLER doc's shingles
-
-
 @register(
     "dedup_containment_join",
     f"""
     {_DD_SH_TABLE},
-    freq AS (SELECT sh_hash, COUNT(*) AS df FROM sh GROUP BY sh_hash),
-    ordered AS (
-      SELECT s.doc_id, s.sh_hash,
-             ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.sh_hash) AS pos
-      FROM sh s JOIN freq f USING (sh_hash)
-    ),
-    pref AS (
-      SELECT o.doc_id, o.sh_hash
-      FROM ordered o JOIN sizes z USING (doc_id)
-      WHERE o.pos <= z.sz - CEIL((z.sz * {CT_TAU}) / 100.0) + 1
-    ),
+    {_dd_prefix_ctes(CT_TAU)},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_in, b.doc_id AS doc_out
       FROM pref a JOIN sh b ON a.sh_hash = b.sh_hash AND a.doc_id <> b.doc_id
@@ -180,13 +190,7 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingle_hashes(docs).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    freq = sh.groupBy("sh_hash").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh_hash"))
-    ordered = sh.join(freq, "sh_hash").withColumn("pos", F.row_number().over(w))
-    pref = ordered.join(sizes, "doc_id").filter(
-        F.col("pos")
-        <= F.col("sz") - F.ceil((F.col("sz") * CT_TAU) / F.lit(100.0)) + 1
-    )
+    pref = _prefix(sh, sizes, CT_TAU)
     a = pref.select(F.col("doc_id").alias("doc_in"), "sh_hash")
     b = sh.select(F.col("doc_id").alias("doc_out"), "sh_hash")
     # length filter, asymmetric form: C(in->out) >= tau forces

@@ -478,7 +478,6 @@ def _ann_recall_oracle() -> str:
     for tag, name in _ANN_METHODS:
         parts.append(f"m_{tag} AS ({_REGISTRY[name].duckdb_sql})")
         unions.append(f"SELECT '{tag}' AS method, q_id, c_id FROM m_{tag}")
-    total = 5 * N_Q
     tags = ", ".join(f"'{t}'" for t, _ in _ANN_METHODS)
     return f"""
     WITH {", ".join(parts)},
@@ -487,12 +486,13 @@ def _ann_recall_oracle() -> str:
       SELECT method, COUNT(*) AS n_hits
       FROM cand JOIN bf USING (q_id, c_id) GROUP BY method
     ),
-    methods AS (SELECT unnest([{tags}]) AS method)
+    methods AS (SELECT unnest([{tags}]) AS method),
+    gt AS (SELECT COUNT(*) AS n_total FROM bf)
     SELECT m.method,
            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-           CAST({total} AS BIGINT) AS n_total,
-           CAST(FLOOR(COALESCE(h.n_hits, 0) * 100.0 / {total}) AS BIGINT) AS recall_pct
-    FROM methods m LEFT JOIN hits h USING (method)
+           CAST(gt.n_total AS BIGINT) AS n_total,
+           CAST(FLOOR(COALESCE(h.n_hits, 0) * 100.0 / gt.n_total) AS BIGINT) AS recall_pct
+    FROM methods m CROSS JOIN gt LEFT JOIN hits h USING (method)
     ORDER BY method
     """
 
@@ -508,26 +508,16 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     each carry their own documented plan; the report adds one
     25-rows-per-method join against the 25-row ground truth and a
     5-group aggregate — negligible against any corpus."""
-    from t_spoon_spark.queries.similarity import (
-        similarity_bruteforce_topk,
-        similarity_ivf_topk,
-        similarity_lsh_multiprobe_topk,
-        similarity_lsh_topk,
-        similarity_sq8_topk,
-    )
+    from t_spoon_spark.queries.similarity import similarity_bruteforce_topk
+    from t_spoon_spark.registry import _REGISTRY
 
-    fns = {
-        "bin_ham": similarity_binary_hamming_topk,
-        "ivf": similarity_ivf_topk,
-        "lsh": similarity_lsh_topk,
-        "lsh_mp": similarity_lsh_multiprobe_topk,
-        "pq_adc": similarity_pq_adc_topk,
-        "sq8": similarity_sq8_topk,
-    }
     bf = similarity_bruteforce_topk(spark, sf_dir).select("q_id", "c_id")
     cand = None
-    for tag, _name in _ANN_METHODS:
-        part = fns[tag](spark, sf_dir).select(
+    for tag, name in _ANN_METHODS:
+        # the SAME registry entry the oracle composition reads — one
+        # source for both sides, so a method added to _ANN_METHODS
+        # cannot reach only one of them
+        part = _REGISTRY[name].spark_fn(spark, sf_dir).select(
             F.lit(tag).alias("method"), "q_id", "c_id"
         )
         cand = part if cand is None else cand.unionByName(part)
@@ -536,7 +526,10 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("method")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
-    total = 5 * N_Q
+    # denominator = the ground truth's ACTUAL size (a 25-row control
+    # frame; counting it keeps the report honest if any method's k or
+    # the query-set constant ever changes independently)
+    total = bf.count()
     methods = spark.createDataFrame([(tag,) for tag, _ in _ANN_METHODS], "method string")
     return (
         methods.join(hits, "method", "left")

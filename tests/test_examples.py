@@ -28,6 +28,9 @@ def test_curate_corpus_example(spark):
     out = main(spark)
     assert 0 < out["n_kept"] < out["n_raw"]
     assert set(out["splits"]) <= {"train", "val", "test"}
+    # n_kept is counted BEFORE the split assignment, so this pins that
+    # the split manifest exactly partitions the kept set (no doc
+    # dropped or double-counted by the bucket assignment)
     assert sum(n for n, _ in out["splits"].values()) == out["n_kept"]
     # the quality gate + near-dup drop must actually bite on the
     # synthetic corpus (it contains failing docs and clusters)
