@@ -96,3 +96,52 @@ def io_json_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     case for free text)."""
     docs = t(spark, sf_dir, "documents")
     return _docs_summary(_roundtrip(docs, "json"))
+
+
+@register(
+    "io_bucketed_colocated_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR((o.o_totalprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def io_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via BUCKETED TABLES — the 100 TB amortizer for
+    repeated large-large joins on a stable key: both sides are written
+    hash-bucketed + sorted by the join key (ONE write-time shuffle
+    each), and every subsequent join on that key sort-merge-joins with
+    ZERO read-time Exchange on either side (plan-asserted in
+    tests/test_plans.py and tests/test_plans_round7.py).  The oracle
+    joins the parquet originals directly, so the gate also pins that
+    the bucketed write/read round-trip loses nothing.  Same
+    session-scoped overwrite-in-place disk contract as the CSV/JSON
+    round-trip entries (one copy, no temp leak)."""
+    from t_spoon_spark.operators.skew import bucketed, write_bucketed
+    from t_spoon_spark.queries.helpers import fixed
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    base = os.path.join(tempfile.gettempdir(), "tspoon_bucketed")
+    write_bucketed(orders, "tspoon_b_orders", "o_custkey", 8, path=os.path.join(base, "orders"))
+    write_bucketed(cust, "tspoon_b_customer", "o_custkey", 8, path=os.path.join(base, "customer"))
+    j = (
+        bucketed(spark, "tspoon_b_orders")
+        .hint("merge")
+        .join(bucketed(spark, "tspoon_b_customer"), "o_custkey")
+    )
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(fixed("o_totalprice")).cast("long").alias("revenue_c"),
+        )
+        .orderBy("segment")
+    )

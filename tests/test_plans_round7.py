@@ -367,3 +367,22 @@ def test_streaming_full_outer_has_all_three_row_classes(spark):
         len(matched), len(click_only), len(purchase_only),
     )
     assert all((r.click_id or 0) >= 0 and (r.purchase_id or 0) >= 0 for r in rows)
+
+
+def test_bucketed_entry_join_is_exchange_free(spark):
+    """The driver-gated bucketed entry's value contract is the oracle's
+    job; THIS pins its scale contract — after the entry's write, a join
+    of the two bucketed tables on the bucket key plans as a
+    SortMergeJoin with zero Exchange on either side."""
+    from t_spoon_spark.operators.skew import bucketed
+    from t_spoon_spark.queries.io_formats import io_bucketed_colocated_join
+
+    io_bucketed_colocated_join(spark, SF_SMALL).collect()
+    j = (
+        bucketed(spark, "tspoon_b_orders")
+        .hint("merge")
+        .join(bucketed(spark, "tspoon_b_customer"), "o_custkey")
+    )
+    plan = executed_plan(j)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
