@@ -100,6 +100,15 @@ _NOVEL_MECHANISM_FIRST = (
     "similarity_pq_adc_topk",
     "bloom_semi_join_orders",
     "io_csv_roundtrip_docs",
+    # round-7 additions with novel mechanisms: driver-side BPE merge
+    # loop, nested-WITH oracle composition, full-outer stream-stream
+    # drain, bucketed write/read round-trip, K-round CTE replays
+    "text_bpe_learn_merges",
+    "similarity_ann_recall_report",
+    "streaming_interval_join_full_outer",
+    "io_bucketed_colocated_join",
+    "graph_bfs_hop_frontier",
+    "sample_kcenter_coreset",
 )
 
 
