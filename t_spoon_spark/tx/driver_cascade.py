@@ -652,6 +652,44 @@ def _sort_key_field(v):
 _INT_VTS = {"bigint", "long", "int", "integer", "smallint", "tinyint"}
 
 
+def _pull_pdf(df, key_cols: tuple[str, ...] = ()) -> pd.DataFrame:
+    """Collect a control frame with its key columns DICTIONARY-ENCODED.
+
+    Half of a measured 144k-txn fused pull was Arrow→pandas conversion,
+    and the driver of that was object-dtype materialization of ~672k
+    string key cells (BENCHNOTES round-8 map, lever 1b).  Collecting via
+    ``toArrow()`` and dictionary-encoding the key column turns that into
+    an int32 code copy plus ONE str object per distinct key (bounded by
+    the touched keyspace, not the link count); downstream pandas sees a
+    Categorical whose ops (isin/groupby/tolist) run on the codes.
+    Key-level groupbys must pass ``observed=True`` — without it pandas
+    manufactures a group per CATEGORY (the full dictionary), turning a
+    per-(tid,key) combine into a cross product.
+
+    Falls back to plain ``toPandas()`` when Arrow collection is
+    unavailable (non-Arrow types never appear in these frames, but the
+    fallback keeps eligibility decoupled from the transport)."""
+    try:
+        import pyarrow.compute as pc
+
+        tbl = df.toArrow()
+        for c in key_cols:
+            i = tbl.schema.get_field_index(c)
+            tbl = tbl.set_column(i, c, pc.dictionary_encode(tbl.column(c)))
+        return tbl.to_pandas(self_destruct=True)
+    except Exception:  # pragma: no cover - transport fallback
+        return df.toPandas()
+
+
+def _plain_keys(pdf: pd.DataFrame, col: str) -> pd.DataFrame:
+    """Decode a categorical key column back to object dtype before the
+    frame crosses the module boundary (store twin / createDataFrame).
+    Pointer copies of the already-materialized category strings — cheap."""
+    if isinstance(pdf[col].dtype, pd.CategoricalDtype):
+        pdf[col] = pdf[col].astype(object)
+    return pdf
+
+
 @dataclass
 class _StageState:
     ctx: StageCtx
@@ -668,6 +706,10 @@ class _StageState:
     # per-key refold results superseding eval_pdf rows:
     # key -> [(tid, vote, value, ord, wr)]
     overrides: dict = field(default_factory=dict)
+    # flat (key, _tid, vote) frame of the CURRENT override links —
+    # maintained incrementally so a cascade round's vote merge reads
+    # override votes without iterating the whole overrides dict
+    ov_links: Any = None
 
 
 @dataclass
@@ -708,9 +750,12 @@ class DriverCascade:
                 self._pull_stage_ops(st)
                 self._ensure_v0(store, st)
             else:
-                st.eval_pdf = ctx.evaluated.select(
-                    "key", "_tid", "value", "vote", "_ord", "__wr"
-                ).toPandas()
+                st.eval_pdf = _pull_pdf(
+                    ctx.evaluated.select(
+                        "key", "_tid", "value", "vote", "_ord", "__wr"
+                    ),
+                    key_cols=("key",),
+                )
                 self._sanitize_eval_values(st)
         self._pulled_eval = True
 
@@ -783,7 +828,7 @@ class DriverCascade:
                 )
             )
             u = u.unionByName(ev).unionByName(op)
-        pdf = u.toPandas()
+        pdf = _pull_pdf(u, key_cols=("key",))
 
         tids_pdf = pdf.loc[pdf["part"] == 0, "_tid"].reset_index(drop=True)
         for i, st in enumerate(self.states):
@@ -804,7 +849,7 @@ class DriverCascade:
             self._check_ops_nan(st, ops, [st.ctx.value_cols[0]])
             pre = st.ctx.stage.pre_combine
             if pre:
-                gb = ops.groupby(["_tid", "__key"], sort=False)
+                gb = ops.groupby(["_tid", "__key"], sort=False, observed=True)
                 agg = {c: _pd_agg(gb, c, h) for c, h in pre.items()}
                 ops = pd.DataFrame(agg).reset_index()
             st.ops_pdf = ops
@@ -826,17 +871,21 @@ class DriverCascade:
         ctx = st.ctx
         pre = ctx.stage.pre_combine
         if ctx.kind != "pandas" and pre:
-            pdf = ctx.ops.select("_tid", "__key", *pre).toPandas()
+            pdf = _pull_pdf(
+                ctx.ops.select("_tid", "__key", *pre), key_cols=("__key",)
+            )
             self._check_ops_nan(st, pdf, list(pre))
             if ctx.kind == "chain_expr":
                 # the JVM path pre-combines per (tid, key); the chain
                 # then sorts by tid alone
-                gb = pdf.groupby(["_tid", "__key"], sort=False)
+                gb = pdf.groupby(["_tid", "__key"], sort=False, observed=True)
                 agg = {c: _pd_agg(gb, c, h) for c, h in pre.items()}
                 pdf = pd.DataFrame(agg).reset_index()
         else:
             cols = ["_tid", "__key", "_path", *ctx.value_cols]
-            pdf = ctx.ops.select(*dict.fromkeys(cols)).toPandas()
+            pdf = _pull_pdf(
+                ctx.ops.select(*dict.fromkeys(cols)), key_cols=("__key",)
+            )
             if ctx.kind != "pandas":
                 # pandas-kind folds never null-normalize record values
                 # (py_update owns them), so only chain_expr needs the
@@ -1048,6 +1097,72 @@ class DriverCascade:
             gv.loc[ex, "any_commit"] = 0
         return gv
 
+    def _update_ov_links(self, st: _StageState, touched: set) -> None:
+        """Fold this round's refolded keys into the stage's flat
+        override-link frame (replace-then-append: a key refolded in an
+        earlier round can be re-touched by a later exclusion)."""
+        if not touched:
+            return
+        rows = [
+            (key, tid, vote)
+            for key in touched
+            for tid, vote, _v, _o, _w in st.overrides[key]
+        ]
+        new = pd.DataFrame(rows, columns=["key", "_tid", "vote"])
+        ov = st.ov_links
+        if ov is not None and len(ov):
+            ov = ov[~ov["key"].isin(touched)]
+            st.ov_links = pd.concat([ov, new], ignore_index=True)
+        else:
+            st.ov_links = new
+
+    def _merge_votes_delta(
+        self, gv: pd.DataFrame, tid_index: pd.Index, affected: set, excluded: set
+    ) -> pd.DataFrame:
+        """Per-round vote merge over ONLY the affected tids.
+
+        A cascade round changes the links of exactly the keys it
+        refolded, so only tids with a link on those keys (the touched
+        keys' chain members) plus the newly excluded tids can change
+        their global vote — the full concat+groupby over every stage's
+        link frame (measured ~0.16 s/round at the 144k-txn operating
+        point) re-derived votes that could not have moved.  Same
+        MAX-lattice + any-commit semantics as `_merge_votes`, updated
+        in place on the gv frame (rows stay in all_tids order)."""
+        A = pd.Index(sorted(affected))
+        parts: list[pd.DataFrame] = []
+        for st in self.states:
+            if st.ctx.kind == "epoch_combine":
+                t = st.ops_pdf["_tid"]
+                kept = t[t.isin(A)]
+                parts.append(pd.DataFrame({"_tid": kept, "vote": COMMIT}))
+                continue
+            ep = st.eval_pdf
+            sub = ep.loc[ep["_tid"].isin(A), ["_tid", "vote", "key"]]
+            parts.append(sub.loc[~sub["key"].isin(st.overrides), ["_tid", "vote"]])
+            ov = st.ov_links
+            if ov is not None and len(ov):
+                parts.append(ov.loc[ov["_tid"].isin(A), ["_tid", "vote"]])
+        links = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        gb = links.groupby("_tid", sort=False)["vote"]
+        merged = pd.DataFrame(
+            {"vote": gb.max(), "any_commit": (gb.min() == COMMIT).astype("int32")}
+        )
+        m = merged.reindex(A)
+        vote = m["vote"].fillna(COMMIT).astype("int32").to_numpy()
+        anyc = m["any_commit"].fillna(0).astype("int32").to_numpy()
+        ex = A.isin(list(excluded))
+        vote[ex] = ABORT
+        anyc[ex] = 0
+        pos = tid_index.get_indexer(A)
+        gvv = gv["vote"].to_numpy(copy=True)
+        gva = gv["any_commit"].to_numpy(copy=True)
+        gvv[pos] = vote
+        gva[pos] = anyc
+        gv["vote"] = gvv
+        gv["any_commit"] = gva
+        return gv
+
     # -- the driver close: merge + fixpoint + finals --------------------
 
     def close(self, store, tids, has_ec: bool, run_cascade: bool) -> CascadeResult:
@@ -1072,6 +1187,7 @@ class DriverCascade:
                 tids_pdf = tids.toPandas()["_tid"]
         all_tids = pd.Series(tids_pdf, dtype="int64").reset_index(drop=True)
         gv = self._merge_votes(all_tids, set())
+        tid_index = pd.Index(all_tids)
         excluded: set = set()
         n_excluded = 0
         rounds = 0  # refold rounds actually executed
@@ -1092,6 +1208,9 @@ class DriverCascade:
             new_excluded = set(int(t) for t in gv.loc[ab, "_tid"]) - excluded
             excluded = excluded | new_excluded
             n_excluded = n_aborted
+            # only tids with a link on a refolded key (or newly excluded)
+            # can change their global vote this round
+            affected: set = set(new_excluded)
             for st in self.states:
                 if st.ctx.kind == "epoch_combine":
                     continue  # links derived from ops minus excluded
@@ -1102,9 +1221,14 @@ class DriverCascade:
                 p = st.ops_pdf
                 touched = p.loc[p["_tid"].isin(new_excluded), "__key"].unique()
                 self._ensure_chains(st, touched)
+                tset: set = set()
                 for key in touched:
                     st.overrides[key] = self._refold_key(st, key, excluded)
-            gv = self._merge_votes(all_tids, excluded)
+                    tset.add(key)
+                    for tid, _rec in st.chains[key]:
+                        affected.add(tid)
+                self._update_ov_links(st, tset)
+            gv = self._merge_votes_delta(gv, tid_index, affected, excluded)
 
         gv_out = pd.DataFrame(
             {
@@ -1121,7 +1245,7 @@ class DriverCascade:
                 pre = ctx.stage.pre_combine
                 p = st.ops_pdf
                 kept = p[~p["_tid"].isin(excluded)] if excluded else p
-                gb = kept.groupby("__key", sort=False)
+                gb = kept.groupby("__key", sort=False, observed=True)
                 agg = {c: _pd_agg(gb, c, h) for c, h in pre.items()}
                 combined = pd.DataFrame(agg).reset_index()
                 rows = []
@@ -1157,6 +1281,7 @@ class DriverCascade:
                     if len(frames) > 1
                     else frames[0].reset_index(drop=True)
                 )
+                wdf = _plain_keys(wdf, "key")
             wdf["_stage"] = ctx.stage_idx
             writes.setdefault(ctx.ns.name, []).append(wdf)
 
