@@ -1149,8 +1149,11 @@ class DriverCascade:
             {"vote": gb.max(), "any_commit": (gb.min() == COMMIT).astype("int32")}
         )
         m = merged.reindex(A)
-        vote = m["vote"].fillna(COMMIT).astype("int32").to_numpy()
-        anyc = m["any_commit"].fillna(0).astype("int32").to_numpy()
+        # explicit numpy fill: Series.fillna on a reindex of an EMPTY
+        # merge yields object dtype and a deprecated silent downcast
+        miss = m["vote"].isna().to_numpy()
+        vote = _np.where(miss, COMMIT, m["vote"].to_numpy()).astype("int32")
+        anyc = _np.where(miss, 0, m["any_commit"].to_numpy()).astype("int32")
         ex = A.isin(list(excluded))
         vote[ex] = ABORT
         anyc[ex] = 0
