@@ -288,6 +288,14 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
         lambda: txn_latency_ms_at_rate(spark, sf_dir, 5200.0),
     )
 
+    # second pin in the HEAVY regime (150k-txn epochs): the 80pct
+    # metric's point drifts with every sustained-rate re-discovery, so
+    # amplified-close cost needs its own fixed comparable too
+    _run_stats(
+        "txn_latency_ms_at_30k_fixed",
+        lambda: txn_latency_ms_at_rate(spark, sf_dir, 30000.0),
+    )
+
     # the reference's latency-unloaded accumulator: commit latency of a
     # small epoch on an idle engine (the micro-batch floor)
     _run_stats(

@@ -37,9 +37,14 @@ def _transfers(
     ev = load_events(spark, sf_dir)
     sel = ev.select("event_id", "value")
     if copies > 1:
+        # replicate via sequence+explode, NOT a literal array: at small
+        # SFs the copies needed for a fixed-rate pin run to the
+        # thousands, and a thousands-element literal array bloats every
+        # task binary / plan walk (measured: MiB-scale task binaries
+        # and a stalled single-task stage at sf0.001 with copies≈2000)
         sel = sel.select(
             "*",
-            F.explode(F.array(*[F.lit(i) for i in range(copies)])).alias("_c"),
+            F.explode(F.sequence(F.lit(0), F.lit(int(copies) - 1))).alias("_c"),
         )
         tid = F.col("event_id") * copies + F.col("_c")
     else:
@@ -314,6 +319,20 @@ def _latency_at(
     return mean, round(1000.0 * (max(walls) - min(walls)), 1)
 
 
+def _pin_copies(
+    base_total: int, rate: float, epoch_seconds: float, n_epochs: int
+) -> int:
+    """Stream copies needed to feed a fixed-rate latency pin: n_epochs
+    measured + one full-size warm epoch.  Reserve the 1k-row fallback
+    warm only when the base stream can spare it — at tiny SFs
+    ``base_total - 1000`` reaches 0 and a floor of 1 would explode the
+    estimate to ``needed`` itself (600k copies at sf0.001, which hung
+    the bench in plan construction)."""
+    needed = int(rate * epoch_seconds) * (n_epochs + 1)
+    denom = max(base_total - 1000, base_total // 2, 1)
+    return max(1, -(-needed // denom))
+
+
 def txn_latency_ms_at_rate(
     spark: SparkSession,
     sf_dir: str,
@@ -345,9 +364,7 @@ def txn_latency_ms_at_rate(
     # copies keep the per-epoch slice scans proportionate, so a
     # fixed-rate pin measured at copies=1 stays comparable across rounds
     base_total = _transfers(spark, sf_dir, keyspace).count()
-    # n_epochs measured + one full-size warm epoch
-    needed = int(rate * epoch_seconds) * (n_epochs + 1)
-    copies = max(1, -(-needed // max(base_total - 1000, 1)))
+    copies = _pin_copies(base_total, rate, epoch_seconds, n_epochs)
     transfers = _transfers(spark, sf_dir, keyspace, copies=copies).localCheckpoint(
         eager=True
     )

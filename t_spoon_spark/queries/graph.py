@@ -410,19 +410,40 @@ def graph_bfs_hop_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v") % BFS_SEED_MOD == 0)
         .distinct()
     )
-    dist = seeds.withColumn("hop", F.lit(0).cast("int")).localCheckpoint(eager=True)
-    frontier = dist.select("v")
+    seed0 = seeds.withColumn("hop", F.lit(0).cast("int")).localCheckpoint(eager=True)
+    # checkpoint ONLY each round's new frontier, never the cumulative
+    # visited set: the anti-join scans the union of the (already
+    # materialized) per-round frames, so each round's checkpoint write
+    # is frontier-sized — the cumulative variant re-wrote the whole
+    # visited set every round (~|V| rows × H rounds of checkpoint I/O)
+    frames = [seed0]
+    visited = seed0.select("v")
+    # every reference below is alias-qualified: localCheckpoint
+    # PRESERVES expression ids, so each round's frontier (derived from
+    # `edges.v`) would otherwise collide with the edges relation in the
+    # next round's join and trip the ambiguous-self-join analyzer check
+    frontier = seed0.select(F.col("v").alias("fv"))
     for it in range(1, BFS_H + 1):
         reached = (
-            frontier.join(edges, frontier.v == edges.u)
-            .select(edges.v)
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.fv") == F.col("e.u"))
+            .select(F.col("e.v").alias("v"))
             .distinct()
         )
-        new = reached.join(dist, "v", "left_anti").withColumn(
-            "hop", F.lit(it).cast("int")
+        new = (
+            reached.alias("r")
+            .join(visited.alias("w"), F.col("r.v") == F.col("w.v"), "left_anti")
+            .select(F.col("r.v").alias("v"), F.lit(it).cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
         )
-        dist = dist.unionByName(new).localCheckpoint(eager=True)
-        frontier = dist.filter(F.col("hop") == it).select("v")
+        if new.isEmpty():  # frontier exhausted — identical result, fewer rounds
+            break
+        frames.append(new)
+        visited = visited.unionByName(new.select("v"))
+        frontier = new.select(F.col("v").alias("fv"))
+    dist = frames[0]
+    for f in frames[1:]:
+        dist = dist.unionByName(f)
     return (
         dist.groupBy("hop")
         .agg(

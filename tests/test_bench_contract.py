@@ -39,7 +39,10 @@ def _full_shape_result() -> dict:
         "sustainable_tps_pl3",
         "txn_latency_ms_at_sustained_pl3",
         "txn_latency_ms_at_80pct_sustained",
+        "txn_latency_ms_at_5200_fixed",
+        "txn_latency_ms_at_30k_fixed",
         "txn_latency_ms_unloaded",
+        "streaming_bank_commit_latency_ms",
     ):
         queries[name] = 123456.7
     return {

@@ -1,0 +1,46 @@
+"""The amplified transfer stream (`_transfers(copies=N)`) must be a
+deterministic interleaving of the base workload: dense renumbered tids,
+accounts/amounts a pure function of tid, and sizing that never explodes
+at small scale factors (the sf0.001 regression: a reserve-1000 guard
+drove the copies estimate to `needed` itself — 600k copies — and the
+fixed-rate latency pins hung in plan construction)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from t_spoon_spark.bench_txn import _transfers
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_copies_replicates_deterministically(spark):
+    base = _transfers(spark, SF).orderBy("_tid").toPandas()
+    amp = _transfers(spark, SF, copies=3).orderBy("_tid").toPandas()
+    assert len(amp) == 3 * len(base)
+    # dense tid range: every replica slot filled exactly once
+    assert sorted(amp["_tid"]) == list(range(int(amp["_tid"].max()) + 1)) or (
+        set(amp["_tid"]) == {e * 3 + c for e in base["_tid"] for c in range(3)}
+    )
+    # replica c=0 of event e carries tid e*3 — same account-hash formula
+    # as any other tid, so spot-check the derivation agrees with a
+    # straight recomputation
+    row = amp[amp["_tid"] == int(base["_tid"].iloc[5]) * 3].iloc[0]
+    mix = 2654435761
+    h = (int(row["_tid"]) * mix) % (100_000 * 7919)
+    assert row["from_account"] == f"a{h % 100_000}"
+
+
+def test_latency_pin_copies_bounded_at_tiny_sf():
+    """The copies estimate for a fixed-rate pin must scale as
+    needed/base — never degrade to `needed` itself when the base is at
+    or under the 1k-row warm reserve (the sf0.001 hang)."""
+    from t_spoon_spark.bench_txn import _pin_copies
+
+    for base in (1000, 999, 500, 1, 1300, 130_000):
+        needed = int(30000 * 5.0) * 4
+        copies = _pin_copies(base, 30000.0, 5.0, 3)
+        assert copies * base >= needed or base < 2  # always enough stream
+        assert copies <= 4 * (needed // base + 1)  # never the explosion
+    # the regression pinpointed: base_total exactly 1000
+    assert _pin_copies(1000, 30000.0, 5.0, 3) <= 1200
