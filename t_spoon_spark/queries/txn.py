@@ -186,6 +186,75 @@ def txn_bank_votes_pl3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_cascade_replay_chain",
+    """
+    WITH RECURSIVE txn AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS step,
+             event_id AS tid,
+             CAST(event_id % 4 AS INT) AS f,
+             CAST((event_id * 5 + 1) % 4 AS INT) AS tt,
+             CAST(FLOOR(value) AS INT) % 120 + 80 AS amt
+      FROM events WHERE event_id < 80
+    ),
+    replay AS (
+      SELECT CAST(0 AS BIGINT) AS step,
+             CAST(NULL AS BIGINT) AS tid,
+             CAST(NULL AS VARCHAR) AS vote,
+             [100.0 FOR i IN range(4)] AS bal
+      UNION ALL
+      SELECT t.step, t.tid,
+             CASE WHEN r.bal[t.f+1] - t.amt >= 0 AND r.bal[t.tt+1] + t.amt >= 0
+                  THEN 'COMMIT' ELSE 'ABORT' END,
+             CASE WHEN r.bal[t.f+1] - t.amt >= 0 AND r.bal[t.tt+1] + t.amt >= 0
+                  THEN [CASE WHEN i = t.f THEN r.bal[i+1] - t.amt
+                             WHEN i = t.tt THEN r.bal[i+1] + t.amt
+                             ELSE r.bal[i+1] END FOR i IN range(4)]
+                  ELSE r.bal END
+      FROM replay r JOIN txn t ON t.step = r.step + 1
+    )
+    SELECT tid, vote FROM replay WHERE step > 0 ORDER BY tid
+    """,
+)
+def txn_cascade_replay_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflating chained contamination (C9 dependency replay,
+    tgraph/state/StandardDependencyTrackingStrategy.java:10-17): 80
+    large transfers (amounts 80..199 vs the 100 default) over FOUR hot
+    keys, so aborted deposits routinely inflate a chain that a later
+    withdrawal spends from — the later txn's invariant fails on the
+    contaminated value but passes on the clean one and must REPLAY and
+    COMMIT, not stay aborted.  On this workload the round-7 engine's
+    monotone-abort rule diverged from serial tid-order replay on 21 of
+    80 votes; the oracle is the same recursive-CTE serial replay as
+    txn_bank_votes_pl3 over a 4-key balance vector."""
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace(
+        "balances", "double", 100.0, "value >= 0", py_invariant=lambda v: v >= 0
+    )
+    runner = env.runner(_bank_graph_txn(env))
+    ev = t(spark, sf_dir, "events")
+    transfers = ev.filter(F.col("event_id") < 80).select(
+        F.col("event_id").alias("_tid"),
+        F.concat(F.lit("h"), (F.col("event_id") % 4).cast("string")).alias("from_account"),
+        F.concat(F.lit("h"), ((F.col("event_id") * 5 + 1) % 4).cast("string")).alias(
+            "to_account"
+        ),
+        (F.floor(F.col("value")).cast("int") % 120 + 80).cast("double").alias("amount"),
+    )
+    epochs = runner.run_to_completion(transfers, max_epochs=128)
+    from t_spoon_spark.tx.vote import vote_name
+
+    all_votes = epochs[0].votes
+    for ep in epochs[1:]:
+        all_votes = all_votes.unionByName(ep.votes)
+    return (
+        all_votes.groupBy("_tid")
+        .agg(F.min("vote").alias("vote"))
+        .select(F.col("_tid").alias("tid"), vote_name(F.col("vote")).alias("vote"))
+        .orderBy("tid")
+    )
+
+
+@register(
     "txn_window_merge",
     f"""
     WITH t AS (

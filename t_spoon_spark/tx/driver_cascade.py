@@ -1025,8 +1025,16 @@ class DriverCascade:
     # -- refold ---------------------------------------------------------
 
     def _refold_key(self, st: _StageState, key: str, excluded: set) -> list:
+        """Refold one key's chain under the given exclusion set.
+
+        EVERY chain link is re-evaluated — excluded txns evaluate
+        against the clean chain but do not apply their write (reference
+        C9 dependency replay, tgraph/twopc/OpenOperator.java:287-357: a
+        txn whose invariant failed only on a contaminated value must be
+        re-executed on committed state, not pinned aborted).  A link
+        that now passes lets the txn's global vote flip back to COMMIT
+        and leave the excluded set next round."""
         ctx, comp = st.ctx, st.comp
-        kept = [(tid, rec) for tid, rec in st.chains[key] if tid not in excluded]
         default = ctx.ns.default
         raw_v0 = st.v0.get(key, default)
         out: list = []
@@ -1034,41 +1042,44 @@ class DriverCascade:
             # mirrors the SQL aggregate() fold in _state_chain_expr:
             # acc starts at CAST(coalesce(v0, default) AS vt); candidate
             # cast to vt; invariant sees the cast candidate; committed
-            # links advance the chain, aborted ones record acc; _ord is
-            # the chain POSITION (matching the fold's posexplode)
+            # non-excluded links advance the chain; _ord is the chain
+            # POSITION (matching the fold's posexplode)
             acc = comp.cast(
                 _nan_none(raw_v0) if _nan_none(raw_v0) is not None else default
             )
-            for pos, (tid, rec) in enumerate(kept):
+            for pos, (tid, rec) in enumerate(st.chains[key]):
                 cand = comp.cast(comp.update(acc, rec))
                 ok = comp.invariant(cand, rec) if comp.invariant else True
                 ok = ok is True
+                ex = tid in excluded
                 val = cand if ok else acc
-                out.append((tid, COMMIT if ok else ABORT, val, pos, ok))
-                if ok:
+                out.append((tid, COMMIT if ok else ABORT, val, pos, ok and not ex))
+                if ok and not ex:
                     acc = cand
         else:
             # mirrors _state_chain_pandas.fold: UNCAST chain value, value
             # recorded = candidate even when aborted (writes filter __wr)
             acc = _nan_none(raw_v0) if _nan_none(raw_v0) is not None else default
-            for pos, (tid, rec) in enumerate(kept):
+            for pos, (tid, rec) in enumerate(st.chains[key]):
                 cand = comp.update(acc, rec)
                 ok = comp.invariant(cand, rec) if comp.invariant else True
-                out.append((tid, COMMIT if ok else ABORT, cand, pos, bool(ok)))
-                if ok:
+                ex = tid in excluded
+                out.append((tid, COMMIT if ok else ABORT, cand, pos, bool(ok) and not ex))
+                if ok and not ex:
                     acc = cand
         return out
 
     # -- vote merge (vectorized) ----------------------------------------
 
-    def _merge_votes(self, all_tids: pd.Series, excluded: set) -> pd.DataFrame:
+    def _merge_votes(self, all_tids: pd.Series) -> pd.DataFrame:
         parts: list[pd.DataFrame] = []
         for st in self.states:
             if st.ctx.kind == "epoch_combine":
-                # every kept op row votes COMMIT
+                # every op row votes COMMIT (no invariant can fail here;
+                # an excluded txn's combine link would also pass, so its
+                # global vote is decided entirely by the chain stages)
                 t = st.ops_pdf["_tid"]
-                kept = t[~t.isin(excluded)] if excluded else t
-                parts.append(pd.DataFrame({"_tid": kept, "vote": COMMIT}))
+                parts.append(pd.DataFrame({"_tid": t, "vote": COMMIT}))
                 continue
             ep = st.eval_pdf
             if st.overrides:
@@ -1091,10 +1102,6 @@ class DriverCascade:
         gv = pd.DataFrame({"_tid": all_tids}).merge(merged, on="_tid", how="left")
         gv["vote"] = gv["vote"].fillna(COMMIT).astype("int32")
         gv["any_commit"] = gv["any_commit"].fillna(0).astype("int32")
-        if excluded:
-            ex = gv["_tid"].isin(excluded)
-            gv.loc[ex, "vote"] = ABORT
-            gv.loc[ex, "any_commit"] = 0
         return gv
 
     def _update_ov_links(self, st: _StageState, touched: set) -> None:
@@ -1117,18 +1124,19 @@ class DriverCascade:
             st.ov_links = new
 
     def _merge_votes_delta(
-        self, gv: pd.DataFrame, tid_index: pd.Index, affected: set, excluded: set
+        self, gv: pd.DataFrame, tid_index: pd.Index, affected: set
     ) -> pd.DataFrame:
         """Per-round vote merge over ONLY the affected tids.
 
         A cascade round changes the links of exactly the keys it
         refolded, so only tids with a link on those keys (the touched
-        keys' chain members) plus the newly excluded tids can change
-        their global vote — the full concat+groupby over every stage's
-        link frame (measured ~0.16 s/round at the 144k-txn operating
-        point) re-derived votes that could not have moved.  Same
-        MAX-lattice + any-commit semantics as `_merge_votes`, updated
-        in place on the gv frame (rows stay in all_tids order)."""
+        keys' chain members) plus the tids whose exclusion status
+        changed can change their global vote — the full concat+groupby
+        over every stage's link frame (measured ~0.16 s/round at the
+        144k-txn operating point) re-derived votes that could not have
+        moved.  Same MAX-lattice + any-commit semantics as
+        `_merge_votes`, updated in place on the gv frame (rows stay in
+        all_tids order)."""
         A = pd.Index(sorted(affected))
         parts: list[pd.DataFrame] = []
         for st in self.states:
@@ -1154,9 +1162,6 @@ class DriverCascade:
         miss = m["vote"].isna().to_numpy()
         vote = _np.where(miss, COMMIT, m["vote"].to_numpy()).astype("int32")
         anyc = _np.where(miss, 0, m["any_commit"].to_numpy()).astype("int32")
-        ex = A.isin(list(excluded))
-        vote[ex] = ABORT
-        anyc[ex] = 0
         pos = tid_index.get_indexer(A)
         gvv = gv["vote"].to_numpy(copy=True)
         gva = gv["any_commit"].to_numpy(copy=True)
@@ -1173,7 +1178,8 @@ class DriverCascade:
         from the pulled evaluation links, the abort-cascade fixpoint
         (PL3/PL4), and the writes/finals assembly — all pandas.  The
         fixpoint's control flow is identical to the distributed loop in
-        runner._close (same exits, same monotone override).
+        runner._close (same exits, same evaluate-without-apply replay
+        of excluded txns).
 
         ``tids`` is either a pandas Series (the source's driver twin —
         free) or a Spark DataFrame of ``_tid`` — then the fused one-job
@@ -1189,40 +1195,56 @@ class DriverCascade:
                 self._pull_eval(store)
                 tids_pdf = tids.toPandas()["_tid"]
         all_tids = pd.Series(tids_pdf, dtype="int64").reset_index(drop=True)
-        gv = self._merge_votes(all_tids, set())
+        gv = self._merge_votes(all_tids)
         tid_index = pd.Index(all_tids)
         excluded: set = set()
-        n_excluded = 0
         rounds = 0  # refold rounds actually executed
         guard = 0
+        # Fixpoint: E' = {txns with a failing link when chains apply
+        # the writes of exactly the non-E txns}.  Influence flows
+        # strictly forward in tid order (a link only reads upstream
+        # writes), so the iteration converges to the unique
+        # serial-replay answer (reference C9/C10 semantics: contaminated
+        # invariant failures REPLAY onto the clean chain; only
+        # clean-chain failures stay aborted).  Termination: the verdict
+        # of the k-th smallest tid is stable from round k, so rounds are
+        # bounded by the longest dependency chain in the epoch.
         while run_cascade:
             ab = gv["vote"] == ABORT
-            n_aborted = int(ab.sum())
-            if n_aborted == n_excluded:
+            ab_set = set(int(t) for t in gv.loc[ab, "_tid"])
+            if ab_set == excluded:
                 break
             guard += 1
             if guard > 100_000:  # pragma: no cover - same bug trap as Spark loop
                 raise RuntimeError("driver cascade failed to converge")
-            contaminated = bool((ab & (gv["any_commit"] == 1)).any())
-            if not has_ec and not contaminated:
-                break
+            new_ab = ab_set - excluded
+            replays = excluded - ab_set
+            if not has_ec and not replays:
+                # early exit: if no NEWLY aborted txn applied a single
+                # link write, excluding it changes no chain — the votes
+                # are already the fixpoint.  (Replayed txns always force
+                # a refold: their writes must re-enter the chains.)
+                new_mask = ab & gv["_tid"].isin(new_ab)
+                if not bool((gv.loc[new_mask, "any_commit"] == 1).any()):
+                    break
             self._pull_refold(store)
             rounds += 1
-            new_excluded = set(int(t) for t in gv.loc[ab, "_tid"]) - excluded
-            excluded = excluded | new_excluded
-            n_excluded = n_aborted
-            # only tids with a link on a refolded key (or newly excluded)
-            # can change their global vote this round
-            affected: set = set(new_excluded)
+            changed = new_ab | replays
+            excluded = ab_set
+            # only tids with a link on a refolded key (or with changed
+            # exclusion status) can change their global vote this round
+            affected: set = set(changed)
             for st in self.states:
                 if st.ctx.kind == "epoch_combine":
-                    continue  # links derived from ops minus excluded
-                # refold ONLY keys touched by NEWLY excluded txns: keys
-                # refolded in earlier rounds already exclude the older
-                # tids, and untouched keys' original evaluation stands —
-                # the same key-locality as the distributed rerun()
+                    continue  # every combine link votes COMMIT regardless
+                # refold ONLY keys touched by txns whose exclusion
+                # status changed: a key none of whose chain members
+                # changed status folds identically, so its previous
+                # evaluation (original or an earlier round's override)
+                # stands — the same key-locality as the distributed
+                # rerun()
                 p = st.ops_pdf
-                touched = p.loc[p["_tid"].isin(new_excluded), "__key"].unique()
+                touched = p.loc[p["_tid"].isin(changed), "__key"].unique()
                 self._ensure_chains(st, touched)
                 tset: set = set()
                 for key in touched:
@@ -1231,7 +1253,7 @@ class DriverCascade:
                     for tid, _rec in st.chains[key]:
                         affected.add(tid)
                 self._update_ov_links(st, tset)
-            gv = self._merge_votes_delta(gv, tid_index, affected, excluded)
+            gv = self._merge_votes_delta(gv, tid_index, affected)
 
         gv_out = pd.DataFrame(
             {

@@ -419,9 +419,18 @@ class GraphRunner:
         )
 
         def rerun(excluded: DataFrame, full: bool = False) -> tuple[DataFrame, DataFrame]:
-            kept = ops.join(excluded, "_tid", "left_anti")
+            # mark (don't drop) the excluded txns' ops: the refold
+            # evaluates them against the clean chain without applying
+            # their writes, so a contaminated abort can flip back to
+            # COMMIT and leave the excluded set (C9 dependency replay)
+            exf = excluded.select("_tid").withColumn("__exf", F.lit(1))
+            marked = (
+                ops.join(exf, "_tid", "left")
+                .withColumn("__ex", F.coalesce(F.col("__exf"), F.lit(0)))
+                .drop("__exf")
+            )
             if evaluated is None or full:
-                v, w, _ = impl(kept, stage, ns, snapshot, stage_idx)
+                v, w, _ = impl(marked, stage, ns, snapshot, stage_idx)
                 return v, w
             # A cascade pass refolds ONLY the keys some excluded txn
             # touched — every other key's chain contains no excluded
@@ -435,8 +444,8 @@ class GraphRunner:
             affected = (
                 ops.join(excluded, "_tid", "left_semi").select("__key").distinct()
             )
-            kept_aff = kept.join(F.broadcast(affected), "__key", "left_semi")
-            nv, nw, _ = impl(kept_aff, stage, ns, snapshot, stage_idx)
+            marked_aff = marked.join(F.broadcast(affected), "__key", "left_semi")
+            nv, nw, _ = impl(marked_aff, stage, ns, snapshot, stage_idx)
             keep_eval = evaluated.join(
                 F.broadcast(affected.select(F.col("__key").alias("key"))),
                 "key",
@@ -512,10 +521,18 @@ class GraphRunner:
         transaction.
         """
         vt = ns.value_type
+        # cascade refolds mark rows of currently-excluded txns with
+        # __ex=1: those links are EVALUATED against the clean chain
+        # (their vote can flip back to COMMIT — reference C9 dependency
+        # replay) but never advance it and never write
+        has_ex = "__ex" in ops.columns
+        ex_cols = [F.col("__ex")] if has_ex else []
         if stage.pre_combine:
             aggs = [
                 F.expr(f"{how}({col})").alias(col) for col, how in stage.pre_combine.items()
             ]
+            if has_ex:
+                aggs.append(F.max("__ex").alias("__ex"))
             # one shuffle, not two: hash-partitioning on __key satisfies
             # the (tid, key) clustering of the pre-combine AND the key
             # clustering of the chain groupBy, so both aggregates run
@@ -526,11 +543,17 @@ class GraphRunner:
             ops = ops.repartition(F.col("__key"))
             ops = ops.groupBy("_tid", "__key").agg(*aggs)
             value_cols = list(stage.pre_combine)
-            elem = F.struct(F.col("_tid"), *[F.col(c) for c in value_cols])
+            # __ex LAST in the struct: sort_array order is decided by
+            # the (tid[, path], values) prefix exactly as before
+            elem = F.struct(F.col("_tid"), *[F.col(c) for c in value_cols], *ex_cols)
         else:
-            value_cols = [c for c in ops.columns if c not in (*G.META_COLS, "__key")]
+            value_cols = [
+                c for c in ops.columns if c not in (*G.META_COLS, "__key", "__ex")
+            ]
             # _path after _tid: intra-transaction ops apply in lineage order
-            elem = F.struct(F.col("_tid"), F.col("_path"), *[F.col(c) for c in value_cols])
+            elem = F.struct(
+                F.col("_tid"), F.col("_path"), *[F.col(c) for c in value_cols], *ex_cols
+            )
 
         sql_key = (id(stage), tuple(value_cols))
         cand = self._chain_sql_cache.get(sql_key)
@@ -550,17 +573,22 @@ class GraphRunner:
         joined = grouped.join(snap, "__key", "left").withColumn(
             "__v0f", F.coalesce(F.col("__v0"), F.lit(ns.default).cast(vt))
         )
+        # applied = the link passed AND its txn is not excluded; only
+        # applied links advance the chain or write, but every link's
+        # vote is recorded (excluded txns re-evaluate on the clean chain)
+        applied = f"(({ok}) AND x.__ex = 0)" if has_ex else ok
         fold = f"""aggregate(
             __ops,
             named_struct(
               'value', CAST(__v0f AS {vt}),
-              'votes', CAST(array() AS array<struct<tid: bigint, vote: int, value: {vt}>>)),
+              'votes', CAST(array() AS array<struct<tid: bigint, vote: int, value: {vt}, wr: boolean>>)),
             (acc, x) -> named_struct(
-              'value', CASE WHEN {ok} THEN CAST({cand} AS {vt}) ELSE acc.value END,
+              'value', CASE WHEN {applied} THEN CAST({cand} AS {vt}) ELSE acc.value END,
               'votes', array_append(acc.votes, named_struct(
                 'tid', x._tid,
                 'vote', CASE WHEN {ok} THEN {COMMIT} ELSE {ABORT} END,
-                'value', CASE WHEN {ok} THEN CAST({cand} AS {vt}) ELSE acc.value END))))"""
+                'value', CASE WHEN {ok} THEN CAST({cand} AS {vt}) ELSE acc.value END,
+                'wr', CASE WHEN {applied} THEN true ELSE false END))))"""
         evaluated = (
             joined.select(
                 "__key", F.posexplode(F.expr(fold).getField("votes")).alias("__pos", "__v")
@@ -576,10 +604,10 @@ class GraphRunner:
                 # close's last-writer resolution — the position makes
                 # "last chain link wins" exact and deterministic.
                 F.col("__pos").cast("long").alias("_ord"),
-                # only chain-committed links are writes; the close's
-                # commit filter (global vote) prunes cross-namespace
-                # aborts on top.
-                (F.col("__v.vote") == COMMIT).alias("__wr"),
+                # only APPLIED links are writes (chain-committed and
+                # not excluded); the close's commit filter (global
+                # vote) prunes cross-namespace aborts on top.
+                F.col("__v.wr").alias("__wr"),
             )
         )
         # several epoch actions consume this frame (vote merge, writes,
@@ -607,7 +635,11 @@ class GraphRunner:
         the epoch's atomic commit. The high-throughput path for
         counter/sum state at 100 TB scale."""
         aggs = [F.expr(f"{how}({col})").alias(col) for col, how in stage.pre_combine.items()]
-        combined = ops.groupBy("__key").agg(*aggs)
+        # cascade refolds mark excluded txns' rows: they contribute
+        # nothing to the combine but still vote COMMIT (no invariant can
+        # fail here), so their global verdict rests on the chain stages
+        contrib = ops.filter(F.col("__ex") == 0) if "__ex" in ops.columns else ops
+        combined = contrib.groupBy("__key").agg(*aggs)
         snap = snapshot.select(F.col("key").alias("__key"), F.col("value").alias("__v0"))
         joined = combined.join(snap, "__key", "left")
         v0 = F.coalesce(F.col("__v0"), F.lit(ns.default).cast(ns.value_type))
@@ -649,8 +681,9 @@ class GraphRunner:
             )
         invariant = ns.py_invariant
         default = ns.default
+        has_ex = "__ex" in ops.columns
         value_cols = [
-            c for c in ops.columns if c not in (*G.META_COLS, "__key")
+            c for c in ops.columns if c not in (*G.META_COLS, "__key", "__ex")
         ]
 
         snap = snapshot.select(F.col("key").alias("__key"), F.col("value").alias("__v0"))
@@ -673,15 +706,19 @@ class GraphRunner:
             for pos, (_, r) in enumerate(pdf.iterrows()):
                 rec = {c: r[c] for c in value_cols}
                 tid = int(r["_tid"])
+                # cascade refold: excluded txns evaluate on the clean
+                # chain (vote can flip back — C9 replay) but never
+                # advance it and never write
+                ex = bool(r["__ex"]) if has_ex else False
                 # PL3/PL4: serial tid-order chain with committed-only
                 # visibility; PL0/PL1: dirty chain; PL2: committed-at-open
                 base = chain_v if isolation in ("PL0", "PL1", "PL3", "PL4") else v0
                 cand = update(base, rec)
                 ok = invariant(cand) if invariant else True
-                rows.append((key, tid, cand, COMMIT if ok else ABORT, pos, ok))
+                rows.append((key, tid, cand, COMMIT if ok else ABORT, pos, ok and not ex))
                 if isolation in ("PL0", "PL1"):
                     chain_v = cand  # dirty: visible to the next op regardless of outcome
-                elif isolation in ("PL3", "PL4") and ok:
+                elif isolation in ("PL3", "PL4") and ok and not ex:
                     chain_v = cand  # committed-only chain
             return pd.DataFrame(
                 rows, columns=["key", "_tid", "value", "vote", "_ord", "_exec"]
@@ -917,16 +954,23 @@ class GraphRunner:
 
         # Forward abort cascade (the epoch-model analogue of the
         # reference's dependency tracking + StrictnessEnforcer replay,
-        # tgraph/state/PL4DependencyTrackingStrategy.java:23-44): a
-        # transaction can chain-commit on one key yet abort globally —
-        # another of its keys, or another namespace, failed its
-        # invariant. Later chain links on the committed keys were then
-        # computed over a value that never commits. Re-run the state
-        # stages with aborted tids excluded until the abort set is
-        # stable. Aborts are monotone (once aborted, stays aborted —
-        # cascading aborts, as in the reference's forward-dependency
-        # replay), so this terminates; the round cap bounds pathological
-        # cascade depth. Cost: zero extra passes when nothing aborts.
+        # tgraph/state/PL4DependencyTrackingStrategy.java:23-44 +
+        # StandardDependencyTrackingStrategy.java:10-17): a transaction
+        # can chain-commit on one key yet abort globally — another of
+        # its keys, or another namespace, failed its invariant. Later
+        # chain links on the committed keys were then computed over a
+        # value that never commits. Re-run the state stages with the
+        # aborted tids excluded until the abort SET is stable.  Each
+        # refold EVALUATES excluded txns too (without applying their
+        # writes), so a txn whose invariant failed only on a
+        # contaminated chain flips back to COMMIT and re-enters — the
+        # reference's C9 dependency REPLAY.  The fixpoint E = {txns
+        # failing when chains apply exactly the non-E writes} is the
+        # unique serial-replay answer: influence flows strictly forward
+        # in tid order, so the k-th smallest tid's verdict is stable
+        # from round k and the loop terminates in at most
+        # longest-dependency-chain rounds. Cost: zero extra passes when
+        # nothing aborts.
         driver_res = None
         if n_state > 0 and env.isolation in ("PL3", "PL4"):
             # epoch_combine folds every txn unconditionally, so its sums
@@ -935,57 +979,70 @@ class GraphRunner:
             has_ec = any(
                 isinstance(s, G.StateStage) and s.epoch_combine for s in self.graph.stages
             )
-            n_excluded = 0
+            prev_set: set = set()
+            prev_df: DataFrame | None = None
             rounds = 0
             while True:
                 # gvotes is materialized, so these are cheap local
                 # scans; the excluded set stays rooted at the local vote
-                # frame (broadcast anti-join in rerun) — no driver
-                # collect of tids, no extra materialize job. In pandas
-                # mode the counts come off the driver-side twin with no
-                # Spark job at all.
+                # frame (broadcast join in rerun) — no driver collect of
+                # tids, no extra materialize job. In pandas mode the
+                # set diffs come off the driver-side twin with no Spark
+                # job at all.
                 gpdf = getattr(gvotes, "_tspoon_pdf", None)
                 aborted = gvotes.filter(F.col("vote") == ABORT).select("_tid")
-                n_aborted = (
-                    int((gpdf["vote"] == ABORT).sum()) if gpdf is not None else aborted.count()
-                )
-                if n_aborted == n_excluded:
-                    break
-                # Fixpoint, not a fixed cap: aborts are monotone (enforced
-                # below) and bounded by the epoch's txn count, so each pass
-                # strictly grows the set and the loop terminates. A silent
-                # cap would commit chain values embedding writes of
-                # globally-aborted txns (atomicity violation); the guard
-                # only trips on a monotonicity bug.
+                if gpdf is not None:
+                    ab_set = set(int(t) for t in gpdf.loc[gpdf["vote"] == ABORT, "_tid"])
+                    n_aborted = len(ab_set)
+                    if ab_set == prev_set:
+                        break
+                    has_replays = bool(prev_set - ab_set)
+                    if not has_ec and not has_replays:
+                        # early exit: no NEWLY aborted txn applied a
+                        # single link write, so excluding it changes no
+                        # chain — the votes are already the fixpoint.
+                        # (Replays always force a refold: their writes
+                        # must re-enter the chains.)
+                        new_ab = ab_set - prev_set
+                        nmask = (gpdf["vote"] == ABORT) & gpdf["_tid"].isin(new_ab)
+                        if not bool((gpdf.loc[nmask, "any_commit"] == 1).any()):
+                            break
+                else:
+                    n_aborted = aborted.count()
+                    if prev_df is None:
+                        n_new = n_aborted
+                        has_replays = False
+                    else:
+                        n_new = aborted.join(prev_df, "_tid", "left_anti").count()
+                        has_replays = (
+                            prev_df.join(aborted, "_tid", "left_anti").limit(1).count() > 0
+                        )
+                    if n_new == 0 and not has_replays:
+                        break
+                    if not has_ec and not has_replays:
+                        new_contam = gvotes.filter(
+                            (F.col("vote") == ABORT) & (F.col("any_commit") == 1)
+                        ).select("_tid")
+                        if prev_df is not None:
+                            new_contam = new_contam.join(prev_df, "_tid", "left_anti")
+                        if new_contam.limit(1).count() == 0:
+                            break
+                # Fixpoint, not a fixed cap: per the tid-order argument
+                # above the round count is bounded by the epoch's
+                # longest dependency chain. A silent cap would commit
+                # chain values embedding writes of globally-aborted txns
+                # (atomicity violation); the guard only trips on a
+                # convergence bug.
                 rounds += 1
                 if rounds > 100_000:  # pragma: no cover - bug trap
                     raise RuntimeError(
                         "abort cascade failed to converge: aborted set still "
-                        f"growing after {rounds} rounds ({n_aborted} aborted)"
+                        f"changing after {rounds} rounds ({n_aborted} aborted)"
                     )
-                # If no aborted txn chain-committed a single link, no
-                # later value embeds an aborted write — the close's
-                # commit filter alone is sufficient; skip the refold.
-                # any_commit rides the materialized vote frame (per-key
-                # granularity, computed inside each state fold), so this
-                # is a local scan, not a re-drive of the writes plans.
-                # Previously-excluded tids re-enter with any_commit = 0
-                # (they are anti-joined out of the refold, and the
-                # monotone override below pins their flag), so a stable
-                # abort set always reaches the n_aborted == n_excluded
-                # exit instead of refolding forever.
-                contaminated = (
-                    bool(((gpdf["vote"] == ABORT) & (gpdf["any_commit"] == 1)).any())
-                    if gpdf is not None
-                    else gvotes.filter(
-                        (F.col("vote") == ABORT) & (F.col("any_commit") == 1)
-                    ).limit(1).count()
-                    > 0
-                )
-                if not has_ec and not contaminated:
-                    break
                 excluded = aborted
-                n_excluded = n_aborted
+                if gpdf is not None:
+                    prev_set = ab_set
+                prev_df = aborted
                 # key-local refold pays off when aborted txns are a
                 # sliver of the epoch (hot-key contention); past ~5%
                 # the extra semi/anti joins cost more than the refold
@@ -995,18 +1052,7 @@ class GraphRunner:
                     n_txns is not None and n_aborted > FULL_REFOLD_FRAC * n_txns
                 )
                 votes_parts, writes_parts = exec_states(excluded, full_refold)
-                gv = self._merge_votes(tids, votes_parts)
-                # monotone: every previously-aborted txn stays aborted
-                gv = gv.join(excluded.withColumn("__ex", F.lit(1)), "_tid", "left").select(
-                    "_tid",
-                    F.when(F.col("__ex").isNotNull(), F.lit(ABORT))
-                    .otherwise(F.col("vote"))
-                    .alias("vote"),
-                    F.when(F.col("__ex").isNotNull(), F.lit(0))
-                    .otherwise(F.col("any_commit"))
-                    .alias("any_commit"),
-                )
-                gvotes = materialize(gv)
+                gvotes = materialize(self._merge_votes(tids, votes_parts))
                 if _DEBUG:
                     t0 = _dbg(
                         f"cascade_round {rounds} aborted={n_aborted} "

@@ -74,38 +74,40 @@ def _simulate(seed: int, with_ec: bool):
 
     all_tids = pd.Series(tids, dtype="int64")
     tid_index = pd.Index(all_tids)
-    gv = dc._merge_votes(all_tids, set())
+    gv = dc._merge_votes(all_tids)
     excluded: set = set()
     for _round in range(rng.randint(1, 4)):
-        # exclude a random slice of currently-aborting (or any) tids —
-        # the delta contract only assumes excluded grows monotonically
-        new_excluded = set(rng.sample(tids, rng.randint(1, 5))) - excluded
-        if not new_excluded:
+        # flip the exclusion status of a random slice of tids — since
+        # the C9-replay fix the excluded set can both grow (new aborts)
+        # and shrink (replays), and the delta contract must hold for any
+        # status-change pattern
+        changed = set(rng.sample(tids, rng.randint(1, 5)))
+        if not changed:
             continue
-        excluded |= new_excluded
-        affected = set(new_excluded)
+        excluded = excluded ^ changed
+        affected = set(changed)
         for st in dc.states:
             if st.ctx.kind == "epoch_combine":
                 continue
             ep = st.eval_pdf
-            touched = ep.loc[ep["_tid"].isin(new_excluded), "key"].unique()
+            touched = ep.loc[ep["_tid"].isin(changed), "key"].unique()
             tset = set()
             for key in touched:
-                # refold: drop excluded tids' links, re-vote the rest
-                # deterministically from the seed (any votes are legal —
-                # the merge must be exact for ALL link contents)
+                # refold: EVERY chain member re-votes (excluded links
+                # evaluate without applying — their wr is False); any
+                # votes are legal — the merge must be exact for ALL
+                # link contents
                 st.overrides[key] = [
-                    (tid, rng.choice([COMMIT, ABORT]), 1.0, pos, True)
-                    for pos, (tid, _rec) in enumerate(
-                        (t, r) for t, r in st.chains[key] if t not in excluded
-                    )
+                    (tid, rng.choice([COMMIT, ABORT]), 1.0, pos,
+                     tid not in excluded and rng.random() < 0.8)
+                    for pos, (tid, _rec) in enumerate(st.chains[key])
                 ]
                 tset.add(key)
                 for tid, _rec in st.chains[key]:
                     affected.add(tid)
             dc._update_ov_links(st, tset)
-        gv = dc._merge_votes_delta(gv, tid_index, affected, excluded)
-        full = dc._merge_votes(all_tids, excluded)
+        gv = dc._merge_votes_delta(gv, tid_index, affected)
+        full = dc._merge_votes(all_tids)
         pd.testing.assert_frame_equal(
             gv[["_tid", "vote", "any_commit"]].reset_index(drop=True),
             full[["_tid", "vote", "any_commit"]].reset_index(drop=True),
