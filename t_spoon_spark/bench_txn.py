@@ -165,8 +165,11 @@ def _probe(env_factory, transfers, total: int, rate: float,
     warm = min(1000, max(1, total // 10))
     if per_epoch < 1 or per_epoch * n_epochs + warm > total:
         return None
-    for _attempt in range(2):  # one retry: a single GC/scheduler stall
-        # must not report an otherwise-sustainable rate as the max
+    for _attempt in range(2):  # 2-of-2: a rate sustains only when BOTH
+        # independent runs drain inside the budget — the reference's
+        # rate-targeting loop holds the rate for the full deadline
+        # (launch_scripts/run.py:17-19), so a pass-after-stall retry
+        # would lean the headline on the generous side of the drift band
         runner = env_factory()
         # untimed warm epoch: first-epoch costs (codegen, plan
         # compilation, initial store spill) are startup, not rate — the
@@ -191,9 +194,9 @@ def _probe(env_factory, transfers, total: int, rate: float,
                     "budget_sec": round(n_epochs * epoch_seconds, 2),
                 }
             )
-        if drained:
-            return True
-    return False
+        if not drained:
+            return False
+    return True
 
 
 def sustainable_tps(

@@ -790,8 +790,18 @@ class DriverCascade:
             col = ctx.value_cols[0]
             if ctx.ops.schema[col].dataType.simpleString() != vt:
                 return None
+            if (
+                "__rec" not in ctx.evaluated.columns
+                or ctx.evaluated.schema["__rec"].dataType.simpleString() != vt
+            ):
+                # the fold's dual output (the pre-combined record riding
+                # the link struct) is what lets ONE slice execution feed
+                # both the evaluation and the refoldable ops; a widened
+                # pre-combine type (sum(int) -> bigint) can't share the
+                # union's value column — per-frame pulls handle it
+                return None
 
-        def row(part, stage, tid, key, value, vote, ordv, wr):
+        def row(part, stage, tid, key, value, vote, ordv, wr, rec):
             return [
                 F.lit(part).alias("part"),
                 F.lit(stage).alias("stage"),
@@ -801,6 +811,7 @@ class DriverCascade:
                 vote.alias("vote"),
                 ordv.cast("long").alias("_ord"),
                 wr.alias("wr"),
+                rec.cast(vt).alias("rec"),
             ]
 
         # value sentinel is a TYPED ZERO, not NULL: one null in an
@@ -810,48 +821,38 @@ class DriverCascade:
         u = tids_df.select(
             *row(
                 0, -1, F.col("_tid"), F.lit(""), F.lit(0), F.lit(-1),
-                F.lit(-1), F.lit(False),
+                F.lit(-1), F.lit(False), F.lit(0),
             )
         )
         for i, st in enumerate(self.states):
             ev = st.ctx.evaluated.select(
                 *row(
                     1, i, F.col("_tid"), F.col("key"), F.col("value"),
-                    F.col("vote"), F.col("_ord"), F.col("__wr"),
+                    F.col("vote"), F.col("_ord"), F.col("__wr"), F.col("__rec"),
                 )
             )
-            col = st.ctx.value_cols[0]
-            op = st.ctx.ops.select(
-                *row(
-                    2, i, F.col("_tid"), F.col("__key"), F.col(col),
-                    F.lit(-1), F.lit(-1), F.lit(False),
-                )
-            )
-            u = u.unionByName(ev).unionByName(op)
+            u = u.unionByName(ev)
         pdf = _pull_pdf(u, key_cols=("key",))
 
         tids_pdf = pdf.loc[pdf["part"] == 0, "_tid"].reset_index(drop=True)
         for i, st in enumerate(self.states):
-            stage_rows = pdf[pdf["stage"] == i]
+            stage_rows = pdf[(pdf["stage"] == i) & (pdf["part"] == 1)]
             st.eval_pdf = (
-                stage_rows[stage_rows["part"] == 1][
-                    ["key", "_tid", "value", "vote", "_ord", "wr"]
-                ]
+                stage_rows[["key", "_tid", "value", "vote", "_ord", "wr"]]
                 .rename(columns={"wr": "__wr"})
                 .reset_index(drop=True)
             )
             self._sanitize_eval_values(st)
+            # the refoldable ops are a PROJECTION of the same link rows:
+            # one link per (tid, key) after the pre-combine, with the
+            # pre-combined record value in 'rec' — no second execution
+            # of the epoch slice, no driver-side re-combine
             ops = (
-                stage_rows[stage_rows["part"] == 2][["_tid", "key", "value"]]
-                .rename(columns={"key": "__key", "value": st.ctx.value_cols[0]})
+                stage_rows[["_tid", "key", "rec"]]
+                .rename(columns={"key": "__key", "rec": st.ctx.value_cols[0]})
                 .reset_index(drop=True)
             )
             self._check_ops_nan(st, ops, [st.ctx.value_cols[0]])
-            pre = st.ctx.stage.pre_combine
-            if pre:
-                gb = ops.groupby(["_tid", "__key"], sort=False, observed=True)
-                agg = {c: _pd_agg(gb, c, h) for c, h in pre.items()}
-                ops = pd.DataFrame(agg).reset_index()
             st.ops_pdf = ops
         self._pulled_eval = True
         self._pulled_ops = True

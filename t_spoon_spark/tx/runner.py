@@ -577,18 +577,29 @@ class GraphRunner:
         # applied links advance the chain or write, but every link's
         # vote is recorded (excluded txns re-evaluate on the clean chain)
         applied = f"(({ok}) AND x.__ex = 0)" if has_ex else ok
+        # single-pass dual output: with a single-column pre-combine the
+        # link struct also carries the pre-combined RECORD value ('rec'),
+        # so the driver close's fused pull reads both the evaluation AND
+        # the refoldable ops from ONE execution of the epoch slice
+        # (previously the ops rode a second union branch that re-ran
+        # source + graph + the pre-combine shuffle).
+        has_rec = bool(stage.pre_combine) and len(value_cols) == 1
+        rec_dt = ops.schema[value_cols[0]].dataType.simpleString() if has_rec else None
+        rec_field = f",\n                'rec', x.{value_cols[0]}" if has_rec else ""
+        rec_type = f", rec: {rec_dt}" if has_rec else ""
         fold = f"""aggregate(
             __ops,
             named_struct(
               'value', CAST(__v0f AS {vt}),
-              'votes', CAST(array() AS array<struct<tid: bigint, vote: int, value: {vt}, wr: boolean>>)),
+              'votes', CAST(array() AS array<struct<tid: bigint, vote: int, value: {vt}, wr: boolean{rec_type}>>)),
             (acc, x) -> named_struct(
               'value', CASE WHEN {applied} THEN CAST({cand} AS {vt}) ELSE acc.value END,
               'votes', array_append(acc.votes, named_struct(
                 'tid', x._tid,
                 'vote', CASE WHEN {ok} THEN {COMMIT} ELSE {ABORT} END,
                 'value', CASE WHEN {ok} THEN CAST({cand} AS {vt}) ELSE acc.value END,
-                'wr', CASE WHEN {applied} THEN true ELSE false END))))"""
+                'wr', CASE WHEN {applied} THEN true ELSE false END{rec_field}))))"""
+        rec_cols = [F.col("__v.rec").alias("__rec")] if has_rec else []
         evaluated = (
             joined.select(
                 "__key", F.posexplode(F.expr(fold).getField("votes")).alias("__pos", "__v")
@@ -608,6 +619,7 @@ class GraphRunner:
                 # not excluded); the close's commit filter (global
                 # vote) prunes cross-namespace aborts on top.
                 F.col("__v.wr").alias("__wr"),
+                *rec_cols,
             )
         )
         # several epoch actions consume this frame (vote merge, writes,
