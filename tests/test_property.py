@@ -123,7 +123,10 @@ def test_random_mixed_spu_transfer_matches_simulator(spark, rows, spus):
         if spus
         else None
     )
-    batch = transfers_df(spark, rows) if rows else None
+    # an SPU-only epoch still needs a typed (empty) batch — the runner's
+    # contract (see txn_spu_final_balances) is batch-or-replays, and the
+    # graph derives its op schema from the batch frame
+    batch = transfers_df(spark, rows)
     res = runner.run_epoch(batch, spus=spu_df)
     got = {r["key"]: r["value"] for r in env.store.read("balances").collect()}
     want, _, want_spu = simulate_mixed(rows, spus)
@@ -131,6 +134,26 @@ def test_random_mixed_spu_transfer_matches_simulator(spark, rows, spus):
     if spu_df is not None:
         got_spu = {r["spu_id"]: r["vote"] for r in res.spu_results.collect()}
         assert got_spu == want_spu
+
+
+def test_spu_only_epoch(spark):
+    """Deterministic pin of the sweep-found edge: an epoch whose batch
+    is EMPTY (typed) but that carries SPU commands must apply them —
+    the engine contract is batch-or-replays, with SPU-only traffic
+    riding an empty typed frame (as txn_spu_final_balances does)."""
+    env = bank_env(spark)
+    ns = env.namespaces["balances"]
+    ns.commands["deposit"] = lambda cur, amt: cur + amt
+    ns.commands["withdrawal"] = lambda cur, amt: cur - amt
+    runner = env.runner(transfer_graph(env))
+    spu_df = spark.createDataFrame(
+        [("s000", "balances", "k0", "withdrawal", [1.0])],
+        "spu_id string, namespace string, key string, method string, args array<double>",
+    )
+    res = runner.run_epoch(transfers_df(spark, []), spus=spu_df)
+    got = {r["key"]: r["value"] for r in env.store.read("balances").collect()}
+    assert got == {"k0": 99.0}
+    assert [r["vote"] for r in res.spu_results.collect()] == ["COMMIT"]
 
 
 # --- two namespaces in series (cross-namespace abort propagation) ---------
