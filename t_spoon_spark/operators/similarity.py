@@ -120,13 +120,16 @@ def lsh_topk(
 def lsh_multiprobe_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Multi-probe LSH: each query probes its own bucket PLUS the
-    N_PLANES one-bit-flip neighbor buckets (the planes the vector sits
-    closest to are the likeliest sign flips), recovering most of the
-    recall a single-bucket probe loses for a bounded 9x candidate
-    fan-out.  Still a pure equi-join on the bucket key — the probe set
-    is exploded on the (broadcast) query side, so the corpus scan and
-    shuffle shape are identical to lsh_topk."""
+    """Multi-probe LSH: each query probes its own bucket PLUS every
+    one-bit and two-bit sign-flip neighbor (Lv et al. multi-probe —
+    the planes a vector sits closest to are the likeliest flips).
+    1 + 8 + 28 = 37 probe buckets: a bounded candidate fan-out
+    (~16% of the corpus on the synthetic embeddings, measured in the
+    recall report) that lifts recall@5 from 4% single-probe / 12%
+    one-bit to >=30%.  Still a pure equi-join on the bucket key — the
+    probe set is exploded on the (broadcast) query side, so the corpus
+    scan and shuffle shape are identical to lsh_topk; probe masks are
+    distinct, so no candidate dedup is needed."""
     corpus = spread(corpus)
     c = with_norm(
         corpus.select(F.col(id_col).alias("c_id"), int_embedding("embedding").alias("ei"))
@@ -142,6 +145,11 @@ def lsh_multiprobe_topk(
     probes = F.array(
         F.col("b0"),
         *[F.col("b0").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
+        *[
+            F.col("b0").bitwiseXOR(F.lit((1 << j) | (1 << k)))
+            for j in range(N_PLANES)
+            for k in range(j + 1, N_PLANES)
+        ],
     )
     q = q0.select("q_id", "qe", "qnorm", F.explode(probes).alias("bucket"))
     pairs = c.join(F.broadcast(q), "bucket").filter(F.col("c_id") != F.col("q_id"))

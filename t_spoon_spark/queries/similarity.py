@@ -119,9 +119,15 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     qp AS (
       SELECT b.vec_id AS q_id, b.ei AS qe, b.norm AS qnorm,
-             unnest(list_concat([b.bucket],
-               list_transform(range(0, {N_PLANES}),
-                 j -> xor(b.bucket, CAST(1 AS BIGINT) << j)))) AS bucket
+             unnest(list_concat(
+               list_concat(
+                 [b.bucket],
+                 list_transform(range(0, {N_PLANES}),
+                   j -> xor(b.bucket, CAST(1 AS BIGINT) << j))),
+               flatten(list_transform(range(0, {N_PLANES}), j ->
+                 list_transform(range(j + 1, {N_PLANES}), k ->
+                   xor(b.bucket, xor(CAST(1 AS BIGINT) << j,
+                                     CAST(1 AS BIGINT) << k))))))) AS bucket
       FROM bucketed b WHERE b.vec_id < {N_QUERIES}
     ),
     scored AS (
@@ -143,11 +149,12 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe hyperplane LSH: the standard recall fix for
     single-bucket probing (Lv et al., multi-probe LSH) — each query
-    also probes the {N_PLANES} buckets one sign-flip away, a 9x
-    bounded candidate fan-out that stays a pure equi-join (probe keys
-    exploded on the broadcast query side; corpus bucketing unchanged).
-    The similarity_ann_recall_report entry measures exactly what this
-    buys over the single-probe entry on the same corpus."""
+    also probes every bucket one or two sign-flips away (1 + 8 + 28 =
+    37 probes), a bounded candidate fan-out that stays a pure
+    equi-join (probe keys exploded on the broadcast query side; corpus
+    bucketing unchanged).  The similarity_ann_recall_report entry
+    measures exactly what this buys over the single-probe entry on the
+    same corpus — and what the extra fan-out costs."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     out = lsh_multiprobe_topk(emb, queries, k=5)
