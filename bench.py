@@ -306,12 +306,39 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
     # analogue of the reference's LatencyTrackerStart/End sink pair
     # (evaluation/LatencyTracker*.java)
     try:
-        from t_spoon_spark.bench_streaming import streaming_bank_latency_ms
+        from t_spoon_spark.bench_streaming import (
+            streaming_bank_latency_ms,
+            streaming_concurrent_latency_ms,
+        )
 
         _run_stats(
             "streaming_bank_commit_latency_ms",
             lambda: streaming_bank_latency_ms(spark, sf_dir),
         )
+        # contended multi-TGraph case: two queries, one env — the epoch
+        # lock serializes foreachBatch; lock_wait_share_pct reports how
+        # much of the trigger-to-commit wall was queueing
+        try:
+            mean, spread, share = streaming_concurrent_latency_ms(spark, sf_dir)
+            compact["streaming_concurrent_commit_latency_ms"] = mean
+            details["streaming_concurrent_commit_latency_ms"] = {
+                "best": mean,
+                "spread": spread,
+                "lock_wait_share_pct": share,
+            }
+            print(
+                f"# streaming_concurrent_commit_latency_ms: best={mean} "
+                f"spread={spread} lock_share={share}%",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 — per-metric isolation
+            compact["streaming_concurrent_commit_latency_ms"] = "failed"
+            details["streaming_concurrent_commit_latency_ms"] = "failed"
+            print(
+                f"# streaming_concurrent_commit_latency_ms: FAILED "
+                f"{type(exc).__name__}: {exc}",
+                file=sys.stderr,
+            )
     except ImportError:
         pass
 

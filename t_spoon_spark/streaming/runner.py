@@ -38,13 +38,23 @@ def already_applied(store, query_ident: str | None, batch_id: int) -> bool:
 class StreamMetrics:
     epochs: list[dict] = field(default_factory=list)
 
-    def record(self, epoch: int, n_results: int, votes: dict[str, int], wall_s: float) -> None:
+    def record(
+        self,
+        epoch: int,
+        n_results: int,
+        votes: dict[str, int],
+        wall_s: float,
+        lock_wait_s: float = 0.0,
+    ) -> None:
         self.epochs.append(
             {
                 "epoch": epoch,
                 "n_results": n_results,
                 "votes": votes,
                 "wall_s": wall_s,
+                # share of the trigger-to-commit wall spent queued on
+                # the env epoch lock behind other graphs' epochs
+                "lock_wait_s": lock_wait_s,
                 "tps": (n_results / wall_s) if wall_s > 0 else 0.0,
             }
         )
@@ -115,7 +125,13 @@ class StreamRunner:
             res = self.runner.run_epoch(batch_df, batch_id=batch_id, query_id=query_ident)
             votes = res.vote_counts() if self.collect_votes else {}
             n = sum(votes.values()) if votes else res.results.count()
-            self.metrics.record(res.epoch, n, votes, time.time() - t0)
+            self.metrics.record(
+                res.epoch,
+                n,
+                votes,
+                time.time() - t0,
+                getattr(self.runner, "last_lock_wait_s", 0.0),
+            )
             if self.on_epoch is not None:
                 self.on_epoch(res)
             if (

@@ -234,8 +234,13 @@ class GraphRunner:
     ) -> EpochResult:
         # one in-flight epoch per environment: concurrent streaming
         # queries (multi-TGraph) call this from separate foreachBatch
-        # threads, and the store admits exactly one epoch at a time
+        # threads, and the store admits exactly one epoch at a time.
+        # last_lock_wait_s records how long THIS epoch queued behind the
+        # other graphs' epochs — the contended-latency bench reads it to
+        # split trigger-to-commit into lock wait vs epoch work.
+        t_lock = time.time()
         with self.env.epoch_lock:
+            self.last_lock_wait_s = time.time() - t_lock
             return self._run_epoch_locked(batch, spus, batch_id, query_id)
 
     def _run_epoch_locked(
