@@ -1238,14 +1238,35 @@ class DriverCascade:
             for st in self.states:
                 if st.ctx.kind == "epoch_combine":
                     continue  # every combine link votes COMMIT regardless
-                # refold ONLY keys touched by txns whose exclusion
-                # status changed: a key none of whose chain members
-                # changed status folds identically, so its previous
-                # evaluation (original or an earlier round's override)
-                # stands — the same key-locality as the distributed
-                # rerun()
-                p = st.ops_pdf
-                touched = p.loc[p["_tid"].isin(changed), "__key"].unique()
+                # refold ONLY keys where a status-changed txn's link is
+                # (or would become) APPLIED — its current vote is
+                # COMMIT.  A changed txn whose link on a key is a local
+                # ABORT never applied there and still won't, so that
+                # key's fold is bit-identical under the new exclusion
+                # set and its previous evaluation (original or an
+                # earlier round's override) stands.  This is the
+                # per-key form of the any_commit contamination test —
+                # a key-locality refinement over refolding every key
+                # the changed txns touch.
+                ep = st.eval_pdf
+                cm = ep.loc[
+                    ep["_tid"].isin(changed) & (ep["vote"] == COMMIT), "key"
+                ]
+                if st.overrides:
+                    cm = cm[~cm.isin(st.overrides)]
+                    ov = st.ov_links
+                    if ov is not None and len(ov):
+                        cm = pd.concat(
+                            [
+                                cm,
+                                ov.loc[
+                                    ov["_tid"].isin(changed)
+                                    & (ov["vote"] == COMMIT),
+                                    "key",
+                                ],
+                            ]
+                        )
+                touched = cm.unique()
                 self._ensure_chains(st, touched)
                 tset: set = set()
                 for key in touched:

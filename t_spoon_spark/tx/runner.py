@@ -437,17 +437,24 @@ class GraphRunner:
             if evaluated is None or full:
                 v, w, _ = impl(marked, stage, ns, snapshot, stage_idx)
                 return v, w
-            # A cascade pass refolds ONLY the keys some excluded txn
-            # touched — every other key's chain contains no excluded
-            # tid, so its original (cached) evaluation stands verbatim.
-            # Refold cost is therefore proportional to the contended
-            # key set, not the epoch size: at cluster scale an epoch of
-            # 10^7 txns with 100 contended keys refolds 100 chains.
+            # A cascade pass refolds ONLY the keys where some excluded
+            # txn CHAIN-COMMITTED a link in the original evaluation
+            # (vote == COMMIT) — an excluded txn's local ABORT never
+            # applied its write, so that key's chain folds
+            # bit-identically under the exclusion and the original
+            # (cached) evaluation stands verbatim, including the
+            # excluded txn's own link vote.  Refold cost is therefore
+            # proportional to the CONTAMINATED key set, not even the
+            # touched key set: at cluster scale an epoch of 10^7 txns
+            # with 100 contended keys refolds at most 100 chains.
             # (The caller switches to a full refold when the abort
             # fraction is large — then the extra semi/anti joins cost
             # more than the refold they avoid.)
             affected = (
-                ops.join(excluded, "_tid", "left_semi").select("__key").distinct()
+                evaluated.join(excluded, "_tid", "left_semi")
+                .filter(F.col("vote") == COMMIT)
+                .select(F.col("key").alias("__key"))
+                .distinct()
             )
             marked_aff = marked.join(F.broadcast(affected), "__key", "left_semi")
             nv, nw, _ = impl(marked_aff, stage, ns, snapshot, stage_idx)
@@ -580,7 +587,12 @@ class GraphRunner:
         )
         # applied = the link passed AND its txn is not excluded; only
         # applied links advance the chain or write, but every link's
-        # vote is recorded (excluded txns re-evaluate on the clean chain)
+        # vote is recorded (excluded txns re-evaluate on the clean chain).
+        # The fold's accumulated struct stays as LEAN as the variant
+        # allows — array_append copies the accumulator per link, so
+        # every extra field is O(chain) copies: 'wr' only exists in the
+        # __ex variant (round 0 derives it from the vote), 'rec' only
+        # when the fused driver pull can use it.
         applied = f"(({ok}) AND x.__ex = 0)" if has_ex else ok
         # single-pass dual output: with a single-column pre-combine the
         # link struct also carries the pre-combined RECORD value ('rec'),
@@ -588,23 +600,29 @@ class GraphRunner:
         # the refoldable ops from ONE execution of the epoch slice
         # (previously the ops rode a second union branch that re-ran
         # source + graph + the pre-combine shuffle).
-        has_rec = bool(stage.pre_combine) and len(value_cols) == 1
+        has_rec = bool(stage.pre_combine) and len(value_cols) == 1 and not has_ex
         rec_dt = ops.schema[value_cols[0]].dataType.simpleString() if has_rec else None
         rec_field = f",\n                'rec', x.{value_cols[0]}" if has_rec else ""
         rec_type = f", rec: {rec_dt}" if has_rec else ""
+        wr_field = f",\n                'wr', CASE WHEN {applied} THEN true ELSE false END" if has_ex else ""
+        wr_type = ", wr: boolean" if has_ex else ""
         fold = f"""aggregate(
             __ops,
             named_struct(
               'value', CAST(__v0f AS {vt}),
-              'votes', CAST(array() AS array<struct<tid: bigint, vote: int, value: {vt}, wr: boolean{rec_type}>>)),
+              'votes', CAST(array() AS array<struct<tid: bigint, vote: int, value: {vt}{wr_type}{rec_type}>>)),
             (acc, x) -> named_struct(
               'value', CASE WHEN {applied} THEN CAST({cand} AS {vt}) ELSE acc.value END,
               'votes', array_append(acc.votes, named_struct(
                 'tid', x._tid,
                 'vote', CASE WHEN {ok} THEN {COMMIT} ELSE {ABORT} END,
-                'value', CASE WHEN {ok} THEN CAST({cand} AS {vt}) ELSE acc.value END,
-                'wr', CASE WHEN {applied} THEN true ELSE false END{rec_field}))))"""
+                'value', CASE WHEN {ok} THEN CAST({cand} AS {vt}) ELSE acc.value END{wr_field}{rec_field}))))"""
         rec_cols = [F.col("__v.rec").alias("__rec")] if has_rec else []
+        # round 0 (no __ex): a link writes iff it chain-committed; the
+        # __ex variant carries the applied flag explicitly
+        wr_col = (
+            F.col("__v.wr") if has_ex else (F.col("__v.vote") == COMMIT)
+        )
         evaluated = (
             joined.select(
                 "__key", F.posexplode(F.expr(fold).getField("votes")).alias("__pos", "__v")
@@ -623,7 +641,7 @@ class GraphRunner:
                 # only APPLIED links are writes (chain-committed and
                 # not excluded); the close's commit filter (global
                 # vote) prunes cross-namespace aborts on top.
-                F.col("__v.wr").alias("__wr"),
+                wr_col.alias("__wr"),
                 *rec_cols,
             )
         )
