@@ -156,6 +156,62 @@ def _correctness_history() -> tuple[dict[str, int], set[str], int]:
 
 
 _CHANGED_CACHE: dict[int, bool] = {}
+_CHANGED_FILES_CACHE: dict[int, frozenset] = {}
+
+
+def _changed_files_since(round_idx: int) -> frozenset:
+    """Repo-relative paths changed since the commit that added the
+    ``round_idx``-th CORRECTNESS artifact (committed diffs + staged/
+    unstaged edits).  Empty set on any failure — the generic
+    module-changed promotion below then simply doesn't fire (the
+    high-risk reservation keeps its own conservative default)."""
+    if round_idx in _CHANGED_FILES_CACHE:
+        return _CHANGED_FILES_CACHE[round_idx]
+    out: frozenset = frozenset()
+    try:
+        import glob
+        import os
+        import subprocess
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+        if 0 <= round_idx < len(files):
+            rel = os.path.basename(files[round_idx])
+
+            def _git(*args: str) -> str:
+                return subprocess.run(
+                    ["git", *args],
+                    cwd=root,
+                    capture_output=True,
+                    text=True,
+                    timeout=20,
+                    check=True,
+                ).stdout
+
+            commit = _git(
+                "log", "--diff-filter=A", "--format=%H", "-n", "1", "--", rel
+            ).strip()
+            if commit:
+                names = set(_git("diff", "--name-only", commit).splitlines())
+                for line in _git("status", "--porcelain").splitlines():
+                    names.add(line[3:].strip())
+                out = frozenset(n for n in names if n)
+    except Exception:
+        out = frozenset()
+    _CHANGED_FILES_CACHE[round_idx] = out
+    return out
+
+
+def _entry_file(e: "QueryEntry") -> str | None:
+    """Repo-relative source file that registered this entry."""
+    try:
+        import inspect
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        return os.path.relpath(inspect.getfile(e.spark_fn), root)
+    except Exception:
+        return None
 
 
 def _watched_changed_since(round_idx: int) -> bool:
@@ -246,8 +302,30 @@ def _ordered() -> list[QueryEntry]:
     taken = high_names | {e.name for e in never} | {e.name for e in red_entries}
     rest = [e for e in entries if e.name not in taken]
     order_idx = {e.name: i for i, e in enumerate(entries)}
-    rest.sort(key=lambda e: (last_round.get(e.name, -1), order_idx[e.name]))
-    return high + red_entries + never + rest
+    # module-changed promotion (generic twin of the high-risk watch
+    # list, round-8): an entry whose DEFINING module changed since its
+    # last driver evidence may have changed output — its stale green
+    # row proves nothing about HEAD, so it outranks merely-unchecked
+    # staleness.  (The r8 trigger: pq_adc/lsh_mp/graph entries were
+    # rebuilt with r7-fresh evidence — pure staleness ordering would
+    # have cycled them to the back of the window.)
+    # module-changed-THIS-ROUND promotion (round-8, the generic twin of
+    # the high-risk watch list): an entry whose DEFINING module changed
+    # since the latest CORRECTNESS artifact may have changed output —
+    # its green row proves nothing about HEAD, so it outranks pure
+    # staleness.  Entries whose module changed in some EARLIER round
+    # (but not since the last artifact) stay in the staleness rotation:
+    # their oldest-first drain reaches them in order anyway, and
+    # promoting them wholesale would starve the never-rechecked tier
+    # (file granularity over-promotes — one edited entry drags its
+    # whole module forward).
+    this_round = _changed_files_since(_rounds - 1)
+    changed_first = [e for e in rest if _entry_file(e) in this_round]
+    changed_names = {e.name for e in changed_first}
+    rest_stale = [e for e in rest if e.name not in changed_names]
+    changed_first.sort(key=lambda e: (last_round.get(e.name, -1), order_idx[e.name]))
+    rest_stale.sort(key=lambda e: (last_round.get(e.name, -1), order_idx[e.name]))
+    return high + red_entries + never + changed_first + rest_stale
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -29,6 +29,7 @@ def test_priority_order_high_red_never_then_stalest(monkeypatch):
     )
     # engine code changed this round -> high-risk entries keep their slots
     monkeypatch.setattr(registry, "_watched_changed_since", lambda i: True)
+    monkeypatch.setattr(registry, "_changed_files_since", lambda i: frozenset())
     ordered = [e.name for e in registry._ordered()]
 
     n_high = len(high)
@@ -58,6 +59,7 @@ def test_red_entries_inside_window_even_when_never_tier_overflows(monkeypatch):
         registry, "_correctness_history", lambda: (last_round, reds, 4)
     )
     monkeypatch.setattr(registry, "_watched_changed_since", lambda i: True)
+    monkeypatch.setattr(registry, "_changed_files_since", lambda i: frozenset())
     ordered = [e.name for e in registry._ordered()]
     window = set(ordered[:50])
     assert reds <= window, sorted(reds - window)
@@ -106,6 +108,7 @@ def test_high_risk_demoted_when_engine_unchanged(monkeypatch):
         registry, "_correctness_history", lambda: (last_round, set(), 5)
     )
     monkeypatch.setattr(registry, "_watched_changed_since", lambda i: False)
+    monkeypatch.setattr(registry, "_changed_files_since", lambda i: frozenset())
     ordered = [e.name for e in registry._ordered()]
     # every never-checked entry outranks every (demoted, fresh) high-risk
     worst_never = max(ordered.index(n) for n in never)
@@ -128,6 +131,7 @@ def test_high_risk_red_or_unchecked_keeps_slot_even_when_unchanged(monkeypatch):
         registry, "_correctness_history", lambda: (last_round, {red_one}, 5)
     )
     monkeypatch.setattr(registry, "_watched_changed_since", lambda i: False)
+    monkeypatch.setattr(registry, "_changed_files_since", lambda i: frozenset())
     ordered = [e.name for e in registry._ordered()]
     demoted = [n for n in high if n not in (red_one, unchecked_one)]
     assert ordered.index(red_one) < min(ordered.index(n) for n in demoted)
@@ -161,3 +165,42 @@ def test_live_window_drains_never_checked_tier():
     window = set(ordered[:50])
     missing = [n for n in never if n not in window]
     assert not missing, missing
+
+
+def test_module_changed_this_round_outranks_staleness(monkeypatch):
+    """An entry whose DEFINING module changed since the latest
+    CORRECTNESS artifact has a suspect green row — it must outrank the
+    merely-stale rotation (round-8: the recall-rebuilt ANN entries had
+    r7-fresh evidence and pure staleness ordering would have cycled
+    their changed outputs to the back of the window)."""
+    registry._load_all()
+    names = list(registry._REGISTRY)
+    high = {n for n in names if n.startswith(registry._HIGH_RISK_PREFIXES)}
+    non_high = [n for n in names if n not in high]
+    changed = non_high[0]
+    cf = registry._entry_file(registry._REGISTRY[changed])
+    # stale must live in a DIFFERENT module (same-module entries ride
+    # the promotion together by design)
+    stale = next(
+        n for n in non_high
+        if registry._entry_file(registry._REGISTRY[n]) != cf
+    )
+    # changed has FRESH evidence (round 4), stale has the oldest (round 1)
+    last_round = {n: 4 for n in names}
+    last_round[stale] = 1
+    monkeypatch.setattr(
+        registry, "_correctness_history", lambda: (last_round, set(), 5)
+    )
+    monkeypatch.setattr(registry, "_watched_changed_since", lambda i: True)
+    f = registry._entry_file(registry._REGISTRY[changed])
+    monkeypatch.setattr(
+        registry, "_changed_files_since", lambda i: frozenset([f])
+    )
+    ordered = [e.name for e in registry._ordered()]
+    assert ordered.index(changed) < ordered.index(stale)
+    # ... and every other same-module entry rides along (file granularity)
+    same_mod = [
+        n for n in non_high
+        if registry._entry_file(registry._REGISTRY[n]) == f
+    ]
+    assert max(ordered.index(n) for n in same_mod) < ordered.index(stale)
