@@ -16,6 +16,7 @@ PL3 transactional graph.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import SparkSession
@@ -49,17 +50,18 @@ def streaming_bank_latency_ms(
     n_batches = min(n_batches, max(2, total // max(batch_rows, 1)))
 
     stream_dir = tempfile.mkdtemp(prefix="tspoon_stream_bench_")
-    for i in range(n_batches):
-        lo, hi = i * batch_rows, min((i + 1) * batch_rows, total)
-        transfers.filter((F.col("_tid") >= lo) & (F.col("_tid") < hi)).coalesce(
-            1
-        ).write.mode("overwrite").parquet(os.path.join(stream_dir, f"b{i:03d}"))
-
     env = TxEnvironment(spark, isolation="PL3")
     env.create_namespace("balances", "double", 100.0, invariant="value >= 0")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        for i in range(n_batches):
+            lo, hi = i * batch_rows, min((i + 1) * batch_rows, total)
+            transfers.filter(
+                (F.col("_tid") >= lo) & (F.col("_tid") < hi)
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stream_dir, f"b{i:03d}")
+            )
         stream = (
             spark.readStream.schema(SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -69,6 +71,7 @@ def streaming_bank_latency_ms(
         sr.process_all(stream)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(stream_dir, ignore_errors=True)
     walls = [e["wall_s"] for e in sr.metrics.epochs if e["n_results"] > 0]
     measured = walls[1:] if len(walls) > 1 else walls
     if not measured:
@@ -133,18 +136,19 @@ def streaming_concurrent_latency_ms(
         )
 
     stream_dir = tempfile.mkdtemp(prefix="tspoon_stream_ctg_")
-    for ns, df in halves.items():
-        for i in range(n_batches):
-            lo, hi = i * batch_rows, min((i + 1) * batch_rows, total)
-            df.filter((F.col("_tid") >= lo) & (F.col("_tid") < hi)).coalesce(
-                1
-            ).write.mode("overwrite").parquet(os.path.join(stream_dir, ns, f"b{i:03d}"))
-
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     runners = {ns: StreamRunner(env, graph(ns), collect_votes=False) for ns in halves}
     queries = {}
     try:
+        for ns, df in halves.items():
+            for i in range(n_batches):
+                lo, hi = i * batch_rows, min((i + 1) * batch_rows, total)
+                df.filter(
+                    (F.col("_tid") >= lo) & (F.col("_tid") < hi)
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(stream_dir, ns, f"b{i:03d}")
+                )
         for ns in halves:
             src = (
                 spark.readStream.schema(SCHEMA)
@@ -158,6 +162,7 @@ def streaming_concurrent_latency_ms(
         for q in queries.values():
             q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(stream_dir, ignore_errors=True)
 
     measured: list[dict] = []
     for sr in runners.values():

@@ -63,7 +63,11 @@ def co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # tag includes the PID: two concurrent bench processes on one box
+    # must not overwrite each other's artifact mid-read (ADVICE r8); a
+    # long-lived deployment would point `path` at a durable location
+    # instead, where the sf_dir-only key is the right cache identity
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
     table = f"tsp_co_edges_{tag}"
     # external table (same contract as io_bucketed_colocated_join):
     # overwrite-in-place survives a stale location from a prior session,

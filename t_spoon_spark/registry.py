@@ -194,7 +194,12 @@ def _changed_files_since(round_idx: int) -> frozenset:
             if commit:
                 names = set(_git("diff", "--name-only", commit).splitlines())
                 for line in _git("status", "--porcelain").splitlines():
-                    names.add(line[3:].strip())
+                    p = line[3:].strip()
+                    # rename records read 'old -> new'; the NEW path is
+                    # what _entry_file will report for a live module
+                    if " -> " in p:
+                        p = p.split(" -> ", 1)[1]
+                    names.add(p.strip('"'))
                 out = frozenset(n for n in names if n)
     except Exception:
         out = frozenset()
@@ -303,24 +308,21 @@ def _ordered() -> list[QueryEntry]:
     rest = [e for e in entries if e.name not in taken]
     order_idx = {e.name: i for i, e in enumerate(entries)}
     # module-changed promotion (generic twin of the high-risk watch
-    # list, round-8): an entry whose DEFINING module changed since its
-    # last driver evidence may have changed output — its stale green
-    # row proves nothing about HEAD, so it outranks merely-unchecked
-    # staleness.  (The r8 trigger: pq_adc/lsh_mp/graph entries were
-    # rebuilt with r7-fresh evidence — pure staleness ordering would
-    # have cycled them to the back of the window.)
-    # module-changed-THIS-ROUND promotion (round-8, the generic twin of
-    # the high-risk watch list): an entry whose DEFINING module changed
-    # since the latest CORRECTNESS artifact may have changed output —
-    # its green row proves nothing about HEAD, so it outranks pure
-    # staleness.  Entries whose module changed in some EARLIER round
-    # (but not since the last artifact) stay in the staleness rotation:
-    # their oldest-first drain reaches them in order anyway, and
-    # promoting them wholesale would starve the never-rechecked tier
-    # (file granularity over-promotes — one edited entry drags its
-    # whole module forward).
-    this_round = _changed_files_since(_rounds - 1)
-    changed_first = [e for e in rest if _entry_file(e) in this_round]
+    # list, round-8; per-ENTRY predicate since round-9): an entry whose
+    # DEFINING module changed since the ENTRY'S OWN last driver
+    # evidence may have changed output — its green row proves nothing
+    # about HEAD, so it outranks merely-unchecked staleness.  The r8
+    # version compared against the latest artifact only, so a module
+    # edited in round N-1 under an entry with round N-3 evidence was
+    # silently never promoted (r8 verdict "What's missing" #2 — the
+    # io_formats round-trips).  _changed_files_since caches per round
+    # index, so this costs O(distinct evidence rounds) git calls, not
+    # O(entries).
+    changed_first = [
+        e
+        for e in rest
+        if _entry_file(e) in _changed_files_since(last_round.get(e.name, -1))
+    ]
     changed_names = {e.name for e in changed_first}
     rest_stale = [e for e in rest if e.name not in changed_names]
     changed_first.sort(key=lambda e: (last_round.get(e.name, -1), order_idx[e.name]))

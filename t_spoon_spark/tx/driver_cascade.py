@@ -1256,16 +1256,16 @@ class DriverCascade:
                     cm = cm[~cm.isin(st.overrides)]
                     ov = st.ov_links
                     if ov is not None and len(ov):
-                        cm = pd.concat(
-                            [
-                                cm,
-                                ov.loc[
-                                    ov["_tid"].isin(changed)
-                                    & (ov["vote"] == COMMIT),
-                                    "key",
-                                ],
-                            ]
-                        )
+                        ov_cm = ov.loc[
+                            ov["_tid"].isin(changed) & (ov["vote"] == COMMIT),
+                            "key",
+                        ]
+                        # concat only non-empty pieces: pandas deprecates
+                        # empty-entry dtype inference in concat, and a
+                        # future release changing it would silently shift
+                        # the key dtype here
+                        if len(ov_cm):
+                            cm = pd.concat([cm, ov_cm]) if len(cm) else ov_cm
                 touched = cm.unique()
                 self._ensure_chains(st, touched)
                 tset: set = set()

@@ -204,3 +204,74 @@ def test_module_changed_this_round_outranks_staleness(monkeypatch):
         if registry._entry_file(registry._REGISTRY[n]) == f
     ]
     assert max(ordered.index(n) for n in same_mod) < ordered.index(stale)
+
+
+def test_module_changed_since_entry_evidence_promotes(monkeypatch):
+    """Round-9 predicate: a module edited TWO rounds ago whose entry
+    evidence predates the edit still promotes (the r8 predicate only
+    looked at changes since the LATEST artifact, so this case silently
+    stayed in the staleness rotation — r8 verdict 'What's missing' #2,
+    the io_formats round-trips)."""
+    registry._load_all()
+    names = list(registry._REGISTRY)
+    high = {n for n in names if n.startswith(registry._HIGH_RISK_PREFIXES)}
+    non_high = [n for n in names if n not in high]
+    changed = non_high[0]
+    f = registry._entry_file(registry._REGISTRY[changed])
+    competitor = next(
+        n for n in non_high
+        if registry._entry_file(registry._REGISTRY[n]) != f
+    )
+    # 6 artifacts exist (rounds 0..5).  `changed` has round-2 evidence;
+    # its module was edited between artifact 3 and artifact 4 — so the
+    # file appears in diffs taken from artifacts <= 3 but NOT in the
+    # diff from the latest artifact (round 5).  `competitor` is staler
+    # (round 1) but its module never changed.
+    last_round = {n: 4 for n in names}
+    last_round[changed] = 2
+    last_round[competitor] = 1
+    monkeypatch.setattr(
+        registry, "_correctness_history", lambda: (last_round, set(), 6)
+    )
+    monkeypatch.setattr(registry, "_watched_changed_since", lambda i: True)
+    monkeypatch.setattr(
+        registry,
+        "_changed_files_since",
+        lambda i: frozenset([f]) if i <= 3 else frozenset(),
+    )
+    ordered = [e.name for e in registry._ordered()]
+    # the edited-module entry outranks the merely-staler competitor
+    assert ordered.index(changed) < ordered.index(competitor)
+
+
+def test_changed_files_since_parses_renames(monkeypatch):
+    """`git status --porcelain` rename records ('R  old -> new') must
+    resolve to the NEW path — _entry_file reports the live module, so
+    keeping the raw 'old -> new' string silently disables promotion for
+    renamed modules (ADVICE r8)."""
+    registry._CHANGED_FILES_CACHE.clear()
+
+    def fake_run(cmd, **kw):
+        class R:
+            pass
+
+        r = R()
+        if "log" in cmd:
+            r.stdout = "abc123\n"
+        elif "diff" in cmd:
+            r.stdout = ""
+        else:  # status --porcelain
+            r.stdout = 'R  old/mod.py -> t_spoon_spark/queries/new_mod.py\n M "weird name.py"\n'
+        return r
+
+    import subprocess
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    import glob
+
+    monkeypatch.setattr(glob, "glob", lambda p: ["CORRECTNESS_r01.json"])
+    out = registry._changed_files_since(0)
+    registry._CHANGED_FILES_CACHE.clear()
+    assert "t_spoon_spark/queries/new_mod.py" in out
+    assert "weird name.py" in out
+    assert not any("->" in p for p in out)
