@@ -301,7 +301,14 @@ def _latency_at(
     the bigger shuffles) cold, and the first measured epoch then reads
     ~1.5x steady state — measured-after-warm-up is the reference's
     methodology (TunableSource settles before its latency accumulators
-    report)."""
+    report).
+
+    Batches are PRE-SLICED (checkpointed per-epoch frames), not
+    literal-filtered inside the timed window: a streaming micro-batch
+    delivers exactly the trigger's new rows, so scanning the whole
+    amplified stream and re-filtering per epoch — and re-compiling the
+    chain-fold codegen unit because the filter literals differ — was
+    bench overhead the deployment never pays (round-9 lever 1a)."""
     per_epoch = max(1, int(rate * epoch_seconds))
     runner = env_factory()
     warm = (
@@ -309,12 +316,19 @@ def _latency_at(
         if total >= per_epoch * (n_epochs + 1)
         else min(1000, max(1, total // 10))
     )
-    runner.run_epoch(transfers.filter(F.col("_tid") >= total - warm))
-    walls = []
-    for i in range(n_epochs):
-        batch = transfers.filter(
+    batches = [
+        transfers.filter(
             (F.col("_tid") >= i * per_epoch) & (F.col("_tid") < (i + 1) * per_epoch)
-        )
+        ).localCheckpoint(eager=True)
+        for i in range(n_epochs)
+    ]
+    # warm epoch pre-sliced too, so it compiles the same plan shape
+    # (checkpoint scan, no filter) the measured epochs run
+    runner.run_epoch(
+        transfers.filter(F.col("_tid") >= total - warm).localCheckpoint(eager=True)
+    )
+    walls = []
+    for batch in batches:
         t0 = time.time()
         runner.run_epoch(batch)
         walls.append(time.time() - t0)

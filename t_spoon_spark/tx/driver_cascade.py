@@ -817,13 +817,18 @@ class DriverCascade:
         # value sentinel is a TYPED ZERO, not NULL: one null in an
         # integer Arrow column degrades the whole pandas column to
         # float64, where values past 2^53 round — the same degrade the
-        # fused commit guards _tid against (part-0 values are never read)
-        u = tids_df.select(
-            *row(
-                0, -1, F.col("_tid"), F.lit(""), F.lit(0), F.lit(-1),
-                F.lit(-1), F.lit(False), F.lit(0),
+        # fused commit guards _tid against (part-0 values are never read).
+        # tids_df is None when the graph provably links every txn
+        # (links_cover_tids): no part-0 branch, tid set derived from the
+        # links below — one fewer source scan, batch-size fewer rows.
+        u = None
+        if tids_df is not None:
+            u = tids_df.select(
+                *row(
+                    0, -1, F.col("_tid"), F.lit(""), F.lit(0), F.lit(-1),
+                    F.lit(-1), F.lit(False), F.lit(0),
+                )
             )
-        )
         for i, st in enumerate(self.states):
             ev = st.ctx.evaluated.select(
                 *row(
@@ -831,12 +836,20 @@ class DriverCascade:
                     F.col("vote"), F.col("_ord"), F.col("__wr"), F.col("__rec"),
                 )
             )
-            u = u.unionByName(ev)
+            u = ev if u is None else u.unionByName(ev)
         pdf = _pull_pdf(u, key_cols=("key",))
 
-        tids_pdf = pdf.loc[pdf["part"] == 0, "_tid"].reset_index(drop=True)
+        if tids_df is not None:
+            tids_pdf = pdf.loc[pdf["part"] == 0, "_tid"].reset_index(drop=True)
+        else:
+            tids_pdf = pd.Series(pdf["_tid"].unique(), dtype="int64")
+        links_only = tids_df is None and len(self.states) == 1
         for i, st in enumerate(self.states):
-            stage_rows = pdf[(pdf["stage"] == i) & (pdf["part"] == 1)]
+            # single stage + no tid branch: the whole frame IS the links
+            # frame — skip the 2x batch-sized boolean masks + take
+            stage_rows = (
+                pdf if links_only else pdf[(pdf["stage"] == i) & (pdf["part"] == 1)]
+            )
             st.eval_pdf = (
                 stage_rows[["key", "_tid", "value", "vote", "_ord", "wr"]]
                 .rename(columns={"wr": "__wr"})
@@ -1174,7 +1187,14 @@ class DriverCascade:
 
     # -- the driver close: merge + fixpoint + finals --------------------
 
-    def close(self, store, tids, has_ec: bool, run_cascade: bool) -> CascadeResult:
+    def close(
+        self,
+        store,
+        tids,
+        has_ec: bool,
+        run_cascade: bool,
+        tids_covered: bool = False,
+    ) -> CascadeResult:
         """Full driver-side vote resolution for one epoch: initial merge
         from the pulled evaluation links, the abort-cascade fixpoint
         (PL3/PL4), and the writes/finals assembly — all pandas.  The
@@ -1186,12 +1206,16 @@ class DriverCascade:
         free) or a Spark DataFrame of ``_tid`` — then the fused one-job
         pull covers it together with the evaluation links and refold
         ops when the graph shape allows, and falls back to separate
-        pulls otherwise."""
+        pulls otherwise.  With ``tids_covered`` (every txn provably has
+        a state link — graph.links_cover_tids) the fused pull skips the
+        tid-set union branch entirely and derives the tid set from the
+        pulled links: one fewer source scan and ~batch-size fewer rows
+        through Arrow."""
         if isinstance(tids, pd.Series):
             tids_pdf = tids
             self._pull_eval(store)
         else:
-            tids_pdf = self._pull_fused(store, tids)
+            tids_pdf = self._pull_fused(store, None if tids_covered else tids)
             if tids_pdf is None:
                 self._pull_eval(store)
                 tids_pdf = tids.toPandas()["_tid"]

@@ -133,6 +133,58 @@ def value_columns(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c not in META_COLS]
 
 
+def flat_map_total(df: DataFrame, stage: FlatMapStage) -> bool:
+    """True iff this flat_map provably emits >= 1 row per input row: its
+    expression analyzes to a literal-arity ``CreateArray`` with >= 1
+    elements (such an array is never null and never empty, so
+    posexplode always yields rows).  Data-dependent arrays (split,
+    sequence, a column reference) return False — conservative, since a
+    runtime value could be empty.  Used by the close path to drop the
+    separate tid-set branch when every transaction provably reaches a
+    state stage (links cover tids)."""
+    try:
+        arr = stage.fn(df)
+        analyzed = df.select(arr.alias("__fm"))._jdf.queryExecution().analyzed()
+        expr = analyzed.expressions().apply(0)
+        child = expr.child() if hasattr(expr, "child") else expr
+        if child.getClass().getSimpleName() != "CreateArray":
+            return False
+        return child.children().size() >= 1
+    except Exception:  # pragma: no cover - introspection unavailable
+        return False
+
+
+def links_cover_tids(graph: "TGraph", df: DataFrame) -> bool:
+    """True iff every transaction of a batch provably produces at least
+    one state link: all stages preserve rows (map/key_by/state; filter
+    and t_window can drop a txn's last live record, flat_map only
+    qualifies when provably total) and at least one state stage exists.
+    The close can then derive the epoch tid set FROM the links instead
+    of scanning the source a second time (fused-pull part-0 branch).
+    Only stages BEFORE the first state stage matter: once a txn has a
+    link, later drops can't remove it from the link set.  The frame is
+    evolved stage-by-stage (analysis only, no jobs) so a flat_map after
+    a map introspects against the columns it will actually see."""
+    try:
+        for stage in graph.stages:
+            if isinstance(stage, StateStage):
+                return True
+            if isinstance(stage, MapStage):
+                df = apply_map(df, stage)
+            elif isinstance(stage, KeyByStage):
+                continue
+            elif isinstance(stage, FlatMapStage):
+                if not flat_map_total(df, stage):
+                    return False
+                df = apply_flat_map(df, stage)
+            else:
+                # FilterStage / TWindowStage can drop transactions
+                return False
+    except Exception:  # pragma: no cover - stay conservative
+        return False
+    return False
+
+
 def apply_map(df: DataFrame, stage: MapStage) -> DataFrame:
     cols = stage.fn(df)
     return df.select(*META_COLS, *[c.alias(n) for n, c in cols.items()])

@@ -222,6 +222,11 @@ class GraphRunner:
         # rendered chain-update SQL per stage (py4j round-trips once per
         # runner, not once per epoch)
         self._chain_sql_cache: dict = {}
+        # True when every txn provably reaches a state stage (links
+        # cover tids): the driver close then derives the epoch tid set
+        # from the pulled links instead of a second source scan + union
+        # branch. Computed once — the graph is immutable.
+        self._tids_covered: bool | None = None
 
     # ------------------------------------------------------------------
 
@@ -284,6 +289,10 @@ class GraphRunner:
             F.lit(True).alias("_alive"),
         )
 
+        if self._tids_covered is None:
+            # needs the per-position frames the stage fns see, so it
+            # rides the first epoch's stage walk (analysis only, no job)
+            self._tids_covered = G.links_cover_tids(self.graph, df)
         state_jobs: list[tuple[DataFrame, G.StateStage, int]] = []
         for idx, stage in enumerate(self.graph.stages):
             if isinstance(stage, G.MapStage):
@@ -1127,6 +1136,7 @@ class GraphRunner:
             src_pdf["_tid"] if src_pdf is not None else tids,
             has_ec,
             run_cascade=env.isolation in ("PL3", "PL4"),
+            tids_covered=bool(self._tids_covered),
         )
         gvotes = spark.createDataFrame(
             out.gv_pdf, schema="_tid long, vote int, any_commit int"
