@@ -632,9 +632,18 @@ class GraphRunner:
         wr_col = (
             F.col("__v.wr") if has_ex else (F.col("__v.vote") == COMMIT)
         )
+        # cache the PARSED fold Column, not just its SQL text: the
+        # multi-KB expression otherwise round-trips through the JVM
+        # parser once per epoch (Columns are immutable and reusable
+        # across epoch frames)
+        fold_key = (id(stage), tuple(value_cols), has_ex, has_rec)
+        fold_col = self._chain_sql_cache.get(fold_key)
+        if fold_col is None:
+            fold_col = F.expr(fold)
+            self._chain_sql_cache[fold_key] = fold_col
         evaluated = (
             joined.select(
-                "__key", F.posexplode(F.expr(fold).getField("votes")).alias("__pos", "__v")
+                "__key", F.posexplode(fold_col.getField("votes")).alias("__pos", "__v")
             )
             .select(
                 F.col("__key").alias("key"),
