@@ -271,6 +271,11 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BFS rounds broadcast the frontier/visited frames while their known
+# row count stays under this cap (~tens of MB of long ids); larger
+# frontiers fall back to shuffled joins (see graph_bfs_hop_frontier)
+_BFS_BCAST_CAP = 5_000_000
+
 LPA_ITERS = 4
 # composite argmax priority: weight * 1024 + (1023 - label) — argmax of
 # this BIGINT == (max weight, then MIN label), labels < 1024
@@ -434,7 +439,18 @@ def graph_bfs_hop_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eager localCheckpoint, as in the other iterative kernels.  The
     corpus-sized edge build is shared with triangle counting via the
     bucketed co_order_edges artifact — every per-round frontier join
-    reads the edges side with zero Exchange."""
+    reads the edges side with zero Exchange.
+
+    Round plan (round 9): the frontier and the visited set are
+    BROADCAST while their known row counts stay under _BFS_BCAST_CAP —
+    a bounded-hop BFS's frontier is a sliver of a sparse graph, so both
+    joins run shuffle-free (edges scan + broadcast-hash + map-side
+    dedup); past the cap the rounds fall back to the shuffled
+    frontier-neighborhood joins, which is the right plan when the
+    frontier approaches |V| (full-graph reachability at 100 TB).  The
+    per-round emptiness check rides the same count() that maintains
+    those sizes — a cheap scan of the just-checkpointed frame, not an
+    extra pass."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = co_order_edges(spark, sf_dir)
     seeds = (
@@ -450,28 +466,38 @@ def graph_bfs_hop_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # visited set every round (~|V| rows × H rounds of checkpoint I/O)
     frames = [seed0]
     visited = seed0.select("v")
+    visited_n = seed0.count()
     # every reference below is alias-qualified: localCheckpoint
     # PRESERVES expression ids, so each round's frontier (derived from
     # `edges.v`) would otherwise collide with the edges relation in the
     # next round's join and trip the ambiguous-self-join analyzer check
     frontier = seed0.select(F.col("v").alias("fv"))
     for it in range(1, BFS_H + 1):
+        small = visited_n <= _BFS_BCAST_CAP  # frontier_n <= visited_n
+        f = frontier.alias("f")
         reached = (
-            frontier.alias("f")
+            (F.broadcast(f) if small else f)
             .join(edges.alias("e"), F.col("f.fv") == F.col("e.u"))
             .select(F.col("e.v").alias("v"))
             .distinct()
         )
+        w = visited.alias("w")
         new = (
             reached.alias("r")
-            .join(visited.alias("w"), F.col("r.v") == F.col("w.v"), "left_anti")
+            .join(
+                F.broadcast(w) if small else w,
+                F.col("r.v") == F.col("w.v"),
+                "left_anti",
+            )
             .select(F.col("r.v").alias("v"), F.lit(it).cast("int").alias("hop"))
             .localCheckpoint(eager=True)
         )
-        if new.isEmpty():  # frontier exhausted — identical result, fewer rounds
+        n_new = new.count()  # cheap: frame just materialized
+        if n_new == 0:  # frontier exhausted — identical result, fewer rounds
             break
         frames.append(new)
         visited = visited.unionByName(new.select("v"))
+        visited_n += n_new
         frontier = new.select(F.col("v").alias("fv"))
     dist = frames[0]
     for f in frames[1:]:
