@@ -529,10 +529,24 @@ def _ann_recall_oracle() -> str:
     """Compose the already-registered method oracles (verbatim, as
     nested-WITH CTE bodies) against the brute-force oracle — the recall
     numbers are then pinned by construction to the same SQL the driver
-    gates each method on."""
+    gates each method on.  The candidate-count CTEs reuse the SAME
+    shared fragments (DD_EI / bucket expr / centroid cosine / method
+    constants) the per-method oracles are generated from, so the cost
+    column cannot drift from the pipelines it describes."""
     from t_spoon_spark.registry import _REGISTRY
 
     import t_spoon_spark.queries.similarity  # noqa: F401  (registers bf/lsh/ivf/sq8)
+    from t_spoon_spark.operators.similarity import (
+        IVF_NPROBE,
+        IVF_STRIDE,
+        N_PLANES,
+    )
+    from t_spoon_spark.queries.similarity import (
+        DD_DOT_SELF,
+        DD_EI,
+        _dd_bucket_expr,
+        _dd_cos,
+    )
 
     parts = [f"bf AS ({_REGISTRY['similarity_bruteforce_topk'].duckdb_sql})"]
     unions = []
@@ -540,6 +554,10 @@ def _ann_recall_oracle() -> str:
         parts.append(f"m_{tag} AS ({_REGISTRY[name].duckdb_sql})")
         unions.append(f"SELECT '{tag}' AS method, q_id, c_id FROM m_{tag}")
     tags = ", ".join(f"'{t}'" for t, _ in _ANN_METHODS)
+    crnk = (
+        "ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY "
+        f"{_dd_cos('n.ei', 'c.ce', 'n.norm', 'c.cnorm')} DESC, c.cent_id)"
+    )
     return f"""
     WITH {", ".join(parts)},
     cand AS ({" UNION ALL ".join(unions)}),
@@ -548,26 +566,175 @@ def _ann_recall_oracle() -> str:
       FROM cand JOIN bf USING (q_id, c_id) GROUP BY method
     ),
     methods AS (SELECT unnest([{tags}]) AS method),
-    gt AS (SELECT COUNT(*) AS n_total FROM bf)
+    gt AS (SELECT COUNT(*) AS n_total FROM bf),
+    -- stage-1 candidate-set sizes (exact, per construction of each
+    -- method: one bucket/list per vector, distinct probe keys)
+    nstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    cb AS (SELECT vec_id, {DD_EI} AS ei FROM embeddings),
+    cbk AS (SELECT n.vec_id, {_dd_bucket_expr('n')} AS bucket FROM cb n),
+    csz AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM cbk GROUP BY bucket),
+    c_lsh AS (
+      SELECT CAST(SUM(s.cnt) - COUNT(*) AS BIGINT) AS n_cand
+      FROM cbk q JOIN csz s USING (bucket) WHERE q.vec_id < {N_Q}
+    ),
+    cmp AS (
+      SELECT q.vec_id AS q_id,
+             unnest(list_concat(
+               list_concat(
+                 [q.bucket],
+                 list_transform(range(0, {N_PLANES}),
+                   j -> xor(q.bucket, CAST(1 AS BIGINT) << j))),
+               flatten(list_transform(range(0, {N_PLANES}), j ->
+                 list_transform(range(j + 1, {N_PLANES}), k ->
+                   xor(q.bucket, xor(CAST(1 AS BIGINT) << j,
+                                     CAST(1 AS BIGINT) << k))))))) AS bucket
+      FROM cbk q WHERE q.vec_id < {N_Q}
+    ),
+    c_lsh_mp AS (
+      SELECT CAST(SUM(s.cnt) - {N_Q} AS BIGINT) AS n_cand
+      FROM cmp JOIN csz s USING (bucket)
+    ),
+    cnormed AS (
+      SELECT vec_id, ei, sqrt(CAST({DD_DOT_SELF} AS DOUBLE)) AS norm FROM cb
+    ),
+    ccents AS (
+      SELECT vec_id AS cent_id, ei AS ce, norm AS cnorm FROM cnormed
+      WHERE vec_id % {IVF_STRIDE} = 0
+    ),
+    cassign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, c.cent_id, {crnk} AS crnk
+        FROM cnormed n CROSS JOIN ccents c
+      ) WHERE crnk = 1
+    ),
+    clsz AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM cassign GROUP BY cent_id),
+    cprobes AS (
+      SELECT vec_id AS q_id, cent_id FROM (
+        SELECT n.vec_id, c.cent_id, {crnk} AS crnk
+        FROM cnormed n CROSS JOIN ccents c WHERE n.vec_id < {N_Q}
+      ) WHERE crnk <= {IVF_NPROBE}
+    ),
+    c_ivf AS (
+      SELECT CAST(SUM(s.cnt) - {N_Q} AS BIGINT) AS n_cand
+      FROM cprobes p JOIN clsz s USING (cent_id)
+    ),
+    cands AS (
+      SELECT 'lsh' AS method, n_cand FROM c_lsh
+      UNION ALL SELECT 'lsh_mp', n_cand FROM c_lsh_mp
+      UNION ALL SELECT 'ivf', n_cand FROM c_ivf
+      UNION ALL SELECT 'bin_ham', CAST({N_Q} * LEAST({BH_R}, n - 1) AS BIGINT) FROM nstat
+      UNION ALL SELECT 'pq_adc', CAST({N_Q} * LEAST({PQ_SHORT}, n - 1) AS BIGINT) FROM nstat
+      UNION ALL SELECT 'sq8', CAST({N_Q} * (n - 1) AS BIGINT) FROM nstat
+    )
     SELECT m.method,
            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
            CAST(gt.n_total AS BIGINT) AS n_total,
-           CAST(FLOOR(COALESCE(h.n_hits, 0) * 100.0 / gt.n_total) AS BIGINT) AS recall_pct
-    FROM methods m CROSS JOIN gt LEFT JOIN hits h USING (method)
+           CAST(FLOOR(COALESCE(h.n_hits, 0) * 100.0 / gt.n_total) AS BIGINT) AS recall_pct,
+           c.n_cand,
+           CAST(FLOOR(c.n_cand * 100.0 / ({N_Q} * (ns.n - 1))) AS BIGINT) AS cand_pct
+    FROM methods m CROSS JOIN gt CROSS JOIN nstat ns
+      LEFT JOIN hits h USING (method) JOIN cands c USING (method)
     ORDER BY method
     """
 
 
+def _ann_candidate_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Exact stage-1 candidate-set size per method (summed over the
+    query set) — computed with the SAME shared helpers and constants
+    the method pipelines use (bucket_bits, centroid assignment,
+    BH_R/PQ_SHORT), so the cost column cannot drift from them.  Three
+    bounded scalar jobs (bucket histogram, list histogram, corpus
+    count); each method maps one vector to exactly one bucket/list and
+    probe keys are distinct, so summing bucket sizes over probes counts
+    candidates exactly (minus the self-match each pipeline filters)."""
+    from t_spoon_spark.operators.similarity import (
+        IVF_NPROBE,
+        IVF_STRIDE,
+        N_PLANES,
+        bucket_bits,
+        cosine_c,
+        dot_int,
+        int_embedding,
+        with_norm,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    base = emb.select("vec_id", int_embedding("embedding").alias("ei"))
+    bk = base.select("vec_id", bucket_bits(F.col("ei")).alias("bucket"))
+    sz = bk.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    qb = bk.filter(F.col("vec_id") < N_Q)
+    lsh_n = int(qb.join(sz, "bucket").agg(F.sum("cnt")).first()[0]) - N_Q
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
+        *[
+            F.col("bucket").bitwiseXOR(F.lit((1 << j) | (1 << k)))
+            for j in range(N_PLANES)
+            for k in range(j + 1, N_PLANES)
+        ],
+    )
+    qmp = qb.select(F.explode(probes).alias("bucket"))
+    mp_row = qmp.join(sz, "bucket").agg(F.sum("cnt")).first()[0]
+    mp_n = int(mp_row or 0) - N_Q
+    cn = with_norm(base)
+    cents = with_norm(base.filter(F.col("vec_id") % IVF_STRIDE == 0)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("ei").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = cosine_c(dot_int(F.col("ei"), F.col("ce")), F.col("norm"), F.col("cnorm"))
+    assign = (
+        cn.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", ccos.alias("ccos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nid"))
+            ).alias("cent_id")
+        )
+    )
+    lsz = assign.groupBy("cent_id").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    qw = W.partitionBy("vec_id").orderBy(F.desc("qcos"), F.asc("cent_id"))
+    qprobes = (
+        cn.filter(F.col("vec_id") < N_Q)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", ccos.alias("qcos"))
+        .withColumn("crnk", F.row_number().over(qw))
+        .filter(F.col("crnk") <= IVF_NPROBE)
+        .select("vec_id", "cent_id")
+    )
+    ivf_n = int(qprobes.join(lsz, "cent_id").agg(F.sum("cnt")).first()[0]) - N_Q
+    return {
+        "lsh": lsh_n,
+        "lsh_mp": mp_n,
+        "ivf": ivf_n,
+        "bin_ham": N_Q * min(BH_R, n_vec - 1),
+        "pq_adc": N_Q * min(PQ_SHORT, n_vec - 1),
+        "sq8": N_Q * (n_vec - 1),
+        "__denom": N_Q * (n_vec - 1),
+    }
+
+
 @register("similarity_ann_recall_report", _ann_recall_oracle())
 def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of every ANN variant against the exact brute-force
-    top-5 — the measurement that decides which index family a corpus
-    actually deploys (build brief: 'measure, don't guess').  Each
-    method's candidate set is the entry the driver already gates, so
-    this report cannot drift from the per-method oracles; the recall
-    arithmetic is integer-exact.  Scale shape: the method pipelines
-    each carry their own documented plan; the report adds one
-    25-rows-per-method join against the 25-row ground truth and a
+    """Recall@5 AND stage-1 cost of every ANN variant against the exact
+    brute-force top-5 — the measurement that decides which index family
+    a corpus actually deploys (build brief: 'measure, don't guess').
+    Each method's top-5 set is the entry the driver already gates, and
+    the candidate counts are built from the same shared helpers, so
+    this report cannot drift from the per-method oracles; all
+    arithmetic is integer-exact.
+
+    Reading the frontier (sf0.01/sf0.1): **pq_adc is the recommended
+    production path** — ~90/76% recall at ~1-2% of the corpus as
+    candidates (ADC shortlist -> bounded exact re-rank); **ivf** is the
+    runner-up where a coarse quantizer is cheaper to maintain (~70%
+    recall at ~2/K lists).  lsh_mp's recall costs ~16% of the corpus as
+    candidates — an order of magnitude more scan per point of recall —
+    so the LSH entries stay as baselines, not deployment paths.  Scale
+    shape: the method pipelines each carry their own documented plan;
+    the report adds 25-row joins, two histogram aggregates, and a
     5-group aggregate — negligible against any corpus."""
     from t_spoon_spark.queries.similarity import similarity_bruteforce_topk
     from t_spoon_spark.registry import _REGISTRY
@@ -591,7 +758,11 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame; counting it keeps the report honest if any method's k or
     # the query-set constant ever changes independently)
     total = bf.count()
-    methods = spark.createDataFrame([(tag,) for tag, _ in _ANN_METHODS], "method string")
+    counts = _ann_candidate_counts(spark, sf_dir)
+    denom = counts.pop("__denom")
+    methods = spark.createDataFrame(
+        [(tag, counts[tag]) for tag, _ in _ANN_METHODS], "method string, n_cand long"
+    )
     return (
         methods.join(hits, "method", "left")
         .select(
@@ -601,6 +772,8 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.coalesce(F.col("n_hits"), F.lit(0)) * 100.0 / total)
             .cast("long")
             .alias("recall_pct"),
+            F.col("n_cand"),
+            F.floor(F.col("n_cand") * 100.0 / denom).cast("long").alias("cand_pct"),
         )
         .orderBy("method")
     )
