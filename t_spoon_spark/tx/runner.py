@@ -105,6 +105,10 @@ def materialize(df: DataFrame) -> DataFrame:
             import tempfile
 
             spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="tspoon_ckpt_"))
+        # (persist-before-checkpoint measured NO gain here — the epoch
+        # control frames are small enough that the checkpoint's lineage
+        # recompute is noise against per-job dispatch; see
+        # tools/bench_cluster_probe.py + BENCHNOTES round-9 row)
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
