@@ -215,6 +215,20 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
     except ImportError:
         return
 
+    # Fresh session for the transactional + streaming sections (round
+    # 9): the ~40 query benches above leave localCheckpoint blocks and
+    # cached relations in the block manager, and the txn pins measured
+    # in that session read 3,65x-3,77x ms at the 30k pin across two full
+    # bench runs while three FRESH-session runs of the identical pin
+    # read 2,9xx-3,1xx (spread 69 on the tightest).  A deployment runs
+    # its transactional engine in its own session; the bench now does
+    # the same, isolating session-state contamination the same way each
+    # pin already owns a fresh env + warm epochs.
+    from t_spoon_spark.session import build_spark
+
+    spark.stop()
+    spark = build_spark(app_name="t_spoon_spark_bench_txn")
+
     def _run_stats(name: str, fn) -> None:
         """best-of-N + spread for a txn metric (round-6 verdict missing
         #2: single-shot txn numbers can't distinguish machine drift from
@@ -228,6 +242,35 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
             compact[name] = "failed"
             details[name] = "failed"
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
+
+    # Fixed-rate latency pins FIRST (round 9): these are the honest
+    # cross-round comparables, and measured immediately after the
+    # sustained-rate probe they carry its JVM/box contamination — the
+    # r9 idle-box artifact read the 30k pin 3,652 ms (spread 971, the
+    # documented noise signature) in the old late position vs 2,926 ms
+    # (spread 69) in a fresh session.  Each pin still owns its fresh
+    # env + 2 full-size warm epochs; only the position changed.
+    #
+    # 5,200 = the round-6 operating point (0.8x the rate the
+    # un-amplified probe discovered) — the cross-round comparable for
+    # the loaded-epoch close cost, since the 80pct metric's operating
+    # point moves whenever the sustained-rate discovery moves.
+    _run_stats(
+        "txn_latency_ms_at_5200_fixed",
+        lambda: txn_latency_ms_at_rate(spark, sf_dir, 5200.0),
+    )
+    # second pin in the HEAVY regime (150k-txn epochs): the 80pct
+    # metric's point drifts with every sustained-rate re-discovery, so
+    # amplified-close cost needs its own fixed comparable too
+    _run_stats(
+        "txn_latency_ms_at_30k_fixed",
+        lambda: txn_latency_ms_at_rate(spark, sf_dir, 30000.0),
+    )
+    # the reference's latency-unloaded accumulator: commit latency of a
+    # small epoch on an idle engine (the micro-batch floor)
+    _run_stats(
+        "txn_latency_ms_unloaded", lambda: txn_latency_ms_unloaded_stats(spark, sf_dir)
+    )
 
     _run_stats("txn_bank_tps_pl3", lambda: bank_transfer_tps_stats(spark, sf_dir))
     _run_stats("txn_bank_tps_fold", lambda: bank_transfer_tps_fold_stats(spark, sf_dir))
@@ -277,30 +320,6 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
         except Exception as exc:  # noqa: BLE001
             compact["txn_latency_ms_at_80pct_sustained"] = "failed"
             print(f"# txn_latency_ms_at_80pct_sustained: FAILED {exc}", file=sys.stderr)
-
-    # fixed-rate loaded latency at 5,200 tx/s — the round-6 operating
-    # point (0.8x the rate the un-amplified probe discovered).  The
-    # 80pct metric's operating point MOVES when sustained moves (round
-    # 7 amplified the probe stream and sustained tripled), so this pin
-    # is the cross-round comparable for the loaded-epoch close cost.
-    _run_stats(
-        "txn_latency_ms_at_5200_fixed",
-        lambda: txn_latency_ms_at_rate(spark, sf_dir, 5200.0),
-    )
-
-    # second pin in the HEAVY regime (150k-txn epochs): the 80pct
-    # metric's point drifts with every sustained-rate re-discovery, so
-    # amplified-close cost needs its own fixed comparable too
-    _run_stats(
-        "txn_latency_ms_at_30k_fixed",
-        lambda: txn_latency_ms_at_rate(spark, sf_dir, 30000.0),
-    )
-
-    # the reference's latency-unloaded accumulator: commit latency of a
-    # small epoch on an idle engine (the micro-batch floor)
-    _run_stats(
-        "txn_latency_ms_unloaded", lambda: txn_latency_ms_unloaded_stats(spark, sf_dir)
-    )
 
     # streaming end-to-end trigger-to-commit latency — the epoch-model
     # analogue of the reference's LatencyTrackerStart/End sink pair
