@@ -29,7 +29,9 @@ TOK_D = 8  # dims per pseudo-token
 PQ_M = 16  # PQ subspaces (finer than the token view: 16 x 4)
 PQ_D = 4  # dims per PQ subspace
 PQ_K = 64  # centroids per subspace (codebook = first K vectors' subs)
-PQ_SHORT = 50  # ADC shortlist size fed to the exact re-rank
+PQ_SHORT = 128  # ADC shortlist size fed to the exact re-rank (r10: 50 -> 128
+# for >=90% recall@5 at sf0.1; the oracle composes this constant verbatim,
+# so the correctness gate moves with it and the recall report prices it)
 N_Q = 5
 
 _DD_SUBDIST = (
@@ -133,11 +135,13 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     production trains it with the k-means entry's exact Lloyd), each
     corpus vector encoded to 16 codes, queries score candidates by
     summing per-subspace lookup distances to the code centroids (the
-    ADC table) without touching corpus floats, and only the top-50
-    shortlist per query pays an exact integer-cosine re-rank — the
-    same shortlist+re-rank contract as a production IVFPQ index (the
-    recall report measured the round-7 pure-ADC ranking at 20%
-    recall@5; this shape measures 76-96%).  Scale shape: encode is a
+    ADC table) without touching corpus floats, and only the top-128
+    (PQ_SHORT) shortlist per query pays an exact integer-cosine
+    re-rank — the same shortlist+re-rank contract as a production
+    IVFPQ index (the recall report measured the round-7 pure-ADC
+    ranking at 20% recall@5; the 50-row shortlist at 76% on sf0.1;
+    this 128-row shape at 96% for ~6% of the corpus as candidates).
+    Scale shape: encode is a
     broadcast of the K*M codebook against the corpus; ADC joins the
     codes table against the (Q x M x K)-row broadcast lookup and
     partial-aggregates; the re-rank joins a Q x 50 control frame back
@@ -558,6 +562,29 @@ def _ann_recall_oracle() -> str:
         "ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY "
         f"{_dd_cos('n.ei', 'c.ce', 'n.norm', 'c.cnorm')} DESC, c.cent_id)"
     )
+    # one n_cand expression PER _ANN_METHODS entry, composed by tag: a
+    # method added to _ANN_METHODS without a cost expression raises
+    # KeyError HERE at composition time — the same loud failure the
+    # Spark side raises from counts[tag] — instead of the inner JOIN
+    # silently dropping it from only the oracle result (ADVICE r9)
+    cand_expr = {
+        "lsh": "SELECT 'lsh' AS method, n_cand FROM c_lsh",
+        "lsh_mp": "SELECT 'lsh_mp' AS method, n_cand FROM c_lsh_mp",
+        "ivf": "SELECT 'ivf' AS method, n_cand FROM c_ivf",
+        "bin_ham": (
+            f"SELECT 'bin_ham' AS method, CAST(q * LEAST({BH_R}, n - 1) AS BIGINT)"
+            " AS n_cand FROM nstat CROSS JOIN qcnt"
+        ),
+        "pq_adc": (
+            f"SELECT 'pq_adc' AS method, CAST(q * LEAST({PQ_SHORT}, n - 1) AS BIGINT)"
+            " AS n_cand FROM nstat CROSS JOIN qcnt"
+        ),
+        "sq8": (
+            "SELECT 'sq8' AS method, CAST(q * (n - 1) AS BIGINT)"
+            " AS n_cand FROM nstat CROSS JOIN qcnt"
+        ),
+    }
+    cands_body = " UNION ALL ".join(cand_expr[tag] for tag, _ in _ANN_METHODS)
     return f"""
     WITH {", ".join(parts)},
     cand AS ({" UNION ALL ".join(unions)}),
@@ -572,9 +599,14 @@ def _ann_recall_oracle() -> str:
     nstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
     cb AS (SELECT vec_id, {DD_EI} AS ei FROM embeddings),
     cbk AS (SELECT n.vec_id, {_dd_bucket_expr('n')} AS bucket FROM cb n),
+    -- the ACTUAL query count (not the N_Q constant): every self-match
+    -- subtraction and per-query product below uses it, symmetric with
+    -- the Spark side's min(N_Q, n_vec), so a corpus smaller than N_Q
+    -- cannot skew (or sign-flip) the candidate counts
+    qcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS q FROM cbk WHERE vec_id < {N_Q}),
     csz AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM cbk GROUP BY bucket),
     c_lsh AS (
-      SELECT CAST(SUM(s.cnt) - COUNT(*) AS BIGINT) AS n_cand
+      SELECT CAST(SUM(s.cnt) - (SELECT q FROM qcnt) AS BIGINT) AS n_cand
       FROM cbk q JOIN csz s USING (bucket) WHERE q.vec_id < {N_Q}
     ),
     cmp AS (
@@ -591,7 +623,7 @@ def _ann_recall_oracle() -> str:
       FROM cbk q WHERE q.vec_id < {N_Q}
     ),
     c_lsh_mp AS (
-      SELECT CAST(SUM(s.cnt) - {N_Q} AS BIGINT) AS n_cand
+      SELECT CAST(SUM(s.cnt) - (SELECT q FROM qcnt) AS BIGINT) AS n_cand
       FROM cmp JOIN csz s USING (bucket)
     ),
     cnormed AS (
@@ -615,24 +647,17 @@ def _ann_recall_oracle() -> str:
       ) WHERE crnk <= {IVF_NPROBE}
     ),
     c_ivf AS (
-      SELECT CAST(SUM(s.cnt) - {N_Q} AS BIGINT) AS n_cand
+      SELECT CAST(SUM(s.cnt) - (SELECT q FROM qcnt) AS BIGINT) AS n_cand
       FROM cprobes p JOIN clsz s USING (cent_id)
     ),
-    cands AS (
-      SELECT 'lsh' AS method, n_cand FROM c_lsh
-      UNION ALL SELECT 'lsh_mp', n_cand FROM c_lsh_mp
-      UNION ALL SELECT 'ivf', n_cand FROM c_ivf
-      UNION ALL SELECT 'bin_ham', CAST({N_Q} * LEAST({BH_R}, n - 1) AS BIGINT) FROM nstat
-      UNION ALL SELECT 'pq_adc', CAST({N_Q} * LEAST({PQ_SHORT}, n - 1) AS BIGINT) FROM nstat
-      UNION ALL SELECT 'sq8', CAST({N_Q} * (n - 1) AS BIGINT) FROM nstat
-    )
+    cands AS ({cands_body})
     SELECT m.method,
            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
            CAST(gt.n_total AS BIGINT) AS n_total,
            CAST(FLOOR(COALESCE(h.n_hits, 0) * 100.0 / gt.n_total) AS BIGINT) AS recall_pct,
            c.n_cand,
-           CAST(FLOOR(c.n_cand * 100.0 / ({N_Q} * (ns.n - 1))) AS BIGINT) AS cand_pct
-    FROM methods m CROSS JOIN gt CROSS JOIN nstat ns
+           CAST(FLOOR(c.n_cand * 100.0 / (qc.q * (ns.n - 1))) AS BIGINT) AS cand_pct
+    FROM methods m CROSS JOIN gt CROSS JOIN nstat ns CROSS JOIN qcnt qc
       LEFT JOIN hits h USING (method) JOIN cands c USING (method)
     ORDER BY method
     """
@@ -660,11 +685,16 @@ def _ann_candidate_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]:
 
     emb = t(spark, sf_dir, "embeddings")
     n_vec = emb.count()
+    # ACTUAL query count (vec_ids are dense 0..n-1): every self-match
+    # subtraction and per-query product uses it, mirroring the oracle's
+    # COUNT(*) WHERE vec_id < N_Q — a corpus smaller than N_Q would
+    # otherwise skew (or sign-flip) the counts (ADVICE r9)
+    n_q = min(N_Q, n_vec)
     base = emb.select("vec_id", int_embedding("embedding").alias("ei"))
     bk = base.select("vec_id", bucket_bits(F.col("ei")).alias("bucket"))
     sz = bk.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     qb = bk.filter(F.col("vec_id") < N_Q)
-    lsh_n = int(qb.join(sz, "bucket").agg(F.sum("cnt")).first()[0]) - N_Q
+    lsh_n = int(qb.join(sz, "bucket").agg(F.sum("cnt")).first()[0]) - n_q
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
@@ -676,7 +706,7 @@ def _ann_candidate_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     )
     qmp = qb.select(F.explode(probes).alias("bucket"))
     mp_row = qmp.join(sz, "bucket").agg(F.sum("cnt")).first()[0]
-    mp_n = int(mp_row or 0) - N_Q
+    mp_n = int(mp_row or 0) - n_q
     cn = with_norm(base)
     cents = with_norm(base.filter(F.col("vec_id") % IVF_STRIDE == 0)).select(
         F.col("vec_id").alias("cent_id"),
@@ -704,15 +734,15 @@ def _ann_candidate_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         .filter(F.col("crnk") <= IVF_NPROBE)
         .select("vec_id", "cent_id")
     )
-    ivf_n = int(qprobes.join(lsz, "cent_id").agg(F.sum("cnt")).first()[0]) - N_Q
+    ivf_n = int(qprobes.join(lsz, "cent_id").agg(F.sum("cnt")).first()[0]) - n_q
     return {
         "lsh": lsh_n,
         "lsh_mp": mp_n,
         "ivf": ivf_n,
-        "bin_ham": N_Q * min(BH_R, n_vec - 1),
-        "pq_adc": N_Q * min(PQ_SHORT, n_vec - 1),
-        "sq8": N_Q * (n_vec - 1),
-        "__denom": N_Q * (n_vec - 1),
+        "bin_ham": n_q * min(BH_R, n_vec - 1),
+        "pq_adc": n_q * min(PQ_SHORT, n_vec - 1),
+        "sq8": n_q * (n_vec - 1),
+        "__denom": n_q * (n_vec - 1),
     }
 
 
@@ -727,8 +757,10 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is integer-exact.
 
     Reading the frontier (sf0.01/sf0.1): **pq_adc is the recommended
-    production path** — ~90/76% recall at ~1-2% of the corpus as
-    candidates (ADC shortlist -> bounded exact re-rank); **ivf** is the
+    production path** — 96% recall@5 at sf0.1 for ~6% of the corpus as
+    candidates (128-row ADC shortlist -> bounded exact re-rank; the
+    round-9 50-row shortlist read 76% at ~2% — the cost column priced
+    the recall buy); **ivf** is the
     runner-up where a coarse quantizer is cheaper to maintain (~70%
     recall at ~2/K lists).  lsh_mp's recall costs ~16% of the corpus as
     candidates — an order of magnitude more scan per point of recall —
