@@ -60,20 +60,52 @@ def co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("x").alias("u"), F.col("y").alias("v")).unionByName(
         pairs.select(F.col("y").alias("u"), F.col("x").alias("v"))
     )
+    import fcntl
     import os
     import tempfile
 
-    # tag includes the PID: two concurrent bench processes on one box
-    # must not overwrite each other's artifact mid-read (ADVICE r8); a
-    # long-lived deployment would point `path` at a durable location
-    # instead, where the sf_dir-only key is the right cache identity
-    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
+    # sf_dir-keyed artifact (the edge list is a pure function of the
+    # static input tables), so every process and session REUSES one
+    # bucketed copy per sf_dir — bounded temp growth, no per-PID orphan
+    # dirs (ADVICE r9).  Concurrent writers are serialized by an flock
+    # on a sidecar lock file, and a `.done` marker makes the write
+    # happen exactly once: after the marker exists nobody rewrites, so
+    # a second process can never clobber the files mid-read (the ADVICE
+    # r8 hazard the PID key used to guard against).  A crashed writer
+    # leaves no marker and the next process overwrites in place.  A
+    # long-lived deployment points `path` at a durable location with
+    # the same identity.
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     table = f"tsp_co_edges_{tag}"
-    # external table (same contract as io_bucketed_colocated_join):
-    # overwrite-in-place survives a stale location from a prior session,
-    # which a managed table's CREATE would refuse
-    path = os.path.join(tempfile.gettempdir(), "tspoon_co_edges", tag)
-    write_bucketed(edges, table, "u", n_buckets=32, path=path)
+    root_dir = os.path.join(tempfile.gettempdir(), "tspoon_co_edges")
+    os.makedirs(root_dir, exist_ok=True)
+    path = os.path.join(root_dir, tag)
+    done = path + ".done"
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            if not (os.path.exists(done) and os.path.isdir(path)):
+                # external table: overwrite-in-place survives a stale
+                # partial location, which a managed CREATE would refuse
+                write_bucketed(edges, table, "u", n_buckets=32, path=path)
+                with open(done, "w") as fh:
+                    fh.write("ok")
+            elif not spark.catalog.tableExists(table):
+                # artifact written by an earlier process/session:
+                # register the external table over it without rewriting
+                # (the bucket spec in the DDL is what lets reads skip
+                # the Exchange, same as saveAsTable's metadata)
+                ddl = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in edges.schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE `{table}` ({ddl}) USING parquet "
+                    "CLUSTERED BY (u) SORTED BY (u) INTO 32 BUCKETS "
+                    f"LOCATION '{path}'"
+                )
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
     _CO_EDGE_TABLES[sf_dir] = table
     return spark.table(table)
 
