@@ -266,6 +266,18 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
         "txn_latency_ms_at_30k_fixed",
         lambda: txn_latency_ms_at_rate(spark, sf_dir, 30000.0),
     )
+    # methodology tag (ADVICE r9): the pin protocol changed in round 9
+    # (pre-sliced checkpointed batches, AQE off at pins, fresh session,
+    # 2 full-size warm epochs) — pin readings from r6-r8 artifacts were
+    # measured under pin-v1 and are NOT on the same comparison axis
+    for k in ("txn_latency_ms_at_5200_fixed", "txn_latency_ms_at_30k_fixed"):
+        if isinstance(details.get(k), dict):
+            details[k]["protocol"] = (
+                "pin-v2 (since r9): pre-sliced checkpointed batches, AQE off, "
+                "fresh session, 2 full-size warm epochs; r6-r8 pin readings "
+                "are pin-v1 and not directly comparable"
+            )
+
     # the reference's latency-unloaded accumulator: commit latency of a
     # small epoch on an idle engine (the micro-batch floor)
     _run_stats(
@@ -360,6 +372,35 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
             )
     except ImportError:
         pass
+
+    # deployment-shape pin (round-10): the multi-JVM RELIABLE close path
+    # on a local-cluster master at the fixed 5,200 tx/s rate — the shape
+    # a real cluster runs, previously only probed by
+    # tools/bench_cluster_probe.py, now a committed artifact row.  Last
+    # section: it stops the session and owns cluster JVM startup.
+    try:
+        from t_spoon_spark.bench_txn import cluster_latency_pin
+
+        spark.stop()
+        mean, spread, per_txn = cluster_latency_pin(sf_dir)
+        compact["cluster_txn_latency_ms_at_5200_fixed"] = mean
+        compact["cluster_txn_ms_per_txn"] = per_txn
+        details["cluster_txn_latency_ms_at_5200_fixed"] = {
+            "best": mean,
+            "spread": spread,
+            "ms_per_txn": per_txn,
+            "master": "local-cluster[4,8,8192]",
+            "materialize_mode": "reliable",
+        }
+        print(
+            f"# cluster_txn_latency_ms_at_5200_fixed: mean={mean} "
+            f"spread={spread} ms/txn={per_txn}",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 — per-metric isolation
+        compact["cluster_txn_ms_per_txn"] = "failed"
+        details["cluster_txn_ms_per_txn"] = "failed"
+        print(f"# cluster pin: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -421,6 +421,45 @@ def txn_latency_ms_at_rate(
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
+def cluster_latency_pin(
+    sf_dir: str,
+    rate: float = 5200.0,
+    epoch_seconds: float = 5.0,
+    n_epochs: int = 3,
+) -> tuple[float, float, float]:
+    """Deployment-shape pin (round-9 verdict next-round #4): the
+    RELIABLE close path — multi-JVM local-cluster master, checkpoint
+    epoch cuts, distributed cascade, no driver pandas twins — at the
+    fixed 5,200 tx/s rate, so the shape a real cluster runs has a
+    committed number a regression would show up in.  The per-job
+    dispatch overhead that dominates it at small epochs amortizes 3.4x
+    from 26k->150k-txn epochs (BENCHNOTES round 9) — ms_per_txn at a
+    FIXED epoch size is the comparable, not the absolute latency.
+
+    Builds (and stops) its own session; the caller must stop any live
+    session first (one SparkContext per process).  Returns
+    (mean_epoch_ms, spread_ms, ms_per_txn)."""
+    from t_spoon_spark.session import build_spark
+
+    spark = build_spark(
+        app_name="t_spoon_spark_bench_cluster",
+        master="local-cluster[4,8,8192]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.executor.memory": "8g",
+            "spark.driver.memory": "8g",
+        },
+    )
+    try:
+        mean, spread = txn_latency_ms_at_rate(
+            spark, sf_dir, rate, epoch_seconds=epoch_seconds, n_epochs=n_epochs
+        )
+        per_txn = round(mean / (rate * epoch_seconds), 4)
+        return mean, spread, per_txn
+    finally:
+        spark.stop()
+
+
 def bank_transfer_tps_fold_stats(spark: SparkSession, sf_dir: str, rounds: int = 3) -> tuple[float, float]:
     """Associative-fold path, (best, spread) tx/s."""
     return _stats(lambda: _run(spark, sf_dir, fold=True), rounds)

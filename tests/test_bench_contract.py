@@ -43,6 +43,9 @@ def _full_shape_result() -> dict:
         "txn_latency_ms_at_30k_fixed",
         "txn_latency_ms_unloaded",
         "streaming_bank_commit_latency_ms",
+        "streaming_concurrent_commit_latency_ms",
+        "cluster_txn_latency_ms_at_5200_fixed",
+        "cluster_txn_ms_per_txn",
     ):
         queries[name] = 123456.7
     return {

@@ -50,6 +50,8 @@ for m in (
     "_merge_votes_delta",
     "_update_ov_links",
     "_ensure_v0",
+    "_vec_init",
+    "_refold_keys_vec",
 ):
     if hasattr(dc.DriverCascade, m):
         wrap(dc.DriverCascade, m)
