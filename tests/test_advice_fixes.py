@@ -211,3 +211,35 @@ def test_gc_bases_keeps_reachable_spill(spark):
     for e in range(store.committed_epoch() - store.history_epochs, store.committed_epoch() + 1):
         rows = store.read("g", e).collect()
         assert rows  # materializes fine — no dangling base lineage
+
+
+# -- round-9 advisor: ANN recall report cost-column symmetry ------------
+
+
+def test_ann_recall_oracle_fails_loudly_on_unknown_method(monkeypatch):
+    """A method added to _ANN_METHODS without a candidate-cost
+    expression must raise at ORACLE COMPOSITION time (the same loud
+    KeyError the Spark side raises from counts[tag]) — previously the
+    inner JOIN silently dropped it from only the oracle result."""
+    import pytest as _pytest
+
+    from t_spoon_spark.queries import similarity2 as s2
+
+    monkeypatch.setattr(
+        s2, "_ANN_METHODS", (*s2._ANN_METHODS, ("novel", "similarity_bruteforce_topk"))
+    )
+    with _pytest.raises(KeyError):
+        s2._ann_recall_oracle()
+
+
+def test_ann_recall_oracle_subtracts_actual_query_count():
+    """Every self-match subtraction and per-query product must use the
+    ACTUAL query count CTE (qcnt), not the N_Q literal — the corpus-
+    smaller-than-N_Q symmetry fix."""
+    from t_spoon_spark.queries import similarity2 as s2
+
+    sql = s2._ann_recall_oracle()
+    assert "qcnt" in sql
+    assert sql.count("(SELECT q FROM qcnt)") >= 3  # lsh, lsh_mp, ivf
+    # the bin_ham/pq_adc/sq8 rows and the cand_pct denominator use q
+    assert "q * LEAST" in sql and "(qc.q * (ns.n - 1))" in sql
