@@ -200,6 +200,32 @@ def _least(*vals):
     return min(nn) if nn else None
 
 
+# -- vectorized (numpy) twins for the vec-mode compile -----------------------
+#
+# Vec mode compiles the SAME token stream to closures over numpy ARRAYS
+# (one element per chain), used by the position-wise cascade refold.  It
+# is only sound for NULL-FREE inputs — the vec eligibility gate
+# (_vec_init) guarantees that — so every null-propagating construct
+# (null literal, IS NULL, no-ELSE case, /, %, casts to non-float types,
+# strings) is Ineligible AT COMPILE TIME and the stage keeps the scalar
+# fold.  +, -, *, unary minus, abs and coalesce reuse the scalar
+# helpers verbatim: their `is None` guards are False for arrays and the
+# Python operators are numpy's elementwise ones.
+
+def _vcompare(op: str, a, b):
+    if op in ("=", "=="):
+        return a == b
+    if op in ("!=", "<>"):
+        return a != b
+    if op == ">":
+        return a > b
+    if op == ">=":
+        return a >= b
+    if op == "<":
+        return a < b
+    return a <= b
+
+
 def _to_int(v):
     return None if v is None else int(v)  # Spark CAST truncates toward zero
 
@@ -232,13 +258,29 @@ CASTS: dict[str, Callable[[Any], Any]] = {
 class _Parser:
     """Pratt parser over the token stream; builds closures fn(scope)
     where scope = (acc_value, rec_dict, inv_value).  `ansi` binds the
-    session's divide-by-zero behavior (raise vs NULL) at compile."""
+    session's divide-by-zero behavior (raise vs NULL) at compile.
 
-    def __init__(self, tokens: list[tuple[str, str]], cols: set[str], ansi: bool = True):
+    ``vec=True`` emits numpy-array closures instead (scope fields are
+    ndarrays, one element per chain being refolded); constructs whose
+    semantics need NULLs or error channels raise Ineligible at compile
+    so the caller falls back to the scalar fold.  ``forbid_acc`` rejects
+    ``acc.value`` references — the invariant scope has no accumulator
+    (the scalar twin passes None there, which vec arrays cannot)."""
+
+    def __init__(
+        self,
+        tokens: list[tuple[str, str]],
+        cols: set[str],
+        ansi: bool = True,
+        vec: bool = False,
+        forbid_acc: bool = False,
+    ):
         self.toks = tokens
         self.i = 0
         self.cols = cols
         self.ansi = ansi
+        self.vec = vec
+        self.forbid_acc = forbid_acc
 
     def _peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -266,7 +308,10 @@ class _Parser:
         while self._peek() == ("kw", "or"):
             self._next()
             right = self._and()
-            left = (lambda l, r: lambda s: _or(l(s), r(s)))(left, right)
+            if self.vec:
+                left = (lambda l, r: lambda s: _np.logical_or(l(s), r(s)))(left, right)
+            else:
+                left = (lambda l, r: lambda s: _or(l(s), r(s)))(left, right)
         return left
 
     def _and(self):
@@ -274,13 +319,18 @@ class _Parser:
         while self._peek() == ("kw", "and"):
             self._next()
             right = self._not()
-            left = (lambda l, r: lambda s: _and(l(s), r(s)))(left, right)
+            if self.vec:
+                left = (lambda l, r: lambda s: _np.logical_and(l(s), r(s)))(left, right)
+            else:
+                left = (lambda l, r: lambda s: _and(l(s), r(s)))(left, right)
         return left
 
     def _not(self):
         if self._peek() == ("kw", "not"):
             self._next()
             inner = self._not()
+            if self.vec:
+                return (lambda _i: lambda s: _np.logical_not(_i(s)))(inner)
 
             def neg(s, _i=inner):
                 v = _i(s)
@@ -295,8 +345,12 @@ class _Parser:
         if k == "op" and v in (">=", "<=", "!=", "<>", "==", "=", ">", "<"):
             self._next()
             right = self._add()
+            if self.vec:
+                return (lambda l, r, o: lambda s: _vcompare(o, l(s), r(s)))(left, right, v)
             return (lambda l, r, o: lambda s: _compare(o, l(s), r(s)))(left, right, v)
         if self._peek() == ("kw", "is"):  # IS [NOT] NULL
+            if self.vec:
+                raise Ineligible("IS NULL in vec mode")
             self._next()
             neg = False
             if self._peek() == ("kw", "not"):
@@ -326,12 +380,16 @@ class _Parser:
                 right = self._unary()
                 left = (lambda l, r: lambda s: _arith("*", l(s), r(s)))(left, right)
             elif k == "op" and v == "/":
+                if self.vec:
+                    raise Ineligible("division in vec mode")
                 self._next()
                 right = self._unary()
                 left = (
                     lambda l, r, a=self.ansi: lambda s: _divide(l(s), r(s), a)
                 )(left, right)
             elif k == "op" and v == "%":
+                if self.vec:
+                    raise Ineligible("modulo in vec mode")
                 self._next()
                 right = self._unary()
                 left = (
@@ -369,15 +427,21 @@ class _Parser:
             a, b = args
             return (lambda a, b, o: lambda s: _arith(o, a(s), b(s)))(a, b, name)
         if name == "/" and len(args) == 2:
+            if self.vec:
+                raise Ineligible("division in vec mode")
             a, b = args
             return (lambda a, b, an=self.ansi: lambda s: _divide(a(s), b(s), an))(a, b)
         if name in ("%", "mod", "pmod") and len(args) == 2:
             if name == "pmod":
                 raise Ineligible("pmod (positive modulo) not whitelisted")
+            if self.vec:
+                raise Ineligible("modulo in vec mode")
             a, b = args
             return (lambda a, b, an=self.ansi: lambda s: _modulo(a(s), b(s), an))(a, b)
         if name in (">", ">=", "<", "<=", "=", "==", "!=", "<>") and len(args) == 2:
             a, b = args
+            if self.vec:
+                return (lambda a, b, o: lambda s: _vcompare(o, a(s), b(s)))(a, b, name)
             return (lambda a, b, o: lambda s: _compare(o, a(s), b(s)))(a, b, name)
         if name == "negative" and len(args) == 1:
             a = args[0]
@@ -396,10 +460,32 @@ class _Parser:
 
             return absf
         if name == "greatest":
+            if self.vec:
+                # pairwise (not .reduce over a list): the args mix
+                # arrays and scalar literals, which numpy cannot stack
+                def vgreatest(s, _args=args):
+                    out = _args[0](s)
+                    for a in _args[1:]:
+                        out = _np.maximum(out, a(s))
+                    return out
+
+                return vgreatest
             return lambda s: _greatest(*[a(s) for a in args])
         if name == "least":
+            if self.vec:
+                def vleast(s, _args=args):
+                    out = _args[0](s)
+                    for a in _args[1:]:
+                        out = _np.minimum(out, a(s))
+                    return out
+
+                return vleast
             return lambda s: _least(*[a(s) for a in args])
         if name == "coalesce":
+            if self.vec:
+                # vec inputs are provably non-null, so coalesce IS its
+                # first argument (nothing upstream can produce a null)
+                return args[0]
             def co(s, _args=args):
                 for a in _args:
                     v = a(s)
@@ -409,9 +495,13 @@ class _Parser:
             return co
         if name == "and" and len(args) == 2:
             a, b = args
+            if self.vec:
+                return lambda s: _np.logical_and(a(s), b(s))
             return lambda s: _and(a(s), b(s))
         if name == "or" and len(args) == 2:
             a, b = args
+            if self.vec:
+                return lambda s: _np.logical_or(a(s), b(s))
             return lambda s: _or(a(s), b(s))
         raise Ineligible(f"function {name!r} not whitelisted")
 
@@ -428,6 +518,8 @@ class _Parser:
                 val = int(text)
             return lambda s: val
         if k == "str":
+            if self.vec:
+                raise Ineligible("string literal in vec mode")
             return lambda s, _v=v: _v
         if k == "fn":  # backquoted operator-named function
             return self._fn_call(v)
@@ -437,6 +529,8 @@ class _Parser:
             if v == "false":
                 return lambda s: False
             if v == "null":
+                if self.vec:
+                    raise Ineligible("null literal in vec mode")
                 return lambda s: None
             if v == "cast":
                 self._expect("op", "(")
@@ -447,6 +541,13 @@ class _Parser:
                     raise Ineligible(f"cast target {tv!r} not whitelisted")
                 cast = CASTS[tv.lower()]
                 self._expect("op", ")")
+                if self.vec:
+                    # only float targets vectorize exactly (int needs
+                    # truncation + overflow semantics, bool is unused in
+                    # value position) — others keep the scalar fold
+                    if cast is not _to_float:
+                        raise Ineligible(f"cast to {tv!r} in vec mode")
+                    return (lambda i: lambda s: _np.asarray(i(s), dtype=_np.float64))(inner)
                 return (lambda i, c: lambda s: c(i(s)))(inner, cast)
             if v == "case":
                 whens = []
@@ -461,6 +562,19 @@ class _Parser:
                     self._next()
                     default = self._or()
                 self._expect("kw", "end")
+
+                if self.vec:
+                    if default is None:
+                        # no ELSE -> a non-matching row is NULL
+                        raise Ineligible("CASE without ELSE in vec mode")
+
+                    def vcase(s, _whens=whens, _default=default):
+                        out = _default(s)
+                        for c, val in reversed(_whens):
+                            out = _np.where(c(s), val(s), out)
+                        return out
+
+                    return vcase
 
                 def case(s, _whens=whens, _default=default):
                     for c, val in _whens:
@@ -479,6 +593,8 @@ class _Parser:
                 return self._fn_call(v.lower())
             low = v.lower()
             if low == "acc.value":
+                if self.forbid_acc:
+                    raise Ineligible("acc reference in invariant scope")
                 return lambda s: s[0]
             if low == "value":
                 return lambda s: s[2]
@@ -486,8 +602,12 @@ class _Parser:
                 col = v[2:]
                 if col not in self.cols:
                     raise Ineligible(f"unknown column x.{col}")
+                if self.vec:  # vec inputs are pre-verified non-null arrays
+                    return lambda s, _c=col: s[1][_c]
                 return lambda s, _c=col: _nan_none(s[1].get(_c))
             if v in self.cols:  # bare record column (raw invariant SQL)
+                if self.vec:
+                    return lambda s, _c=v: s[1][_c]
                 return lambda s, _c=v: _nan_none(s[1].get(_c))
             raise Ineligible(f"unknown reference {v!r}")
         raise Ineligible(f"unexpected token {k} {v}")
@@ -504,15 +624,23 @@ def _nan_none(v):
     return v
 
 
-def compile_fragment(sql: str, cols: list[str], ansi: bool = True) -> Callable:
+def compile_fragment(
+    sql: str,
+    cols: list[str],
+    ansi: bool = True,
+    vec: bool = False,
+    forbid_acc: bool = False,
+) -> Callable:
     """Compile a rendered Spark SQL fragment to fn(acc, rec, value).
 
     `sql` is either runner._chain_update_sql output (refs ``acc.value``
     and ``x.<col>``) or a raw namespace invariant (refs ``value`` and
     bare record columns).  Raises Ineligible outside the whitelist.
     ``ansi`` binds the divide-by-zero behavior (raise vs NULL) to the
-    session's `spark.sql.ansi.enabled` at compile time."""
-    fn = _Parser(_tokenize(sql), set(cols), ansi).parse()
+    session's `spark.sql.ansi.enabled` at compile time.  ``vec=True``
+    compiles to numpy-array closures for the position-wise refold (a
+    stricter whitelist — see _Parser)."""
+    fn = _Parser(_tokenize(sql), set(cols), ansi, vec=vec, forbid_acc=forbid_acc).parse()
 
     def run(acc, rec, value=None):
         return fn((acc, rec, value))
@@ -551,6 +679,10 @@ class _Compiled:
     update: Callable  # fn(acc, rec) -> candidate (raw)
     invariant: Callable | None  # fn(value, rec) -> bool|None
     cast: Callable  # value-type cast
+    # numpy twins of update/invariant over per-chain ARRAYS, or None
+    # when the expression doesn't vectorize (the scalar fold then runs)
+    update_vec: Callable | None = None
+    invariant_vec: Callable | None = None
 
 
 def compile_stage(spark, ctx: StageCtx, sql_cache: dict | None = None) -> _Compiled:
@@ -608,10 +740,28 @@ def compile_stage(spark, ctx: StageCtx, sql_cache: dict | None = None) -> _Compi
     inv = None
     if ctx.kind == "chain_expr" and ns.invariant:
         inv = compile_fragment(ns.invariant, ctx.value_cols, ansi)
+    # vec twins are best-effort: Ineligible here never fails the stage,
+    # it only keeps the cascade's scalar per-key fold
+    upd_v = inv_v = None
+    try:
+        upd_v = compile_fragment(upd_sql, ctx.value_cols, ansi, vec=True)
+    except Ineligible:
+        pass
+    if inv is not None and upd_v is not None:
+        try:
+            inv_v = compile_fragment(
+                ns.invariant, ctx.value_cols, ansi, vec=True, forbid_acc=True
+            )
+        except Ineligible:
+            upd_v = None  # both or neither: a half-vec stage can't fold
     return _Compiled(
         update=lambda acc, rec, _u=upd: _u(acc, rec),
         invariant=(lambda v, rec, _i=inv: _i(None, rec, v)) if inv else None,
         cast=cast,
+        update_vec=(lambda acc, rec, _u=upd_v: _u(acc, rec)) if upd_v else None,
+        invariant_vec=(
+            (lambda v, rec, _i=inv_v: _i(None, rec, v)) if inv_v else None
+        ),
     )
 
 
@@ -703,13 +853,22 @@ class _StageState:
     v0_ready: bool = False
     # lazily-built per-key chains: key -> [(tid, rec)] in fold order
     chains: dict = field(default_factory=dict)
-    # per-key refold results superseding eval_pdf rows:
-    # key -> [(tid, vote, value, ord, wr)]
+    # per-key refold results superseding eval_pdf rows.  Scalar mode:
+    # key -> [(tid, vote, value, ord, wr)].  Vec mode: key -> None (the
+    # dict is the KEY-MEMBERSHIP container both modes share; the link
+    # data lives flat in ov_flat)
     overrides: dict = field(default_factory=dict)
     # flat (key, _tid, vote) frame of the CURRENT override links —
     # maintained incrementally so a cascade round's vote merge reads
     # override votes without iterating the whole overrides dict
     ov_links: Any = None
+    # vec mode only: the flat override table (key, _tid, vote, value,
+    # _ord, wr) the position-wise refold writes and the writes assembly
+    # reads; ov_links aliases it (extra columns are harmless there)
+    ov_flat: Any = None
+    # packed fold state built once per epoch by _vec_init: None = not
+    # yet decided, False = stage not vec-eligible, dict = eligible
+    vec: Any = None
 
 
 @dataclass
@@ -846,24 +1005,39 @@ class DriverCascade:
         links_only = tids_df is None and len(self.states) == 1
         for i, st in enumerate(self.states):
             # single stage + no tid branch: the whole frame IS the links
-            # frame — skip the 2x batch-sized boolean masks + take
+            # frame — skip the 2x batch-sized boolean masks + take, and
+            # build the eval/ops frames as COLUMN-SHARING views of the
+            # pulled frame (dict-of-Series with copy=False is zero-copy;
+            # every later mutation in this module is a whole-column
+            # replacement, never an in-place write) — round-9 verdict
+            # next-round #2's links_only copy elision
             stage_rows = (
-                pdf if links_only else pdf[(pdf["stage"] == i) & (pdf["part"] == 1)]
+                pdf if links_only else
+                pdf[(pdf["stage"] == i) & (pdf["part"] == 1)].reset_index(drop=True)
             )
-            st.eval_pdf = (
-                stage_rows[["key", "_tid", "value", "vote", "_ord", "wr"]]
-                .rename(columns={"wr": "__wr"})
-                .reset_index(drop=True)
+            st.eval_pdf = pd.DataFrame(
+                {
+                    "key": stage_rows["key"],
+                    "_tid": stage_rows["_tid"],
+                    "value": stage_rows["value"],
+                    "vote": stage_rows["vote"],
+                    "_ord": stage_rows["_ord"],
+                    "__wr": stage_rows["wr"],
+                },
+                copy=False,
             )
             self._sanitize_eval_values(st)
             # the refoldable ops are a PROJECTION of the same link rows:
             # one link per (tid, key) after the pre-combine, with the
             # pre-combined record value in 'rec' — no second execution
             # of the epoch slice, no driver-side re-combine
-            ops = (
-                stage_rows[["_tid", "key", "rec"]]
-                .rename(columns={"key": "__key", "rec": st.ctx.value_cols[0]})
-                .reset_index(drop=True)
+            ops = pd.DataFrame(
+                {
+                    "_tid": stage_rows["_tid"],
+                    "__key": stage_rows["key"],
+                    st.ctx.value_cols[0]: stage_rows["rec"],
+                },
+                copy=False,
             )
             self._check_ops_nan(st, ops, [st.ctx.value_cols[0]])
             st.ops_pdf = ops
@@ -976,7 +1150,9 @@ class DriverCascade:
         ctx = st.ctx
         twin = store._current_pdf.get(ctx.ns.name)
         if twin is not None:
-            keys = set(st.ops_pdf["__key"]) if st.ops_pdf is not None else None
+            # .unique() (categorical-aware) instead of a set over every
+            # row: the batch's distinct keys, not one str per link
+            keys = st.ops_pdf["__key"].unique() if st.ops_pdf is not None else None
             sub = twin if keys is None else twin[twin["key"].isin(keys)]
             st.v0 = dict(zip(sub["key"], sub["value"]))
         else:
@@ -1091,6 +1267,160 @@ class DriverCascade:
                     acc = cand
         return out
 
+    # -- vectorized refold (position-wise over packed chains) ------------
+
+    def _vec_init(self, st: _StageState):
+        """Packed-array fold state for the position-wise vectorized
+        refold, or False when the stage must keep the scalar per-key
+        fold.  Eligibility (stricter than driver-cascade eligibility —
+        failing it costs speed, never correctness):
+
+        - chain_expr with a pre_combine (chains sort by tid alone, so
+          ONE global lexsort by (key, tid) packs every chain) and a
+          single record column;
+        - both update and invariant compiled to numpy twins;
+        - a FLOAT value type: float64 numpy ops are bit-identical to
+          Python floats, while int64 could silently wrap where the
+          scalar fold's Python ints cannot;
+        - null-free record values (a NaN in the pulled frame is SQL
+          NULL — the scalar fold's _nan_none semantics would be needed).
+
+        The packed layout: chains live as contiguous slices of the
+        (key, tid)-sorted arrays; starts/lens index them, acc0 carries
+        each key's committed v0.  One refold round then costs
+        O(max_chain_len) numpy steps over ALL touched keys instead of
+        one Python loop per key (round-9 verdict next-round #3)."""
+        ctx, comp = st.ctx, st.comp
+        if (
+            ctx.kind != "chain_expr"
+            or not ctx.stage.pre_combine
+            or len(ctx.value_cols) != 1
+            or comp.update_vec is None
+            or (comp.invariant is not None and comp.invariant_vec is None)
+            or comp.cast is not _to_float
+        ):
+            return False
+        col = ctx.value_cols[0]
+        vals = st.ops_pdf[col].to_numpy()
+        if vals.dtype.kind == "f":
+            if bool(_np.isnan(vals).any()):
+                return False  # NULL-as-NaN: scalar null semantics needed
+            vals = vals.astype(_np.float64, copy=False)
+        elif vals.dtype.kind == "i":
+            vals = vals.astype(_np.float64)  # exact for |v| < 2^53 deltas
+            if bool((_np.abs(vals) >= 2.0**53).any()):
+                return False
+        else:
+            return False
+        key_col = st.ops_pdf["__key"]
+        if isinstance(key_col.dtype, pd.CategoricalDtype):
+            codes = key_col.cat.codes.to_numpy().astype(_np.int64, copy=False)
+            cats = _np.asarray(key_col.cat.categories, dtype=object)
+        else:
+            codes, uniques = pd.factorize(key_col)
+            codes = codes.astype(_np.int64, copy=False)
+            cats = _np.asarray(uniques, dtype=object)
+        tids = st.ops_pdf["_tid"].to_numpy().astype(_np.int64, copy=False)
+        order = _np.lexsort((tids, codes))
+        codes_s = codes[order]
+        tids_s = tids[order]
+        vals_s = vals[order]
+        starts = _np.flatnonzero(_np.r_[True, codes_s[1:] != codes_s[:-1]])
+        lens = _np.diff(_np.r_[starts, codes_s.size])
+        gkeys = cats[codes_s[starts]]
+        default = float(ctx.ns.default)
+        # vectorized v0 lookup: a missing key OR a NULL committed value
+        # both coalesce to the namespace default (the same contract as
+        # the scalar fold's _nan_none + default)
+        if st.v0:
+            acc0 = (
+                pd.Series(st.v0).reindex(gkeys).to_numpy(dtype=_np.float64)
+            )
+            _np.copyto(acc0, default, where=_np.isnan(acc0))
+        else:
+            acc0 = _np.full(len(starts), default, _np.float64)
+        return {
+            "tids": tids_s,
+            "vals": vals_s,
+            "starts": starts,
+            "lens": lens,
+            "kindex": pd.Index(gkeys),
+            "acc0": acc0,
+            "col": col,
+        }
+
+    def _refold_keys_vec(self, st: _StageState, touched, excl_arr) -> _np.ndarray:
+        """Refold ALL touched keys' chains at once: one numpy step per
+        chain POSITION (update + invariant + exclusion over every active
+        chain simultaneously), semantics identical to _refold_key's
+        chain_expr branch.  Results replace the keys' rows in the flat
+        override table; returns the refolded links' tids (the affected
+        set for the delta vote merge)."""
+        P = st.vec
+        comp = st.comp
+        tkeys = _np.asarray(touched, dtype=object)
+        # every touched key HAS ops rows (its eval links came from the
+        # same pre-combined rows), so the indexer is total
+        grp = P["kindex"].get_indexer(tkeys)
+        S = P["starts"][grp]
+        L = P["lens"][grp]
+        acc = P["acc0"][grp].copy()
+        total = int(L.sum())
+        o_starts = _np.concatenate(([0], _np.cumsum(L)))[:-1]
+        out_tid = _np.empty(total, _np.int64)
+        out_vote = _np.empty(total, _np.int32)
+        out_val = _np.empty(total, _np.float64)
+        out_pos = _np.empty(total, _np.int64)
+        out_wr = _np.empty(total, bool)
+        tids_s, vals_s, col = P["tids"], P["vals"], P["col"]
+        ex_glob = _np.isin(tids_s, excl_arr) if excl_arr.size else None
+        upd, inv = comp.update_vec, comp.invariant_vec
+        for step in range(int(L.max()) if len(L) else 0):
+            sel = _np.flatnonzero(L > step)
+            idx = S[sel] + step
+            o = o_starts[sel] + step
+            a = acc[sel]
+            rec = {col: vals_s[idx]}
+            # mirrors _refold_key chain_expr: candidate cast to the
+            # (float) value type, invariant sees the cast candidate,
+            # value recorded = candidate if ok else prior acc, chain
+            # advances only for applied (ok and not excluded) links
+            cand = _np.asarray(upd(a, rec), dtype=_np.float64)
+            if inv is not None:
+                ok = _np.asarray(inv(cand, rec), dtype=bool)
+            else:
+                ok = _np.ones(cand.shape, dtype=bool)
+            if ex_glob is not None:
+                wr = ok & ~ex_glob[idx]
+            else:
+                wr = ok
+            out_tid[o] = tids_s[idx]
+            out_pos[o] = step
+            out_vote[o] = _np.where(ok, COMMIT, ABORT)
+            out_val[o] = _np.where(ok, cand, a)
+            out_wr[o] = wr
+            acc[sel] = _np.where(wr, cand, a)
+        new = pd.DataFrame(
+            {
+                "key": _np.repeat(tkeys, L),
+                "_tid": out_tid,
+                "vote": out_vote,
+                "value": out_val,
+                "_ord": out_pos,
+                "wr": out_wr,
+            },
+            copy=False,
+        )
+        ov = st.ov_flat
+        if ov is not None and len(ov):
+            keep = ov[~ov["key"].isin(set(tkeys))]
+            new = pd.concat([keep, new], ignore_index=True) if len(keep) else new
+        st.ov_flat = new
+        st.ov_links = new
+        for k in tkeys:
+            st.overrides[k] = None
+        return _np.unique(out_tid)
+
     # -- vote merge (vectorized) ----------------------------------------
 
     def _merge_votes(self, all_tids: pd.Series) -> pd.DataFrame:
@@ -1106,14 +1436,13 @@ class DriverCascade:
             ep = st.eval_pdf
             if st.overrides:
                 base = ep[~ep["key"].isin(st.overrides)][["_tid", "vote"]]
-                ov = [
-                    (tid, vote)
-                    for links in st.overrides.values()
-                    for tid, vote, _v, _o, _w in links
-                ]
                 parts.append(base)
-                if ov:
-                    parts.append(pd.DataFrame(ov, columns=["_tid", "vote"]))
+                # ov_links mirrors the overrides' current link set in
+                # BOTH storage modes (scalar _update_ov_links / vec
+                # ov_flat alias) — one read path for the full merge
+                ov = st.ov_links
+                if ov is not None and len(ov):
+                    parts.append(ov[["_tid", "vote"]])
             else:
                 parts.append(ep[["_tid", "vote"]])
         links = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
@@ -1146,7 +1475,7 @@ class DriverCascade:
             st.ov_links = new
 
     def _merge_votes_delta(
-        self, gv: pd.DataFrame, tid_index: pd.Index, affected: set
+        self, gv: pd.DataFrame, tid_index: pd.Index, affected
     ) -> pd.DataFrame:
         """Per-round vote merge over ONLY the affected tids.
 
@@ -1158,8 +1487,15 @@ class DriverCascade:
         144k-txn operating point) re-derived votes that could not have
         moved.  Same MAX-lattice + any-commit semantics as
         `_merge_votes`, updated in place on the gv frame (rows stay in
-        all_tids order)."""
-        A = pd.Index(sorted(affected))
+        all_tids order).  ``affected`` is a set (scalar rounds) or a
+        sorted-unique int64 ndarray (vec rounds hand their tids over
+        without a 100k-element Python set round-trip)."""
+        if isinstance(affected, (set, frozenset)):
+            A_arr = _np.fromiter(affected, dtype=_np.int64, count=len(affected))
+            A_arr.sort()
+        else:
+            A_arr = affected
+        A = pd.Index(A_arr)
         parts: list[pd.DataFrame] = []
         for st in self.states:
             if st.ctx.kind == "epoch_combine":
@@ -1230,7 +1566,12 @@ class DriverCascade:
         all_tids = pd.Series(tids_pdf, dtype="int64").reset_index(drop=True)
         gv = self._merge_votes(all_tids)
         tid_index = pd.Index(all_tids)
-        excluded: set = set()
+        # the fixpoint's set algebra runs on SORTED int64 arrays (the
+        # per-round Python-set form boxed ~100k ints per round at the
+        # loaded operating point); the scalar refold path materializes
+        # a real set lazily, only in rounds where a non-vec stage
+        # actually refolds
+        excluded = _np.empty(0, dtype=_np.int64)
         rounds = 0  # refold rounds actually executed
         guard = 0
         # Fixpoint: E' = {txns with a failing link when chains apply
@@ -1244,15 +1585,15 @@ class DriverCascade:
         # bounded by the longest dependency chain in the epoch.
         while run_cascade:
             ab = gv["vote"] == ABORT
-            ab_set = set(int(t) for t in gv.loc[ab, "_tid"])
-            if ab_set == excluded:
+            ab_arr = _np.sort(gv.loc[ab, "_tid"].to_numpy())
+            if _np.array_equal(ab_arr, excluded):
                 break
             guard += 1
             if guard > 100_000:  # pragma: no cover - same bug trap as Spark loop
                 raise RuntimeError("driver cascade failed to converge")
-            new_ab = ab_set - excluded
-            replays = excluded - ab_set
-            if not has_ec and not replays:
+            new_ab = _np.setdiff1d(ab_arr, excluded, assume_unique=True)
+            replays = _np.setdiff1d(excluded, ab_arr, assume_unique=True)
+            if not has_ec and not replays.size:
                 # early exit: if no NEWLY aborted txn applied a single
                 # link write, excluding it changes no chain — the votes
                 # are already the fixpoint.  (Replayed txns always force
@@ -1262,11 +1603,12 @@ class DriverCascade:
                     break
             self._pull_refold(store)
             rounds += 1
-            changed = new_ab | replays
-            excluded = ab_set
+            changed = _np.concatenate((new_ab, replays))
+            excluded = ab_arr
+            excluded_set = None  # built on demand by the scalar path
             # only tids with a link on a refolded key (or with changed
             # exclusion status) can change their global vote this round
-            affected: set = set(changed)
+            affected_arrs: list = [changed]
             for st in self.states:
                 if st.ctx.kind == "epoch_combine":
                     continue  # every combine link votes COMMIT regardless
@@ -1299,15 +1641,33 @@ class DriverCascade:
                         if len(ov_cm):
                             cm = pd.concat([cm, ov_cm]) if len(cm) else ov_cm
                 touched = cm.unique()
+                if len(touched) == 0:
+                    continue
+                if st.vec is None:
+                    st.vec = self._vec_init(st)
+                if st.vec:
+                    affected_arrs.append(
+                        self._refold_keys_vec(
+                            st, _np.asarray(touched, dtype=object), excluded
+                        )
+                    )
+                    continue
+                if excluded_set is None:
+                    excluded_set = set(map(int, excluded))
                 self._ensure_chains(st, touched)
                 tset: set = set()
+                aff_sc: set = set()
                 for key in touched:
-                    st.overrides[key] = self._refold_key(st, key, excluded)
+                    st.overrides[key] = self._refold_key(st, key, excluded_set)
                     tset.add(key)
                     for tid, _rec in st.chains[key]:
-                        affected.add(tid)
+                        aff_sc.add(tid)
                 self._update_ov_links(st, tset)
-            gv = self._merge_votes_delta(gv, tid_index, affected)
+                affected_arrs.append(
+                    _np.fromiter(aff_sc, dtype=_np.int64, count=len(aff_sc))
+                )
+            aff = _np.unique(_np.concatenate(affected_arrs))
+            gv = self._merge_votes_delta(gv, tid_index, aff)
 
         gv_out = pd.DataFrame(
             {
@@ -1316,14 +1676,14 @@ class DriverCascade:
                 "any_commit": gv["any_commit"].astype("int32"),
             }
         )
-        commit_tids = set(int(t) for t in gv.loc[gv["vote"] == COMMIT, "_tid"])
+        commit_arr = gv.loc[gv["vote"] == COMMIT, "_tid"].to_numpy()
         writes: dict[str, list[pd.DataFrame]] = {}
         for st in self.states:
             ctx = st.ctx
             if ctx.kind == "epoch_combine":
                 pre = ctx.stage.pre_combine
                 p = st.ops_pdf
-                kept = p[~p["_tid"].isin(excluded)] if excluded else p
+                kept = p[~p["_tid"].isin(excluded)] if excluded.size else p
                 gb = kept.groupby("__key", sort=False, observed=True)
                 agg = {c: _pd_agg(gb, c, h) for c, h in pre.items()}
                 combined = pd.DataFrame(agg).reset_index()
@@ -1344,17 +1704,36 @@ class DriverCascade:
                 base = ep[ep["__wr"]]
                 if st.overrides:
                     base = base[~base["key"].isin(st.overrides)]
-                ov_rows = [
-                    (key, st.comp.cast(val), tid, ordv)
-                    for key, links in st.overrides.items()
-                    for tid, _vote, val, ordv, wr in links
-                    if wr
-                ]
                 frames = [base[["key", "value", "_tid", "_ord"]]]
-                if ov_rows:
-                    frames.append(
-                        pd.DataFrame(ov_rows, columns=["key", "value", "_tid", "_ord"])
-                    )
+                if st.ov_flat is not None:
+                    # vec mode: override values were cast (float64)
+                    # during the fold — project the applied links flat
+                    ow = st.ov_flat[st.ov_flat["wr"]]
+                    if len(ow):
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "key": ow["key"],
+                                    "value": ow["value"],
+                                    "_tid": ow["_tid"],
+                                    "_ord": ow["_ord"],
+                                },
+                                copy=False,
+                            ).reset_index(drop=True)
+                        )
+                else:
+                    ov_rows = [
+                        (key, st.comp.cast(val), tid, ordv)
+                        for key, links in st.overrides.items()
+                        for tid, _vote, val, ordv, wr in links
+                        if wr
+                    ]
+                    if ov_rows:
+                        frames.append(
+                            pd.DataFrame(
+                                ov_rows, columns=["key", "value", "_tid", "_ord"]
+                            )
+                        )
                 wdf = (
                     pd.concat(frames, ignore_index=True)
                     if len(frames) > 1
@@ -1367,7 +1746,7 @@ class DriverCascade:
         finals: dict[str, pd.DataFrame] = {}
         for ns_name, parts in writes.items():
             allw = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-            wc = allw[(allw["_tid"] < 0) | allw["_tid"].isin(commit_tids)]
+            wc = allw[(allw["_tid"] < 0) | allw["_tid"].isin(commit_arr)]
             # last writer per key: max (_stage, _ord) — the pandas twin
             # of the close's row_number window
             wc = wc.sort_values(["_stage", "_ord"], kind="mergesort")
