@@ -167,3 +167,42 @@ def test_compiled_invariant_matches_catalyst(spark, preds):
             want = truth_rows[si][f"p{i}"]
             got = run(None, {"delta": delta}, value)
             assert got == want, (preds[i], value, delta, want, got)
+
+
+_NN_SAMPLES = [(a, d) for a, d in SAMPLES if a is not None and d is not None]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(trees=st.lists(_trees(3), min_size=1, max_size=8))
+def test_vec_compile_matches_scalar(spark, trees):
+    """The vec (numpy-array) compile of the SAME rendered SQL must agree
+    elementwise with the scalar compile on null-free inputs — the vec
+    eligibility gate guarantees null-free, so that is the domain to pin.
+    Trees the vec whitelist rejects (division) must raise Ineligible,
+    never compile wrong."""
+    import numpy as np
+
+    import t_spoon_spark.tx.driver_cascade as dcm_mod
+
+    accs = np.array([a for a, _ in _NN_SAMPLES], dtype=np.float64)
+    deltas = np.array([d for _, d in _NN_SAMPLES], dtype=np.float64)
+    for tree in trees:
+        update = lambda v, _t=tree: _to_column(_t, v, F.col("delta"))
+        stage = G.StateStage("ns", key=lambda df: F.col("k"), update=update)
+        sql = _chain_update_sql(spark, stage, ["delta"])
+        scalar = dcm.compile_fragment(sql, ["delta"])
+        try:
+            vec = dcm.compile_fragment(sql, ["delta"], vec=True)
+        except dcm_mod.Ineligible:
+            continue  # whitelisted rejection (e.g. division) is correct
+        got = np.asarray(vec(accs, {"delta": deltas}), dtype=np.float64)
+        for i, (a, d) in enumerate(_NN_SAMPLES):
+            want = scalar(a, {"delta": d})
+            g = float(got[i]) if got.ndim else float(got)
+            assert (want == g) or (
+                isinstance(want, float) and math.isnan(want) and math.isnan(g)
+            ), (tree, a, d, want, g)
