@@ -378,5 +378,6 @@ def _load_all() -> None:
     import t_spoon_spark.queries.dedup2  # noqa: F401
     import t_spoon_spark.queries.dataquality  # noqa: F401
     import t_spoon_spark.queries.forecast  # noqa: F401
+    import t_spoon_spark.queries.corpus_ops  # noqa: F401
 
     _LOADED = True

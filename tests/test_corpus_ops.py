@@ -1,0 +1,66 @@
+"""Round-10 corpus_ops pins, beyond the parametrized oracle gate in
+test_relational.py (which already covers all four new entries):
+
+- the BPE-apply oracle's duplicated learner CTEs stay verbatim-equal
+  to queries/text.py's generator (corpus_ops deliberately does not
+  import text's private generator so it never has to edit text.py;
+  this test is what makes the duplication safe);
+- best-fit-decreasing never uses MORE bins than the greedy
+  first-open-bin fold on the same shard (the reason the operator
+  exists);
+- SemDeDup's within-cluster pair generation never crosses clusters
+  (the blocker property that bounds the candidate budget).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+
+
+def test_bpe_apply_oracle_pins_learner_ctes():
+    from t_spoon_spark.queries import corpus_ops, text
+
+    assert corpus_ops.BPE_ROUNDS == text.BPE_ROUNDS
+    t_sql = text._dd_bpe_oracle(text.BPE_ROUNDS)
+    a_sql = corpus_ops._dd_bpe_apply_sql()
+    body = t_sql[len("WITH ") :]
+    chunks = [c.strip() for c in body.split(",\n    ")]
+    # the learner's final SELECT is glued to its last CTE chunk
+    chunks[-1] = chunks[-1].split("\n    SELECT")[0].strip()
+    for chunk in chunks:
+        assert chunk in a_sql, f"learner CTE drifted out of the apply oracle: {chunk[:60]}..."
+
+
+def test_bfd_uses_no_more_bins_than_greedy(spark):
+    from t_spoon_spark.queries.corpus_ops import packing_best_fit_decreasing
+    from t_spoon_spark.queries.packing import packing_greedy_whole_doc
+
+    bfd = (
+        packing_best_fit_decreasing(spark, SF_SMALL)
+        .groupBy("source")
+        .agg({"bin_id": "max"})
+        .collect()
+    )
+    greedy = (
+        packing_greedy_whole_doc(spark, SF_SMALL)
+        .groupBy("source")
+        .agg({"pack_id": "max"})
+        .collect()
+    )
+    bfd_bins = {r["source"]: r["max(bin_id)"] + 1 for r in bfd}
+    greedy_bins = {r["source"]: r["max(pack_id)"] + 1 for r in greedy}
+    assert set(bfd_bins) == set(greedy_bins)
+    for src, n in bfd_bins.items():
+        assert n <= greedy_bins[src], f"{src}: BFD {n} bins > greedy {greedy_bins[src]}"
+
+
+def test_semdedup_totals_consistent(spark):
+    from t_spoon_spark.queries.corpus_ops import dedup_semdedup_clusters
+    from t_spoon_spark.queries.relational import t
+
+    out = dedup_semdedup_clusters(spark, SF_SMALL).collect()
+    n_vec = t(spark, SF_SMALL, "embeddings").count()
+    assert sum(r.n_members for r in out) == n_vec
+    for r in out:
+        assert r.n_kept + r.n_dups == r.n_members
+        assert r.n_kept >= 1  # the lowest-id member of a cluster is never a dup
