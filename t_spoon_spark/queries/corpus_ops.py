@@ -129,27 +129,11 @@ def _dd_semdedup_sql() -> str:
     )
 
 
-@register("dedup_semdedup_clusters", _dd_semdedup_sql())
-def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al.): k-means-cluster the embedding corpus,
-    then mark as a semantic duplicate any vector whose cosine to a
-    LOWER-id member of the SAME cluster reaches the threshold — the
-    keep-first policy over cluster-bounded candidate pairs. This is
-    the published alternative to LSH banding for embedding dedup: the
-    clustering is the blocker, so the pair budget is sum(|cluster|^2)
-    instead of n^2. Exactness: the k-means kernel is the clustering
-    module's integer-exact Lloyd (deterministic init, BIGINT
-    distances, integer-mean updates) and the cosine is the similarity
-    operators' 1e6-scaled single-rounded score, so both engines see
-    bit-identical clusters and pair scores. Scale shape at 100 TB: K
-    grows with the corpus to hold E[|cluster|] at a target (SemDeDup
-    used 100k clusters for LAION); assignment stays one broadcast-K
-    pass per iteration, centroid updates shuffle only (cid, dim)
-    partial sums, and the within-cluster pair join is an equi-join on
-    cid whose fan-out the cluster-size cap bounds — no all-pairs
-    product anywhere. Output: per-cluster members/dups/kept + the
-    dup-id checksum. Ref analogue: none (beyond-reference mandate)."""
-    from t_spoon_spark.operators.similarity import dot_int, int_embedding
+def semdedup_members_and_dups(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The SemDeDup pipeline up to the dup decision: returns
+    (membership frame: vec_id, cid; dup frame: vec_id, is_dup=1).
+    Shared by the gated entry below and examples/pack_corpus.py."""
+    from t_spoon_spark.operators.similarity import cosine_c, dot_int, int_embedding
     from t_spoon_spark.queries.clustering import _assign
 
     emb = t(spark, sf_dir, "embeddings")
@@ -176,9 +160,7 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     memb = (
         _assign(base, cents)
         .select("vec_id", "cid", "ei")
-        .withColumn(
-            "norm", F.sqrt(dot_int(F.col("ei"), F.col("ei")).cast("double"))
-        )
+        .withColumn("norm", F.sqrt(dot_int(F.col("ei"), F.col("ei")).cast("double")))
     )
     a = memb.select(
         F.col("cid"),
@@ -192,8 +174,6 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ei").alias("eb"),
         F.col("norm").alias("nb"),
     )
-    from t_spoon_spark.operators.similarity import cosine_c
-
     pairs = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -212,9 +192,32 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
+    return memb.select("vec_id", "cid"), dups
+
+
+@register("dedup_semdedup_clusters", _dd_semdedup_sql())
+def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al.): k-means-cluster the embedding corpus,
+    then mark as a semantic duplicate any vector whose cosine to a
+    LOWER-id member of the SAME cluster reaches the threshold — the
+    keep-first policy over cluster-bounded candidate pairs. This is
+    the published alternative to LSH banding for embedding dedup: the
+    clustering is the blocker, so the pair budget is sum(|cluster|^2)
+    instead of n^2. Exactness: the k-means kernel is the clustering
+    module's integer-exact Lloyd (deterministic init, BIGINT
+    distances, integer-mean updates) and the cosine is the similarity
+    operators' 1e6-scaled single-rounded score, so both engines see
+    bit-identical clusters and pair scores. Scale shape at 100 TB: K
+    grows with the corpus to hold E[|cluster|] at a target (SemDeDup
+    used 100k clusters for LAION); assignment stays one broadcast-K
+    pass per iteration, centroid updates shuffle only (cid, dim)
+    partial sums, and the within-cluster pair join is an equi-join on
+    cid whose fan-out the cluster-size cap bounds — no all-pairs
+    product anywhere. Output: per-cluster members/dups/kept + the
+    dup-id checksum. Ref analogue: none (beyond-reference mandate)."""
+    memb, dups = semdedup_members_and_dups(spark, sf_dir)
     return (
-        memb.select("vec_id", "cid")
-        .join(dups, "vec_id", "left")
+        memb.join(dups, "vec_id", "left")
         .groupBy("cid")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_members"),
@@ -296,8 +299,6 @@ def packing_best_fit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to packing_greedy_whole_doc — partition key becomes
     (source, shard) at 100 TB so every fold is bounded; the fill array
     stays small because full bins (fill = budget) can be retired."""
-    import pandas as pd
-
     from t_spoon_spark.operators.text import tokens
 
     docs = t(spark, sf_dir, "documents")
@@ -308,6 +309,15 @@ def packing_best_fit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tok"),
     ).filter(F.size(tokens(F.col("text"))) > 0)
+    return bfd_pack(base).orderBy("source", "doc_id")
+
+
+def bfd_pack(base: DataFrame) -> DataFrame:
+    """Best-fit-decreasing fold over a (source, doc_id, n_tok) frame —
+    the packing kernel of packing_best_fit_decreasing, reusable on any
+    token-count column (examples/pack_corpus.py packs BPE counts).
+    n_tok must already be in (0, PACK_BUDGET]."""
+    import pandas as pd
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -332,12 +342,11 @@ def packing_best_fit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["bin_offset"] = pd.Series(offsets, dtype="int64")
         return pdf
 
-    out = base.groupBy("source").applyInPandas(
+    return base.groupBy("source").applyInPandas(
         fold,
         schema="source string, doc_id bigint, n_tok bigint, "
         "bin_id bigint, bin_offset bigint",
     )
-    return out.orderBy("source", "doc_id")
 
 
 # ---------------------------------------------------------------------------

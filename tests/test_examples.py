@@ -35,3 +35,15 @@ def test_curate_corpus_example(spark):
     # the quality gate + near-dup drop must actually bite on the
     # synthetic corpus (it contains failing docs and clusters)
     assert out["n_kept"] <= out["n_raw"] * 0.9
+
+
+def test_pack_corpus_example(spark):
+    from examples.pack_corpus import main
+
+    out = main(spark)
+    assert out["n_dropped_semantic"] > 0
+    assert out["n_packed_docs"] + out["n_dropped_semantic"] <= out["n_raw"]
+    assert out["n_bins"] > 0 and out["padding_waste"] >= 0
+    # every bin except possibly the last per source is within budget by
+    # construction; waste is bounded by bins * budget
+    assert out["n_tokens"] + out["padding_waste"] == out["n_bins"] * 512
