@@ -463,3 +463,130 @@ def text_bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023).
+# ---------------------------------------------------------------------------
+
+DSIR_H = 1024  # hashed-feature buckets
+DSIR_TARGET_LANG = "en"
+DSIR_TOP = 100
+
+
+@register(
+    "sampling_dsir_importance",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_DD_TOKS}) AS w FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(w), 1, 15))::BIGINT) % {DSIR_H} AS h
+      FROM tok
+    ),
+    cr AS (SELECT h, COUNT(*) AS cr FROM b GROUP BY h),
+    ct AS (SELECT h, COUNT(*) AS ct FROM b WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY h),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM b) AS tr,
+             (SELECT COUNT(*) FROM b WHERE lang = '{DSIR_TARGET_LANG}') AS tt
+    ),
+    lr AS (
+      SELECT cr.h,
+             CAST(FLOOR(ln(
+               CAST((COALESCE(ct.ct, 0) + 1) * (tot.tr + {DSIR_H}) AS DOUBLE)
+               / CAST((cr.cr + 1) * (tot.tt + {DSIR_H}) AS DOUBLE)
+             ) * 1000000 + 0.5) AS BIGINT) AS lr_c
+      FROM cr LEFT JOIN ct USING (h) CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT b.doc_id, any_value(b.lang) AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(lr.lr_c) AS BIGINT) AS w_c
+      FROM b JOIN lr USING (h)
+      GROUP BY b.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY w_c DESC, doc_id) AS BIGINT) AS rnk,
+           doc_id, lang, n_tok, w_c
+    FROM scored
+    QUALIFY rnk <= {DSIR_TOP}
+    ORDER BY rnk
+    """,
+)
+def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., "Data Selection for Language
+    Models via Importance Resampling"): score every document by how
+    much more likely its hashed-unigram features are under the TARGET
+    distribution (here: the corpus's 'en' slice, standing in for a
+    high-quality reference) than under the RAW distribution, then take
+    the top-K — the published recipe for carving a domain-matched
+    subset out of a crawl. Feature hashing uses the engine's portable
+    md5 bucket (operators/text.md5_long) into DSIR_H buckets; both
+    Laplace-smoothed distributions live in one DSIR_H-row table, each
+    bucket's log-ratio is a single ln over an exact integer-product
+    quotient rounded once at 1e6 (the PMI/idf discipline), and per-doc
+    weights are exact BIGINT sums of those rounded terms — bit-stable
+    under any partitioning. Plan shape: one token explode, one DSIR_H-row
+    broadcast join, one doc_id aggregate, and a TakeOrderedAndProject
+    top-K — the only corpus-sized exchange is the per-doc sum. At
+    100 TB the target model is trained once on the reference corpus
+    (control-plane) and only the scoring pass touches the crawl;
+    resampling replaces top-K with a Gumbel draw keyed on the same
+    weights (the weighted-sampling entry's machinery) when
+    de-biasing matters."""
+    from t_spoon_spark.operators.text import md5_long, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(F.col("text"))).alias("w"),
+    ).select(
+        "doc_id", "lang", (md5_long(F.col("w")) % DSIR_H).alias("h")
+    )
+    cr = b.groupBy("h").agg(F.count(F.lit(1)).alias("cr"))
+    ct = (
+        b.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).alias("tr"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)).alias("tt"),
+    )
+    lr = (
+        cr.join(ct, "h", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "h",
+            F.floor(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * (F.col("tr") + DSIR_H))
+                    .cast("double")
+                    / ((F.col("cr") + 1) * (F.col("tt") + DSIR_H)).cast("double")
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("lr_c"),
+        )
+    )
+    scored = (
+        b.join(F.broadcast(lr), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("lr_c").cast("long").alias("w_c"),
+        )
+    )
+    top = scored.orderBy(F.desc("w_c"), F.asc("doc_id")).limit(DSIR_TOP)
+    from pyspark.sql import Window as _W
+
+    return top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(_W.orderBy(F.desc("w_c"), F.asc("doc_id")))
+        .cast("long"),
+    ).select("rnk", "doc_id", "lang", "n_tok", "w_c").orderBy("rnk")
