@@ -180,6 +180,8 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
         "dedup_prefix_filter_jaccard",
         "graph_bfs_hop_frontier",
         "text_duplicate_ngram_spans",
+        "dedup_semdedup_clusters",
+        "sampling_dsir_importance",
     ):
         if name not in qs:
             continue

@@ -533,10 +533,34 @@ def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (control-plane) and only the scoring pass touches the crawl;
     resampling replaces top-K with a Gumbel draw keyed on the same
     weights (the weighted-sampling entry's machinery) when
-    de-biasing matters."""
+    de-biasing matters. NOTE on this corpus: the synthetic langs share
+    one 31-word vocabulary with near-identical frequencies (KL vs 'en'
+    ~0.01), so the learned ratios are close to flat and the top-K is
+    mostly length-ordered — the gate pins the arithmetic; the
+    discrimination property is pinned on crafted distributions in
+    tests/test_corpus_ops.py."""
+    docs = t(spark, sf_dir, "documents")
+    scored = dsir_scores(docs, DSIR_TARGET_LANG)
+    top = scored.orderBy(F.desc("w_c"), F.asc("doc_id")).limit(DSIR_TOP)
+    return (
+        top.withColumn(
+            "rnk",
+            F.row_number()
+            .over(W.orderBy(F.desc("w_c"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .select("rnk", "doc_id", "lang", "n_tok", "w_c")
+        .orderBy("rnk")
+    )
+
+
+def dsir_scores(docs: DataFrame, target_lang: str) -> DataFrame:
+    """The DSIR scoring kernel over a (doc_id, lang, text) frame:
+    per-doc BIGINT importance weights (w_c), token counts, lang.
+    Separated from the gated entry so crafted-distribution tests can
+    pin that the weights actually discriminate."""
     from t_spoon_spark.operators.text import md5_long, tokens
 
-    docs = t(spark, sf_dir, "documents")
     b = docs.select(
         "doc_id",
         "lang",
@@ -546,13 +570,13 @@ def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cr = b.groupBy("h").agg(F.count(F.lit(1)).alias("cr"))
     ct = (
-        b.filter(F.col("lang") == DSIR_TARGET_LANG)
+        b.filter(F.col("lang") == target_lang)
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
     tot = b.agg(
         F.count(F.lit(1)).alias("tr"),
-        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)).alias("tt"),
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0)).alias("tt"),
     )
     lr = (
         cr.join(ct, "h", "left")
@@ -572,7 +596,7 @@ def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lr_c"),
         )
     )
-    scored = (
+    return (
         b.join(F.broadcast(lr), "h")
         .groupBy("doc_id")
         .agg(
@@ -581,12 +605,3 @@ def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lr_c").cast("long").alias("w_c"),
         )
     )
-    top = scored.orderBy(F.desc("w_c"), F.asc("doc_id")).limit(DSIR_TOP)
-    from pyspark.sql import Window as _W
-
-    return top.withColumn(
-        "rnk",
-        F.row_number()
-        .over(_W.orderBy(F.desc("w_c"), F.asc("doc_id")))
-        .cast("long"),
-    ).select("rnk", "doc_id", "lang", "n_tok", "w_c").orderBy("rnk")

@@ -64,3 +64,35 @@ def test_semdedup_totals_consistent(spark):
     for r in out:
         assert r.n_kept + r.n_dups == r.n_members
         assert r.n_kept >= 1  # the lowest-id member of a cluster is never a dup
+
+
+def test_dsir_weights_discriminate_on_crafted_distributions(spark):
+    """DSIR's whole point: docs drawn from the target distribution must
+    outscore equal-length docs from a different distribution. The sf
+    corpora can't show this (their lang slices share one near-uniform
+    vocabulary — see the entry docstring), so the kernel is pinned on
+    crafted data: target docs are 'alpha'-heavy, raw docs 'beta'-heavy,
+    all exactly 20 tokens so length cannot explain the ordering."""
+    from t_spoon_spark.queries.corpus_ops import dsir_scores
+
+    rows = []
+    for i in range(30):  # target-like: alpha-dominated
+        rows.append((i, "tgt", " ".join(["alpha"] * 16 + ["beta"] * 4)))
+    for i in range(30, 60):  # raw-only: beta-dominated
+        rows.append((i, "other", " ".join(["beta"] * 16 + ["alpha"] * 4)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    scored = dsir_scores(docs, "tgt").collect()
+    assert len(scored) == 60
+    assert all(r.n_tok == 20 for r in scored)
+    tgt_min = min(r.w_c for r in scored if r.lang == "tgt")
+    other_max = max(r.w_c for r in scored if r.lang == "other")
+    assert tgt_min > other_max, (tgt_min, other_max)
+
+
+def test_dsir_entry_ranking_monotone(spark):
+    from t_spoon_spark.queries.corpus_ops import sampling_dsir_importance
+
+    top = sampling_dsir_importance(spark, SF_SMALL).collect()
+    assert len(top) == 100
+    ws = [r.w_c for r in sorted(top, key=lambda r: r.rnk)]
+    assert all(a >= b for a, b in zip(ws, ws[1:]))
