@@ -32,8 +32,13 @@ def test_bpe_apply_oracle_pins_learner_ctes():
 
 
 def test_bfd_uses_no_more_bins_than_greedy(spark):
+    from t_spoon_spark.queries import corpus_ops, packing
     from t_spoon_spark.queries.corpus_ops import packing_best_fit_decreasing
     from t_spoon_spark.queries.packing import packing_greedy_whole_doc
+
+    # the comparison below is only meaningful while both packers share
+    # one budget (each module pins its own constant into its oracle SQL)
+    assert corpus_ops.PACK_BUDGET == packing.PACK_BUDGET
 
     bfd = (
         packing_best_fit_decreasing(spark, SF_SMALL)
