@@ -49,6 +49,24 @@ HEADLINE = [
     "text_quality_scores",
 ]
 
+# one representative per operator family, timed as x_<name>_sec and
+# kept OUT of headline_total (cross-round totals stay comparable);
+# the bench-line size-cap test derives its synthetic shape from this
+EXTRA_REPRESENTATIVES = (
+    "text_bm25_search",
+    "graph_pagerank_nations",
+    "clustering_kmeans_fixed",
+    "decontamination_ngram_overlap",
+    "text_lm_bigram_score",
+    "skyline_orders_pareto",
+    "packing_greedy_whole_doc",
+    "dedup_prefix_filter_jaccard",
+    "graph_bfs_hop_frontier",
+    "text_duplicate_ngram_spans",
+    "dedup_semdedup_clusters",
+    "sampling_dsir_importance",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -169,20 +187,7 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
     from t_spoon_spark.registry import all_queries
 
     qs = all_queries()
-    for name in (
-        "text_bm25_search",
-        "graph_pagerank_nations",
-        "clustering_kmeans_fixed",
-        "decontamination_ngram_overlap",
-        "text_lm_bigram_score",
-        "skyline_orders_pareto",
-        "packing_greedy_whole_doc",
-        "dedup_prefix_filter_jaccard",
-        "graph_bfs_hop_frontier",
-        "text_duplicate_ngram_spans",
-        "dedup_semdedup_clusters",
-        "sampling_dsir_importance",
-    ):
+    for name in EXTRA_REPRESENTATIVES:
         if name not in qs:
             continue
         try:

@@ -21,15 +21,7 @@ def _full_shape_result() -> dict:
     queries: dict[str, object] = {}
     for name in bench.HEADLINE:
         queries[name] = 123.456
-    for name in (
-        "text_bm25_search",
-        "graph_pagerank_nations",
-        "clustering_kmeans_fixed",
-        "decontamination_ngram_overlap",
-        "text_lm_bigram_score",
-        "skyline_orders_pareto",
-        "packing_greedy_whole_doc",
-    ):
+    for name in bench.EXTRA_REPRESENTATIVES:
         queries[f"x_{name}_sec"] = 123.456
     for name in (
         "txn_bank_tps_pl3",
