@@ -405,8 +405,12 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
             file=sys.stderr,
         )
     except Exception as exc:  # noqa: BLE001 — per-metric isolation
-        compact["cluster_txn_ms_per_txn"] = "failed"
-        details["cluster_txn_ms_per_txn"] = "failed"
+        # mark BOTH cluster keys failed, mirroring the success path, so
+        # cross-round consumers see an explicit failure rather than a
+        # silently missing metric
+        for key in ("cluster_txn_ms_per_txn", "cluster_txn_latency_ms_at_5200_fixed"):
+            compact[key] = "failed"
+            details[key] = "failed"
         print(f"# cluster pin: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
 

@@ -75,7 +75,24 @@ def co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leaves no marker and the next process overwrites in place.  A
     # long-lived deployment points `path` at a durable location with
     # the same identity.
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # the tag carries a content fingerprint of the source table
+    # (size+mtime of its parquet files), so REGENERATED data at the
+    # same sf_dir (e.g. a rebuilt .scratch/sf1) mints a fresh
+    # location instead of serving the previous corpus's edges
+    # (round-10 review finding); orphaned old-fingerprint dirs are
+    # bounded by how often the inputs actually change
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    parts = []
+    for p in sorted(
+        os.listdir(src) if os.path.isdir(src) else [""]
+    ):
+        f = os.path.join(src, p) if p else src
+        if p and not p.endswith(".parquet"):
+            continue
+        stt = os.stat(f)
+        parts.append(f"{p}:{stt.st_size}:{stt.st_mtime_ns}")
+    fingerprint = f"{sf_dir}|{'|'.join(parts)}"
+    tag = hashlib.sha1(fingerprint.encode()).hexdigest()[:10]
     table = f"tsp_co_edges_{tag}"
     root_dir = os.path.join(tempfile.gettempdir(), "tspoon_co_edges")
     os.makedirs(root_dir, exist_ok=True)

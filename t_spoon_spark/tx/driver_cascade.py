@@ -1298,6 +1298,9 @@ class DriverCascade:
             or comp.update_vec is None
             or (comp.invariant is not None and comp.invariant_vec is None)
             or comp.cast is not _to_float
+            # a None namespace default cannot live in the float64 acc0
+            # array; the scalar fold's None semantics apply — fall back
+            or ctx.ns.default is None
         ):
             return False
         col = ctx.value_cols[0]
@@ -1306,11 +1309,14 @@ class DriverCascade:
             if bool(_np.isnan(vals).any()):
                 return False  # NULL-as-NaN: scalar null semantics needed
             vals = vals.astype(_np.float64, copy=False)
-        elif vals.dtype.kind == "i":
-            vals = vals.astype(_np.float64)  # exact for |v| < 2^53 deltas
-            if bool((_np.abs(vals) >= 2.0**53).any()):
-                return False
         else:
+            # integer record columns are NOT vec-eligible even under
+            # 2^53: Spark (and the scalar fold) evaluate record-only
+            # integer sub-expressions (e.g. x.delta * x.delta) in exact
+            # int64 and round ONCE at the double cast, while the numpy
+            # twin would round after every float64 op — e.g.
+            # delta=190000003 diverges the committed value for
+            # delta*delta + delta.  Falling back costs speed only.
             return False
         key_col = st.ops_pdf["__key"]
         if isinstance(key_col.dtype, pd.CategoricalDtype):
@@ -1373,7 +1379,11 @@ class DriverCascade:
         out_pos = _np.empty(total, _np.int64)
         out_wr = _np.empty(total, bool)
         tids_s, vals_s, col = P["tids"], P["vals"], P["col"]
-        ex_glob = _np.isin(tids_s, excl_arr) if excl_arr.size else None
+        # membership against the exclusion set is tested per step over
+        # the ACTIVE slices only (total = the touched chains' links),
+        # not precomputed over every link in the epoch — rounds that
+        # touch few keys pay for few keys (round-10 review finding)
+        has_excl = bool(excl_arr.size)
         upd, inv = comp.update_vec, comp.invariant_vec
         for step in range(int(L.max()) if len(L) else 0):
             sel = _np.flatnonzero(L > step)
@@ -1390,8 +1400,8 @@ class DriverCascade:
                 ok = _np.asarray(inv(cand, rec), dtype=bool)
             else:
                 ok = _np.ones(cand.shape, dtype=bool)
-            if ex_glob is not None:
-                wr = ok & ~ex_glob[idx]
+            if has_excl:
+                wr = ok & ~_np.isin(tids_s[idx], excl_arr)
             else:
                 wr = ok
             out_tid[o] = tids_s[idx]

@@ -166,3 +166,35 @@ def test_vec_compile_gate():
     # while the same fragments stay compilable in scalar mode
     compile_fragment("`/`(acc.value, x.delta)", ["delta"])
     compile_fragment("CASE WHEN `>`(x.delta, 0) THEN acc.value END", ["delta"])
+
+
+def test_vec_ineligible_on_none_default():
+    """A namespace created with the API default (default=None) must
+    fall back to the scalar fold, not crash float(None) — round-10
+    review finding: the epoch close raised TypeError on the first
+    cascade round for such graphs."""
+    comp = _mk_comp("`+`(acc.value, x.delta)", None)
+    rng = random.Random(7)
+    st = _mk_state(rng, comp, n_keys=3, n_links=12)
+    st.ctx.ns.default = None
+    assert _dc(st)._vec_init(st) is False
+
+
+def test_vec_ineligible_on_integer_record_column():
+    """Integer deltas must fall back to the scalar fold even under
+    2^53: Spark and the scalar fold evaluate record-only integer
+    sub-expressions exactly and round once, while the numpy twin
+    rounds per float64 op (delta=190000003 diverges delta*delta+delta
+    in the last ulp) — round-10 review finding."""
+    comp = _mk_comp(
+        "`+`(acc.value, `+`(`*`(x.delta, x.delta), x.delta))", None
+    )
+    rng = random.Random(11)
+    st = _mk_state(rng, comp, n_keys=2, n_links=8)
+    st.ops_pdf["delta"] = pd.Series(
+        [190000003] * len(st.ops_pdf), dtype="int64"
+    )
+    assert _dc(st)._vec_init(st) is False
+    # the float-typed path stays eligible (the bench workloads' shape)
+    st2 = _mk_state(rng, comp, n_keys=2, n_links=8)
+    assert _dc(st2)._vec_init(st2) is not False
