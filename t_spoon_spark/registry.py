@@ -157,6 +157,72 @@ def _correctness_history() -> tuple[dict[str, int], set[str], int]:
 
 _CHANGED_CACHE: dict[int, bool] = {}
 _CHANGED_FILES_CACHE: dict[int, frozenset] = {}
+_SAME_CODE_CACHE: dict[tuple[str, str], bool] = {}
+
+
+def _ast_fingerprint(src: str) -> str | None:
+    """Canonical dump of a module's AST with every docstring normalized
+    to the empty string — two sources with the same fingerprint differ
+    only in comments, whitespace/formatting, or docstring TEXT, none of
+    which can change what a registered query computes.  ``None`` on a
+    parse failure (caller must treat as changed)."""
+    import ast
+
+    try:
+        tree = ast.parse(src)
+    except (SyntaxError, ValueError):
+        return None
+    doc_owners = (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+    for node in ast.walk(tree):
+        if isinstance(node, doc_owners):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                body[0].value.value = ""
+    return ast.dump(tree)
+
+
+def _same_runtime_code(root: str, commit: str, rel: str) -> bool:
+    """True iff ``rel`` is a Python file whose AST (docstrings
+    normalized) is identical between ``commit`` and the worktree — i.e.
+    the recorded change is comment/docstring/formatting-only and cannot
+    have altered any entry's output.  Round-11: without this, a one-line
+    docstring correction in a watched module would re-reserve ~20
+    high-risk window slots (or promote a whole query module) and starve
+    the staleness drain for a change that provably cannot change
+    results.  Any state this cannot verify (non-.py, unreadable,
+    deleted, added, parse failure) reads as CHANGED — the conservative
+    default is preserved."""
+    if not rel.endswith(".py"):
+        return False
+    key = (commit, rel)
+    if key in _SAME_CODE_CACHE:
+        return _SAME_CODE_CACHE[key]
+    same = False
+    try:
+        import os
+        import subprocess
+
+        with open(os.path.join(root, rel), encoding="utf-8") as fh:
+            cur = fh.read()
+        old = subprocess.run(
+            ["git", "show", f"{commit}:{rel}"],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            timeout=20,
+            check=True,
+        ).stdout
+        a, b = _ast_fingerprint(old), _ast_fingerprint(cur)
+        same = a is not None and a == b
+    except Exception:
+        same = False
+    _SAME_CODE_CACHE[key] = same
+    return same
 
 
 def _changed_files_since(round_idx: int) -> frozenset:
@@ -200,7 +266,13 @@ def _changed_files_since(round_idx: int) -> frozenset:
                     if " -> " in p:
                         p = p.split(" -> ", 1)[1]
                     names.add(p.strip('"'))
-                out = frozenset(n for n in names if n)
+                # comment/docstring-only edits cannot change an entry's
+                # output — drop them so they don't promote (round 11)
+                out = frozenset(
+                    n
+                    for n in names
+                    if n and not _same_runtime_code(root, commit, n)
+                )
     except Exception:
         out = frozenset()
     _CHANGED_FILES_CACHE[round_idx] = out
@@ -220,13 +292,16 @@ def _entry_file(e: "QueryEntry") -> str | None:
 
 
 def _watched_changed_since(round_idx: int) -> bool:
-    """True iff any ``_HIGH_RISK_WATCH`` path changed since the commit
-    that added the ``round_idx``-th CORRECTNESS artifact — committed
-    changes, staged/unstaged edits, and untracked new files all count.
+    """True iff any ``_HIGH_RISK_WATCH`` path SEMANTICALLY changed since
+    the commit that added the ``round_idx``-th CORRECTNESS artifact —
+    committed changes, staged/unstaged edits, and untracked new files
+    all count, except edits that are provably comment/docstring/
+    formatting-only (``_same_runtime_code``, round 11).
 
     Conservative by construction: any state it cannot determine (no
-    git, artifact never committed, subprocess failure) reads as
-    "changed", which keeps the reservation — the pre-round-6 behavior.
+    git, artifact never committed, subprocess failure, unverifiable
+    path) reads as "changed", which keeps the reservation — the
+    pre-round-6 behavior.
     """
     if round_idx in _CHANGED_CACHE:
         return _CHANGED_CACHE[round_idx]
@@ -257,7 +332,22 @@ def _watched_changed_since(round_idx: int) -> bool:
             if commit:
                 diff = _git("diff", "--name-only", commit, "--", *_HIGH_RISK_WATCH)
                 status = _git("status", "--porcelain", "--", *_HIGH_RISK_WATCH)
-                changed = bool(diff.strip()) or bool(status.strip())
+                paths = set(diff.splitlines())
+                for line in status.splitlines():
+                    p = line[3:].strip()
+                    if " -> " in p:
+                        p = p.split(" -> ", 1)[1]
+                    paths.add(p.strip('"'))
+                # same semantic filter as _changed_files_since: a
+                # docstring-only edit in a watched module must not
+                # re-reserve the ~20 high-risk slots (round 11); any
+                # path that cannot be verified identical keeps the
+                # conservative "changed" reading
+                changed = any(
+                    not _same_runtime_code(root, commit, p)
+                    for p in paths
+                    if p
+                )
     except Exception:
         changed = True
     _CHANGED_CACHE[round_idx] = changed

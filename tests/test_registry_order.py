@@ -244,6 +244,142 @@ def test_module_changed_since_entry_evidence_promotes(monkeypatch):
     assert ordered.index(changed) < ordered.index(competitor)
 
 
+def test_ast_fingerprint_ignores_comments_and_docstrings():
+    """Round-11 semantic filter: comment/docstring/formatting edits
+    fingerprint identically; any code edit does not."""
+    base = (
+        '"""Module doc."""\n'
+        "def f(x):\n"
+        '    """f doc."""\n'
+        "    return x + 1  # add one\n"
+        "class C:\n"
+        '    """C doc."""\n'
+        "    y = 2\n"
+    )
+    cosmetic = (
+        '"""Rewritten module doc, totally different text."""\n'
+        "# a brand new comment\n"
+        "def f(x):\n"
+        '    """different f doc."""\n'
+        "    return x + 1\n"
+        "\n"
+        "class C:\n"
+        '    """new C doc."""\n'
+        "    y = 2\n"
+    )
+    semantic = base.replace("return x + 1", "return x + 2")
+    fp = registry._ast_fingerprint
+    assert fp(base) == fp(cosmetic)
+    assert fp(base) != fp(semantic)
+    # docstring removed entirely -> structure differs -> changed
+    no_doc = base.replace('    """f doc."""\n', "")
+    assert fp(base) != fp(no_doc)
+    # unparseable -> None (caller treats as changed)
+    assert fp("def broken(:\n") is None
+
+
+def test_same_runtime_code_against_real_git(tmp_path):
+    """Integration on a throwaway git repo: a docstring-only edit reads
+    as same-runtime-code; a one-token code edit does not; non-.py and
+    deleted files never do."""
+    import subprocess
+
+    def git(*args):
+        subprocess.run(
+            ["git", *args], cwd=tmp_path, check=True, capture_output=True
+        )
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    mod = tmp_path / "mod.py"
+    mod.write_text('"""old doc."""\nVALUE = 1\n')
+    (tmp_path / "data.txt").write_text("x")
+    git("add", "-A")
+    git("commit", "-qm", "base")
+    commit = subprocess.run(
+        ["git", "rev-parse", "HEAD"],
+        cwd=tmp_path,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
+
+    registry._SAME_CODE_CACHE.clear()
+    mod.write_text('"""new doc, plus\nmore lines."""\n# note\nVALUE = 1\n')
+    assert registry._same_runtime_code(str(tmp_path), commit, "mod.py")
+    registry._SAME_CODE_CACHE.clear()
+    mod.write_text('"""old doc."""\nVALUE = 2\n')
+    assert not registry._same_runtime_code(str(tmp_path), commit, "mod.py")
+    registry._SAME_CODE_CACHE.clear()
+    assert not registry._same_runtime_code(str(tmp_path), commit, "data.txt")
+    mod.unlink()
+    assert not registry._same_runtime_code(str(tmp_path), commit, "mod.py")
+    registry._SAME_CODE_CACHE.clear()
+    # file added after the commit: no base to compare -> changed
+    new = tmp_path / "new.py"
+    new.write_text("VALUE = 3\n")
+    assert not registry._same_runtime_code(str(tmp_path), commit, "new.py")
+    registry._SAME_CODE_CACHE.clear()
+
+
+def test_docstring_only_edit_does_not_promote_or_reserve(tmp_path, monkeypatch):
+    """End-to-end on a throwaway repo shaped like ours: after a
+    docstring-only edit to a watched module, _watched_changed_since is
+    False and _changed_files_since drops the file; after a real code
+    edit both flip — the round-11 guarantee that cosmetic fixes cannot
+    starve the staleness drain."""
+    import subprocess
+
+    def git(*args):
+        subprocess.run(
+            ["git", *args], cwd=tmp_path, check=True, capture_output=True
+        )
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    watched = tmp_path / "t_spoon_spark" / "tx"
+    watched.mkdir(parents=True)
+    eng = watched / "engine.py"
+    eng.write_text('"""engine."""\nSTATE = 1\n')
+    art = tmp_path / "CORRECTNESS_r01.json"
+    art.write_text("{}")
+    git("add", "-A")
+    git("commit", "-qm", "r1 artifact")
+
+    # point the module's root discovery at the throwaway repo: the
+    # functions derive root from registry.__file__'s grandparent, so
+    # fake an abspath that lands inside tmp_path
+    import os
+
+    real_abspath = os.path.abspath
+
+    def fake_abspath(p):
+        if p == registry.__file__:
+            return str(tmp_path / "t_spoon_spark" / "registry.py")
+        return real_abspath(p)
+
+    monkeypatch.setattr(os.path, "abspath", fake_abspath)
+    registry._CHANGED_CACHE.clear()
+    registry._CHANGED_FILES_CACHE.clear()
+    registry._SAME_CODE_CACHE.clear()
+
+    eng.write_text('"""much better docs.\n\nWith details."""\n# why\nSTATE = 1\n')
+    assert registry._watched_changed_since(0) is False
+    assert "t_spoon_spark/tx/engine.py" not in registry._changed_files_since(0)
+
+    registry._CHANGED_CACHE.clear()
+    registry._CHANGED_FILES_CACHE.clear()
+    registry._SAME_CODE_CACHE.clear()
+    eng.write_text('"""much better docs.\n\nWith details."""\nSTATE = 2\n')
+    assert registry._watched_changed_since(0) is True
+    assert "t_spoon_spark/tx/engine.py" in registry._changed_files_since(0)
+    registry._CHANGED_CACHE.clear()
+    registry._CHANGED_FILES_CACHE.clear()
+    registry._SAME_CODE_CACHE.clear()
+
+
 def test_changed_files_since_parses_renames(monkeypatch):
     """`git status --porcelain` rename records ('R  old -> new') must
     resolve to the NEW path — _entry_file reports the live module, so
