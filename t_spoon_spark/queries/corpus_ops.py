@@ -297,8 +297,12 @@ def packing_best_fit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE whose state column is the fill LIST, with the same
     (max feasible fill, lowest bin index) total tiebreak. Scale shape:
     identical to packing_greedy_whole_doc — partition key becomes
-    (source, shard) at 100 TB so every fold is bounded; the fill array
-    stays small because full bins (fill = budget) can be retired."""
+    (source, shard) at 100 TB so every fold is bounded. Note: bfd_pack
+    currently scans every bin ever opened per placement (O(docs*bins)
+    per shard) and does NOT yet retire exactly-full bins from the scan
+    list (ADVICE r10); retirement is the planned optimization for
+    large skewed shards — at the bounded per-shard sizes the partition
+    key guarantees, the linear scan is not the bottleneck."""
     from t_spoon_spark.operators.text import tokens
 
     docs = t(spark, sf_dir, "documents")

@@ -7,10 +7,14 @@ snapshot as a DataFrame.
 Oracle trick: amounts are FLOOR(value) (integer-valued doubles), so
 balances are exact integers regardless of summation order, and the
 associative epoch fold (state(epoch_combine=True)) equals a plain
-GROUP BY sum — giving the transactional path a bit-exact ANSI-SQL twin. The PL3
-invariant/abort/replay semantics are *not* SQL-expressible; that entry
-is registered without an oracle (driver records a rows-only check) and
-is instead verified by the Python-simulated oracle in
+GROUP BY sum — giving the transactional path a bit-exact ANSI-SQL twin.
+The PL3 invariant/abort/replay semantics are SQL-expressible too, just
+not as plain aggregation: since round 6 every txn_* entry (including
+the PL3 vote entry) carries a recursive-CTE serial-replay oracle that
+re-executes the epoch's transfers in tid order with the same
+invariant/abort rules, so the driver records a full exact-hash check —
+all 160 registry entries have oracles (registry.all_oracles()).  The
+engine is additionally verified by the Python-simulated oracle in
 tests/test_tx_core.py.
 """
 
