@@ -22,7 +22,11 @@ PR_SCALE = 1_000_000_000  # rank fixed-point scale
 PR_ITERS = 10
 PR_N = 25  # nations
 
-# session cache: sf_dir -> bucketed co-order edge table name
+# session cache: content tag -> bucketed co-order edge table name.
+# Keyed by the source-content fingerprint, NOT by sf_dir (ADVICE r10):
+# an sf_dir key would keep serving the previous corpus's edges within a
+# long-lived session after the data at that path is regenerated — the
+# exact hazard the on-disk fingerprint tag exists to close.
 _CO_EDGE_TABLES: dict[str, str] = {}
 
 
@@ -38,10 +42,35 @@ def co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint anyway (one write-time shuffle, zero read-time
     shuffles thereafter)."""
     import hashlib
+    import os
 
     from t_spoon_spark.operators.skew import write_bucketed
 
-    cached = _CO_EDGE_TABLES.get(sf_dir)
+    # the tag carries a content fingerprint of the source table
+    # (size+mtime of its parquet files), so REGENERATED data at the
+    # same sf_dir (e.g. a rebuilt .scratch/sf1) mints a fresh
+    # location instead of serving the previous corpus's edges
+    # (round-10 review finding); orphaned old-fingerprint dirs are
+    # bounded by how often the inputs actually change.  Computed BEFORE
+    # the memo lookup so in-session regeneration also misses the cache
+    # (ADVICE r10).  A missing/renamed source falls back to the
+    # sf_dir-only fingerprint — the Spark read below then raises the
+    # clear path error instead of a bare stat failure (ADVICE r10).
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    parts = []
+    try:
+        for p in sorted(os.listdir(src) if os.path.isdir(src) else [""]):
+            f = os.path.join(src, p) if p else src
+            if p and not p.endswith(".parquet"):
+                continue
+            stt = os.stat(f)
+            parts.append(f"{p}:{stt.st_size}:{stt.st_mtime_ns}")
+    except OSError:
+        parts = []
+    fingerprint = f"{sf_dir}|{'|'.join(parts)}"
+    tag = hashlib.sha1(fingerprint.encode()).hexdigest()[:10]
+
+    cached = _CO_EDGE_TABLES.get(tag)
     if cached is not None:
         return spark.table(cached)
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -61,7 +90,6 @@ def co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("y").alias("u"), F.col("x").alias("v"))
     )
     import fcntl
-    import os
     import tempfile
 
     # sf_dir-keyed artifact (the edge list is a pure function of the
@@ -75,24 +103,6 @@ def co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leaves no marker and the next process overwrites in place.  A
     # long-lived deployment points `path` at a durable location with
     # the same identity.
-    # the tag carries a content fingerprint of the source table
-    # (size+mtime of its parquet files), so REGENERATED data at the
-    # same sf_dir (e.g. a rebuilt .scratch/sf1) mints a fresh
-    # location instead of serving the previous corpus's edges
-    # (round-10 review finding); orphaned old-fingerprint dirs are
-    # bounded by how often the inputs actually change
-    src = os.path.join(sf_dir, "lineitem.parquet")
-    parts = []
-    for p in sorted(
-        os.listdir(src) if os.path.isdir(src) else [""]
-    ):
-        f = os.path.join(src, p) if p else src
-        if p and not p.endswith(".parquet"):
-            continue
-        stt = os.stat(f)
-        parts.append(f"{p}:{stt.st_size}:{stt.st_mtime_ns}")
-    fingerprint = f"{sf_dir}|{'|'.join(parts)}"
-    tag = hashlib.sha1(fingerprint.encode()).hexdigest()[:10]
     table = f"tsp_co_edges_{tag}"
     root_dir = os.path.join(tempfile.gettempdir(), "tspoon_co_edges")
     os.makedirs(root_dir, exist_ok=True)
@@ -123,7 +133,7 @@ def co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         finally:
             fcntl.flock(lk, fcntl.LOCK_UN)
-    _CO_EDGE_TABLES[sf_dir] = table
+    _CO_EDGE_TABLES[tag] = table
     return spark.table(table)
 
 

@@ -243,3 +243,48 @@ def test_ann_recall_oracle_subtracts_actual_query_count():
     assert sql.count("(SELECT q FROM qcnt)") >= 3  # lsh, lsh_mp, ivf
     # the bin_ham/pq_adc/sq8 rows and the cand_pct denominator use q
     assert "q * LEAST" in sql and "(qc.q * (ns.n - 1))" in sql
+
+
+# -- round-10 advisor: co-order edge cache keying + stat fallback ------
+
+
+def test_co_edge_memo_keyed_by_content_not_path(spark, tmp_path):
+    """In-session regeneration of the source at the SAME path must miss
+    the in-process memo and mint a fresh edge table (ADVICE r10: the
+    memo was keyed by sf_dir, so a rebuilt corpus kept serving the
+    previous corpus's edges within one long-lived session)."""
+    import time
+
+    from t_spoon_spark.queries import graph as g
+
+    sf_dir = str(tmp_path)
+    li1 = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "l_orderkey long, l_partkey long"
+    )
+    li1.write.parquet(f"{sf_dir}/lineitem.parquet")
+    t1 = g.co_order_edges(spark, sf_dir)
+    name1 = [v for k, v in g._CO_EDGE_TABLES.items() if v.startswith("tsp_co_edges")][-1]
+    assert t1.count() == 2  # (10,11) symmetric
+
+    time.sleep(0.05)  # ensure a distinct mtime_ns on regeneration
+    li2 = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10)], "l_orderkey long, l_partkey long"
+    )
+    li2.write.mode("overwrite").parquet(f"{sf_dir}/lineitem.parquet")
+    t2 = g.co_order_edges(spark, sf_dir)
+    name2 = [v for v in g._CO_EDGE_TABLES.values()][-1]
+    assert t2.count() == 6  # three co-order pairs, symmetric
+    assert name1 != name2  # fresh fingerprint -> fresh table
+
+
+def test_co_edge_missing_source_raises_spark_path_error(spark, tmp_path):
+    """A missing lineitem table must surface as the clear Spark read
+    error, not a bare FileNotFoundError from the fingerprint stat loop
+    (ADVICE r10)."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    from t_spoon_spark.queries import graph as g
+
+    with _pytest.raises(AnalysisException):
+        g.co_order_edges(spark, str(tmp_path / "nosuch_sf"))
