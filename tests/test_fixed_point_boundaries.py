@@ -55,3 +55,33 @@ def test_audit_detects_the_known_sf01_boundaries():
     """The audit must itself be sensitive: sf0.1 carries exactly the
     two components that diverged the kmeans gate before the fix."""
     assert _boundary_count("/root/testdata/sf0.1") == 2
+
+
+_ZERO_NORM_SQL = """
+    SELECT COUNT(*) FROM read_parquet($path)
+    WHERE len(list_filter(embedding,
+          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) <> 0)) = 0
+"""
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_no_zero_norm_embedding_at_gate_sfs(sf_dir):
+    """SemDeDup's cosine divides by norm products with no zero guard
+    (ADVICE r10): an all-zero SCALED embedding would make Spark emit
+    NaN->NULL (row silently filtered) while DuckDB's
+    CAST(FLOOR(NaN) AS BIGINT) errors the whole oracle query — a latent
+    engine/oracle divergence. Pin that the hazard's precondition does
+    not exist in any gate corpus; if the testdata ever changes, this
+    fails loudly instead of as an inscrutable oracle error."""
+    con = duckdb.connect()
+    n = con.execute(
+        _ZERO_NORM_SQL, {"path": f"{sf_dir}/embeddings.parquet"}
+    ).fetchone()[0]
+    assert n == 0, (
+        f"{n} zero-norm scaled embeddings at {sf_dir}: add a norm > 0 "
+        "guard to semdedup_members_and_dups AND its oracle before "
+        "trusting the gate"
+    )
