@@ -109,10 +109,20 @@ def _is_read_only_sql(query: str, spark=None) -> bool:
 
 
 class StateService:
-    """Read-only query facade over a :class:`TxEnvironment`."""
+    """Read-only query facade over a :class:`TxEnvironment`.
 
-    def __init__(self, env):
+    ``max_rows`` caps every response payload (round-10 verdict #8): an
+    unbounded predicate/sql query from a client used to collect its
+    full result to the long-lived driver, so one careless request could
+    OOM the session every other client shares.  Results are truncated
+    to the cap (executor-side ``limit``, so at most cap+1 rows ever
+    reach the driver) and the response carries ``"truncated": true``;
+    clients page with a tighter predicate or a caller-chosen lower
+    ``limit`` per request."""
+
+    def __init__(self, env, max_rows: int = 10_000):
         self.env = env
+        self.max_rows = int(max_rows)
         self._server: _Server | None = None
         # env.sql pins its snapshot via shared state_<ns> temp views;
         # concurrent sql requests would race the view rebind, so the
@@ -127,32 +137,68 @@ class StateService:
         (time travel, SURVEY §2.4 Q4)."""
         return self.env.watermark() if epoch is None else int(epoch)
 
+    def _cap(self, limit: int | None) -> int:
+        """Effective row cap for one request: the caller may lower the
+        server cap, never raise it (a client-supplied huge limit is the
+        attack this guards against)."""
+        if limit is None:
+            return self.max_rows
+        return max(0, min(int(limit), self.max_rows))
+
     def query_keys(
-        self, ns: str, keys: list[str], epoch: int | None = None
+        self,
+        ns: str,
+        keys: list[str],
+        epoch: int | None = None,
+        limit: int | None = None,
     ) -> dict[str, Any]:
         pin = self.pin(epoch)
+        cap = self._cap(limit)
+        # the key list itself bounds the result, but a client can send
+        # an arbitrarily long list — cap it like every other payload
+        keys, key_trunc = list(keys)[: cap], len(keys) > cap
         rows = self.env.query_keys(ns, keys, epoch=pin).orderBy("key").collect()
-        return {"epoch": pin, "rows": [[r["key"], r["value"]] for r in rows]}
+        out = {"epoch": pin, "rows": [[r["key"], r["value"]] for r in rows]}
+        if key_trunc:
+            out["truncated"] = True
+        return out
 
     def query_predicate(
-        self, ns: str, predicate_sql: str, epoch: int | None = None
+        self,
+        ns: str,
+        predicate_sql: str,
+        epoch: int | None = None,
+        limit: int | None = None,
     ) -> dict[str, Any]:
         pin = self.pin(epoch)
+        cap = self._cap(limit)
+        # orderBy + limit compiles to TakeOrderedAndProject: the top-k
+        # runs executor-side and at most cap+1 rows reach the driver
         rows = (
             self.env.query_predicate(ns, predicate_sql, epoch=pin)
             .orderBy("key")
+            .limit(cap + 1)
             .collect()
         )
-        return {"epoch": pin, "rows": [[r["key"], r["value"]] for r in rows]}
+        out = {"epoch": pin, "rows": [[r["key"], r["value"]] for r in rows[:cap]]}
+        if len(rows) > cap:
+            out["truncated"] = True
+        return out
 
-    def sql(self, query: str, epoch: int | None = None) -> dict[str, Any]:
+    def sql(
+        self, query: str, epoch: int | None = None, limit: int | None = None
+    ) -> dict[str, Any]:
         pin = self.pin(epoch)
+        cap = self._cap(limit)
         with self._sql_lock:  # held through collect: the view bind and
             # the read must see the same pin
-            df = self.env.sql(query, epoch=pin)
+            df = self.env.sql(query, epoch=pin).limit(cap + 1)
             cols = df.columns
             rows = [[row[c] for c in cols] for row in df.collect()]
-        return {"epoch": pin, "columns": cols, "rows": rows}
+        out = {"epoch": pin, "columns": cols, "rows": rows[:cap]}
+        if len(rows) > cap:
+            out["truncated"] = True
+        return out
 
     def handle(self, request: dict[str, Any]) -> dict[str, Any]:
         """Execute one protocol request (the server's dispatch, usable
@@ -160,12 +206,15 @@ class StateService:
         try:
             op = request.get("op")
             epoch = request.get("epoch")
+            limit = request.get("limit")
             if op == "watermark":
                 out: dict[str, Any] = {"epoch": self.env.watermark()}
             elif op == "keys":
-                out = self.query_keys(request["ns"], request["keys"], epoch)
+                out = self.query_keys(request["ns"], request["keys"], epoch, limit)
             elif op == "predicate":
-                out = self.query_predicate(request["ns"], request["predicate"], epoch)
+                out = self.query_predicate(
+                    request["ns"], request["predicate"], epoch, limit
+                )
             elif op == "sql":
                 if not _is_read_only_sql(request["query"], self.env.spark):
                     return {
@@ -173,7 +222,7 @@ class StateService:
                         "error": "rejected: sql op accepts read-only statements "
                         "(SELECT/WITH/VALUES/TABLE/EXPLAIN/SHOW/DESCRIBE) only",
                     }
-                out = self.sql(request["query"], epoch)
+                out = self.sql(request["query"], epoch, limit)
             else:
                 return {"ok": False, "error": f"unknown op: {op!r}"}
             out["ok"] = True

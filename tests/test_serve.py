@@ -144,3 +144,48 @@ def test_server_concurrent_with_epoch_commits(spark):
             t.join(timeout=60)
         call.close()
     assert not errors, errors
+
+
+def test_row_cap_truncates_unbounded_queries(spark):
+    """Round-10 verdict #8: an unbounded predicate/sql query must not
+    collect its full result to the long-lived driver — responses
+    truncate at the server cap (flagged), a client may lower the cap
+    per request but never raise it, and an oversized key list is capped
+    the same way."""
+    env, runner = _bank_env(spark)
+    # 30 keys via transfers out of a hub account (balance stays >= 0 on
+    # the hub because it RECEIVES first)
+    rows = [(i, "hub", f"k{i:02d}", 1.0) for i in range(30)]
+    runner.run_epoch(_batch(spark, rows))
+    svc = StateService(env, max_rows=10)
+
+    pred = svc.query_predicate("balances", "value >= 0.0")
+    assert len(pred["rows"]) == 10
+    assert pred["truncated"] is True
+    # deterministic page: orderBy(key) -> the 10 smallest keys
+    assert pred["rows"][0][0] == "hub" or pred["rows"][0][0] == "k00"
+
+    tight = svc.query_predicate("balances", "value >= 0.0", limit=3)
+    assert len(tight["rows"]) == 3 and tight["truncated"] is True
+    # a client-supplied limit can never RAISE the server cap
+    wide = svc.query_predicate("balances", "value >= 0.0", limit=10_000)
+    assert len(wide["rows"]) == 10
+
+    sql = svc.sql("SELECT key, value FROM state_balances")
+    assert len(sql["rows"]) == 10 and sql["truncated"] is True
+    # under-cap results come back whole, no flag
+    small = svc.sql("SELECT count(*) AS n FROM state_balances")
+    assert small["rows"] == [[31]] and "truncated" not in small
+
+    keys = svc.query_keys("balances", [f"k{i:02d}" for i in range(30)])
+    assert len(keys["rows"]) == 10 and keys["truncated"] is True
+
+    # the TCP path honors the request-level limit field
+    with StateService(env, max_rows=10).serve() as served:
+        call = query_client(*served.address)
+        out = call(
+            {"op": "predicate", "ns": "balances", "predicate": "value >= 0.0",
+             "limit": 4}
+        )
+        assert out["ok"] and len(out["rows"]) == 4 and out["truncated"] is True
+        call.close()
