@@ -101,3 +101,17 @@ def test_dsir_entry_ranking_monotone(spark):
     assert len(top) == 100
     ws = [r.w_c for r in sorted(top, key=lambda r: r.rnk)]
     assert all(a >= b for a, b in zip(ws, ws[1:]))
+
+
+def test_bfd_python_reference_matches_engine(spark):
+    """The sf1 oracle alternative (tools/bfd_reference_check.py) must
+    agree with the engine exactly at the small gate SF too: DuckDB
+    token counts + a plain-Python BFD fold vs the Arrow applyInPandas
+    fold — same frames, same values (round-10 verdict #7)."""
+    from t_spoon_spark.queries.corpus_ops import packing_best_fit_decreasing
+    from t_spoon_spark.testing import compare_frames
+    from tools.bfd_reference_check import reference_frame
+
+    eng = packing_best_fit_decreasing(spark, SF_SMALL).toPandas()
+    ref = reference_frame(SF_SMALL)
+    assert compare_frames(eng, ref) == []
