@@ -31,15 +31,17 @@ sys.path.insert(0, str(REPO))
 def reference_frame(sf_dir: str):
     """(source, doc_id, n_tok, bin_id, bin_offset) via DuckDB token
     counts + a plain-Python BFD fold, ordered like the engine entry."""
-    import duckdb
-
     from t_spoon_spark.queries.corpus_ops import _DD_TOKS, PACK_BUDGET
+    from t_spoon_spark.testing import duckdb_connection
 
-    con = duckdb.connect()
+    # duckdb_connection registers the standard views for both layouts
+    # (single parquet file and Spark-written dataset directories — the
+    # amplified sf1 tables are the latter)
+    con = duckdb_connection(sf_dir)
     rows = con.execute(
         f"""
         SELECT source, doc_id, LEAST(len({_DD_TOKS}), {PACK_BUDGET}) AS n_tok
-        FROM read_parquet('{sf_dir}/documents.parquet')
+        FROM documents
         WHERE len({_DD_TOKS}) > 0
         ORDER BY source, n_tok DESC, doc_id
         """
