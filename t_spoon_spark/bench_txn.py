@@ -371,6 +371,7 @@ def txn_latency_ms_at_rate(
     n_epochs: int = 3,
     isolation: str = "PL3",
     keyspace: int = KEYSPACE,
+    clip_amounts: bool = False,
 ) -> tuple[float, float]:
     """(mean, spread) commit latency at a caller-chosen injection rate —
     used by the bench to report latency at 0.8x the discovered
@@ -379,7 +380,12 @@ def txn_latency_ms_at_rate(
     number measures queueing; backed off 20%, the wall measures service
     time — the operating point a deployment actually runs at (the
     reference reports latency at the rate its TunableSource settles on,
-    evaluation/TunableSource.java:29-33)."""
+    evaluation/TunableSource.java:29-33).
+
+    ``clip_amounts`` caps amounts to [1, 100] (the unloaded bench's
+    no-overdraft transform): on a 100-balance keyspace the epoch then
+    commits with essentially zero aborts, giving an A/B twin that
+    isolates the abort-cascade share of a contended pin's wall."""
 
     def env_factory():
         env = TxEnvironment(spark, isolation=isolation)
@@ -394,9 +400,10 @@ def txn_latency_ms_at_rate(
     # fixed-rate pin measured at copies=1 stays comparable across rounds
     base_total = _transfers(spark, sf_dir, keyspace).count()
     copies = _pin_copies(base_total, rate, epoch_seconds, n_epochs)
-    transfers = _transfers(spark, sf_dir, keyspace, copies=copies).localCheckpoint(
-        eager=True
-    )
+    transfers = _transfers(spark, sf_dir, keyspace, copies=copies)
+    if clip_amounts:
+        transfers = transfers.withColumn("amount", F.col("amount") % 100 + 1)
+    transfers = transfers.localCheckpoint(eager=True)
     total = transfers.count()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -456,6 +463,72 @@ def cluster_latency_pin(
         )
         per_txn = round(mean / (rate * epoch_seconds), 4)
         return mean, spread, per_txn
+    finally:
+        spark.stop()
+
+
+def cluster_cascade_latency_pin(
+    sf_dir: str,
+    rate: float = 5200.0,
+    epoch_seconds: float = 5.0,
+    n_epochs: int = 3,
+) -> dict:
+    """CONTENDED heavy-abort pin on the multi-JVM path (round-10
+    verdict next-round #3): the distributed cascade refold — not the
+    driver-side vectorized fold, which tx/runner.py hard-gates to
+    local[*] masters — under the 1,000-key contended keyspace (~100x
+    the conflict rate of the 100k-key pin), where overdraft aborts
+    chain across keys and the refold runs multiple rounds per epoch.
+    The existing cluster pin exercises the reliable CLOSE only; this is
+    the cluster-mode perf row for the cascade itself.
+
+    Anatomy via an A/B twin in the SAME cluster session: the identical
+    rate/keyspace workload with amounts clipped to [1, 100] commits
+    with essentially zero aborts, so
+    ``cascade_share_pct = (contended - no_abort) / contended`` is the
+    fraction of the contended wall the abort cascade (refold rounds +
+    replay close) accounts for, with multi-JVM dispatch and shuffle
+    costs cancelled out.  Returns a dict:
+    {contended_ms, contended_spread_ms, no_abort_ms,
+     no_abort_spread_ms, cascade_share_pct, ms_per_txn}."""
+    from t_spoon_spark.session import build_spark
+
+    spark = build_spark(
+        app_name="t_spoon_spark_bench_cluster_cascade",
+        master="local-cluster[4,8,8192]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.executor.memory": "8g",
+            "spark.driver.memory": "8g",
+        },
+    )
+    try:
+        contended, c_spread = txn_latency_ms_at_rate(
+            spark,
+            sf_dir,
+            rate,
+            epoch_seconds=epoch_seconds,
+            n_epochs=n_epochs,
+            keyspace=1_000,
+        )
+        no_abort, na_spread = txn_latency_ms_at_rate(
+            spark,
+            sf_dir,
+            rate,
+            epoch_seconds=epoch_seconds,
+            n_epochs=n_epochs,
+            keyspace=1_000,
+            clip_amounts=True,
+        )
+        share = round(100.0 * max(0.0, contended - no_abort) / contended, 1)
+        return {
+            "contended_ms": contended,
+            "contended_spread_ms": c_spread,
+            "no_abort_ms": no_abort,
+            "no_abort_spread_ms": na_spread,
+            "cascade_share_pct": share,
+            "ms_per_txn": round(contended / (rate * epoch_seconds), 4),
+        }
     finally:
         spark.stop()
 

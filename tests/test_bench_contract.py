@@ -23,6 +23,7 @@ def _full_shape_result() -> dict:
         queries[name] = 123.456
     for name in bench.EXTRA_REPRESENTATIVES:
         queries[f"x_{name}_sec"] = 123.456
+    queries["x_edge_build_sec"] = 123.456
     for name in (
         "txn_bank_tps_pl3",
         "txn_bank_tps_fold",
@@ -38,6 +39,7 @@ def _full_shape_result() -> dict:
         "streaming_concurrent_commit_latency_ms",
         "cluster_txn_latency_ms_at_5200_fixed",
         "cluster_txn_ms_per_txn",
+        "cluster_cascade_latency_ms",
     ):
         queries[name] = 123456.7
     return {
