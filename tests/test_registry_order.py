@@ -276,6 +276,16 @@ def test_ast_fingerprint_ignores_comments_and_docstrings():
     assert fp(base) != fp(no_doc)
     # unparseable -> None (caller treats as changed)
     assert fp("def broken(:\n") is None
+    # LOAD-BEARING: oracle SQL lives in register(...) decorator
+    # ARGUMENTS, not docstrings — an oracle edit must read as semantic
+    # (only true docstring positions are normalized)
+    dec_a = '@register("q", "SELECT 1 AS x")\ndef f(s, d):\n    return 1\n'
+    dec_b = '@register("q", "SELECT 2 AS x")\ndef f(s, d):\n    return 1\n'
+    assert fp(dec_a) != fp(dec_b)
+    # ... and a bare string expression NOT in docstring position too
+    mid_a = "def g():\n    x = 1\n    'note a'\n    return x\n"
+    mid_b = "def g():\n    x = 1\n    'note b'\n    return x\n"
+    assert fp(mid_a) != fp(mid_b)
 
 
 def test_same_runtime_code_against_real_git(tmp_path):
