@@ -90,6 +90,16 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> dict:
             )
             assert some_key["ok"] and overdrawn["ok"]
             assert overdrawn["rows"] == [], "overdraft visible to a query!"
+            # unbounded scans page at the service's row cap (round 11):
+            # the response is truncated server-side (executor-side
+            # top-k, ordered by key) and flagged, so a careless client
+            # cannot pull the whole state through the driver
+            page = call(
+                {"op": "predicate", "ns": "balances",
+                 "predicate": "value >= 0", "limit": 5}
+            )
+            assert page["ok"] and len(page["rows"]) == 5
+            assert page.get("truncated") is True, page
         finally:
             call.close()
             t.join()
