@@ -88,3 +88,25 @@ def test_failed_run_still_fits():
     line = bench.format_line(result)
     assert len(line) <= bench.MAX_LINE_BYTES
     assert json.loads(line)["valid"] is False
+
+
+def test_shedding_drops_front_x_rows_and_keeps_edge_build_last():
+    """x_ shedding removes keys in insertion order (front first), so
+    the attribution row x_edge_build_sec — inserted after the family
+    rows — must be the LAST x_ key standing when the line is squeezed
+    (it exists to explain the graph-kernel rows; dropping it before
+    them would re-create the round-10 misattribution in the artifact)."""
+    result = _full_shape_result()
+    x_keys = [k for k in result["queries"] if k.startswith("x_")]
+    assert x_keys[-1] == "x_edge_build_sec"
+    # inflate via a fat non-x key so shedding must dig deep
+    result["queries"]["sustainable_tps_pl3"] = 1.0e300  # long repr
+    import copy
+
+    squeezed = bench.format_line(copy.deepcopy(result))
+    kept = [k for k in json.loads(squeezed)["queries"] if k.startswith("x_")]
+    dropped = [k for k in x_keys if k not in kept]
+    # whatever was dropped is exactly a PREFIX of the insertion order
+    assert dropped == x_keys[: len(dropped)]
+    if kept:
+        assert kept[-1] == "x_edge_build_sec"

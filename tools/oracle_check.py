@@ -3,7 +3,7 @@
 over the same parquet tables, compare row count, column names, and
 exact values (columns sorted by name, rows sorted by all values).
 
-Usage: python tools/oracle_check.py [--vanilla] [sf_dir] [query_name ...]
+Usage: python tools/oracle_check.py [--vanilla] [--first N] [sf_dir] [query_name ...]
 
 ``--vanilla`` runs against a driver-like SparkSession (no build_spark
 confs) — round 1's events-loader bug only reproduced in such a session,
@@ -23,6 +23,11 @@ sys.path.insert(0, str(REPO))
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--vanilla"]
     vanilla = len(argv) != len(sys.argv) - 1
+    first = 0  # --first N: exactly the driver's N-entry window prefix
+    if "--first" in argv:
+        i = argv.index("--first")
+        first = int(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -46,6 +51,8 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if first:
+        qs = dict(list(qs.items())[:first])
     n_pass = n_fail = n_nosql = 0
     for name, fn in qs.items():
         if only and name not in only:
