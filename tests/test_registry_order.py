@@ -421,3 +421,52 @@ def test_changed_files_since_parses_renames(monkeypatch):
     assert "t_spoon_spark/queries/new_mod.py" in out
     assert "weird name.py" in out
     assert not any("->" in p for p in out)
+
+
+def test_ast_fingerprint_properties_on_generated_modules():
+    """Property sweep over a small module grammar: cosmetic transforms
+    (docstring rewrite, comment injection, blank-line reflow) never
+    change the fingerprint; statement-level edits always do."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+    ints = st.integers(min_value=0, max_value=9)
+
+    @st.composite
+    def module(draw):
+        n_funcs = draw(st.integers(min_value=1, max_value=3))
+        parts = ['"""module doc."""\n']
+        for i in range(n_funcs):
+            name = draw(names)
+            v = draw(ints)
+            parts.append(
+                f"def f{i}_{name}(x):\n"
+                f'    """doc {i}."""\n'
+                f"    y = x + {v}\n"
+                f"    return y * {draw(ints)}\n"
+            )
+        return "".join(parts), n_funcs
+
+    @given(module(), st.integers(min_value=0, max_value=999))
+    @settings(max_examples=60, deadline=None)
+    def check(mod, salt):
+        src, n_funcs = mod
+        fp = registry._ast_fingerprint
+        base = fp(src)
+        assert base is not None
+        # cosmetic: rewrite every docstring, inject comments + blanks
+        cosmetic = src.replace('"""module doc."""', f'"""salt {salt}."""')
+        cosmetic = cosmetic.replace('"""doc ', f'"""note {salt} ')
+        cosmetic = cosmetic.replace("def ", f"# c{salt}\ndef ").replace(
+            "    return", f"    # r{salt}\n    return"
+        )
+        assert fp(cosmetic) == base
+        # semantic: bump one constant
+        semantic = src.replace("y = x + ", "y = x - ", 1)
+        assert fp(semantic) != base
+        # semantic: add a statement
+        grown = src + f"\nZ_{salt} = {salt}\n"
+        assert fp(grown) != base
+
+    check()
