@@ -328,20 +328,34 @@ def bfd_pack(base: DataFrame) -> DataFrame:
             ["n_tok", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)
         fills: list[int] = []
+        # indices of bins with fill < PACK_BUDGET, ascending.  A bin at
+        # exactly PACK_BUDGET can never accept another doc (n_tok >= 1),
+        # so it retires from the placement scan (ADVICE r10) — the scan
+        # order over the survivors is still ascending index with the
+        # same first-strictly-fuller tiebreak, so placements (and the
+        # recursive-CTE oracle that replays the unretired scan) are
+        # bit-identical; only the per-placement cost drops on skewed
+        # shards where many bins pack exactly full.
+        open_bins: list[int] = []
         bin_ids, offsets = [], []
         for n in pdf["n_tok"]:
             best, best_fill = -1, -1
-            for i, f in enumerate(fills):
+            for i in open_bins:
+                f = fills[i]
                 if f + n <= PACK_BUDGET and f > best_fill:
                     best, best_fill = i, f
             if best < 0:
                 bin_ids.append(len(fills))
                 offsets.append(0)
+                if n < PACK_BUDGET:
+                    open_bins.append(len(fills))
                 fills.append(int(n))
             else:
                 bin_ids.append(best)
                 offsets.append(best_fill)
                 fills[best] = best_fill + int(n)
+                if fills[best] == PACK_BUDGET:
+                    open_bins.remove(best)
         pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
         pdf["bin_offset"] = pd.Series(offsets, dtype="int64")
         return pdf

@@ -155,12 +155,19 @@ class StateService:
         pin = self.pin(epoch)
         cap = self._cap(limit)
         # the key list itself bounds the result, but a client can send
-        # an arbitrarily long list — cap it like every other payload
-        keys, key_trunc = list(keys)[: cap], len(keys) > cap
+        # an arbitrarily long list — cap it like every other payload.
+        # keys_dropped tells the client HOW MANY of its keys were never
+        # looked up (an absent key also returns no row, so a bare
+        # truncated flag can't distinguish "key missing" from "key
+        # ignored" — ADVICE r11)
+        keys = list(keys)
+        dropped = max(0, len(keys) - cap)
+        keys = keys[:cap]
         rows = self.env.query_keys(ns, keys, epoch=pin).orderBy("key").collect()
         out = {"epoch": pin, "rows": [[r["key"], r["value"]] for r in rows]}
-        if key_trunc:
+        if dropped:
             out["truncated"] = True
+            out["keys_dropped"] = dropped
         return out
 
     def query_predicate(

@@ -50,7 +50,22 @@ class StateStore:
         durable: bool = False,
         history_epochs: int = 4,
         checkpoint_every: int | None = None,
+        max_epochs: int | None = None,
     ):
+        """``max_epochs`` is the durable retention horizon (reference
+        parity: ``maxNoVersions``, tgraph/state/StateOperator.java:100-101
+        and tgraph/db/Object.java:253-278 bound per-key version history
+        the same way): only the newest ``max_epochs`` committed epochs
+        stay reconstructable; older logs/bases/WAL/markers are dropped
+        after each commit, so the on-disk footprint plateaus instead of
+        growing linearly (tools/store_growth_probe.py measures both
+        curves). ``None`` (default) keeps the unbounded pre-round-12
+        behavior. Pruned markers' streaming-batch frontiers are folded
+        into ``_commits/_horizon.json`` so crash recovery keeps exact
+        idempotence even for a query that last committed before the
+        horizon."""
+        if max_epochs is not None and max_epochs < 1:
+            raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
         if checkpoint_every is None:
             # in-memory: cut lineage EVERY epoch — Spark 4.1 local mode
             # shows super-linear re-planning cost on uncut epoch chains
@@ -63,6 +78,7 @@ class StateStore:
         self.root = root or tempfile.mkdtemp(prefix="tspoon_store_")
         self.history_epochs = history_epochs
         self.checkpoint_every = checkpoint_every
+        self.max_epochs = max_epochs
         self.namespaces: dict[str, Namespace] = {}
         self._current: dict[str, DataFrame] = {}
         self._history: dict[tuple[str, int], DataFrame] = {}
@@ -123,6 +139,11 @@ class StateStore:
         if key in self._history:
             return self._history[key]
         if self.durable:
+            if self.max_epochs is not None and epoch < self._committed - self.max_epochs + 1:
+                raise KeyError(
+                    f"snapshot {ns}@{epoch} outside retention horizon "
+                    f"(max_epochs={self.max_epochs}, committed={self._committed})"
+                )
             return self._reconstruct(ns, epoch)
         raise KeyError(f"snapshot {ns}@{epoch} not retained (history={self.history_epochs})")
 
@@ -184,6 +205,8 @@ class StateStore:
             if query_id is not None:
                 self.batch_frontiers[query_id] = batch_id
         self._gc_history()
+        if self.durable:
+            self._gc_retention(epoch)
 
     def can_commit_pandas(self, name: str) -> bool:
         """True when the fused driver-side commit is valid for this
@@ -367,7 +390,11 @@ class StateStore:
         d = os.path.join(self.root, "_commits")
         if not os.path.isdir(d):
             return []
-        return sorted(int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json"))
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(d)
+            if f.endswith(".json") and not f.startswith("_")
+        )
 
     def _recover(self) -> None:
         """Rebuild current snapshots from the committed prefix on disk.
@@ -383,7 +410,10 @@ class StateStore:
         self._committed = epochs[-1]
         # rebuild the per-query frontiers from EVERY marker (multiple
         # streaming queries interleave epochs, so the last marker alone
-        # only carries one query's frontier)
+        # only carries one query's frontier); markers pruned by the
+        # retention horizon contributed theirs to _horizon.json first
+        for qid, bid in self._load_horizon().get("frontiers", {}).items():
+            self.batch_frontiers[qid] = max(self.batch_frontiers.get(qid, -1), bid)
         for k in epochs:
             with open(os.path.join(self.root, "_commits", f"{k:012d}.json")) as f:
                 marker = json.load(f)
@@ -472,3 +502,89 @@ class StateStore:
         cutoff = self._committed - self.history_epochs
         for k in [k for k in self._history if k[1] < cutoff]:
             del self._history[k]
+
+    # -- durable retention (max_epochs) ----------------------------------
+
+    def _horizon_path(self) -> str:
+        return os.path.join(self.root, "_commits", "_horizon.json")
+
+    def _load_horizon(self) -> dict:
+        try:
+            with open(self._horizon_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"floor": -1, "frontiers": {}}
+
+    def _gc_retention(self, epoch: int) -> None:
+        """Bound the durable footprint to the ``max_epochs`` newest epochs.
+
+        Horizon = oldest epoch that must stay exactly reconstructable.
+        Per namespace the anchor is the newest base <= horizon: bases
+        below it are shadowed (never the newest-base-<=e for any retained
+        e) and logs at-or-below it are absorbed by it, so both drop.
+        Without an anchor base every log back to 0 is still load-bearing
+        and nothing is pruned — retention never trades correctness for
+        space (a base lands every ``checkpoint_every`` epochs, so the
+        anchor appears within one cadence). WAL partitions and commit
+        markers below the horizon drop too, after folding the markers'
+        per-query batch frontiers into ``_horizon.json`` (atomic
+        tmp+rename like the markers themselves)."""
+        import shutil
+
+        if self.max_epochs is None:
+            return
+        horizon = epoch - self.max_epochs + 1
+        if horizon <= 0:
+            return
+        for ns in self._disk_namespaces():
+            base_dir = os.path.join(self.root, ns, "base")
+            bases = []
+            if os.path.isdir(base_dir):
+                bases = sorted(
+                    int(d.split("=")[1])
+                    for d in os.listdir(base_dir)
+                    if d.startswith("epoch=")
+                )
+            anchor = max((b for b in bases if b <= horizon), default=None)
+            if anchor is None:
+                continue
+            for b in bases:
+                if b < anchor:
+                    shutil.rmtree(os.path.join(base_dir, f"epoch={b}"), ignore_errors=True)
+            log_dir = os.path.join(self.root, ns, "log")
+            if os.path.isdir(log_dir):
+                for d in os.listdir(log_dir):
+                    if d.startswith("epoch=") and int(d.split("=")[1]) <= anchor:
+                        shutil.rmtree(os.path.join(log_dir, d), ignore_errors=True)
+        wal_dir = os.path.join(self.root, "wal")
+        if os.path.isdir(wal_dir):
+            for d in os.listdir(wal_dir):
+                if d.startswith("epoch=") and int(d.split("=")[1]) < horizon:
+                    shutil.rmtree(os.path.join(wal_dir, d), ignore_errors=True)
+        old_markers = [k for k in self._marker_epochs() if k < horizon]
+        if old_markers:
+            summary = self._load_horizon()
+            frontiers = dict(summary.get("frontiers", {}))
+            for k in old_markers:
+                path = os.path.join(self.root, "_commits", f"{k:012d}.json")
+                try:
+                    with open(path) as f:
+                        marker = json.load(f)
+                except (OSError, ValueError):
+                    marker = {}
+                bid, qid = marker.get("batch_id"), marker.get("query_id")
+                if bid is not None and qid is not None:
+                    frontiers[qid] = max(frontiers.get(qid, -1), bid)
+            fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_commits"))
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {"floor": max(summary.get("floor", -1), old_markers[-1]),
+                     "frontiers": frontiers},
+                    f,
+                )
+            os.rename(tmp, self._horizon_path())
+            for k in old_markers:
+                try:
+                    os.remove(os.path.join(self.root, "_commits", f"{k:012d}.json"))
+                except OSError:
+                    pass

@@ -189,3 +189,94 @@ def test_row_cap_truncates_unbounded_queries(spark):
         )
         assert out["ok"] and len(out["rows"]) == 4 and out["truncated"] is True
         call.close()
+
+
+def test_concurrent_clients_consistent_pin_under_commit_load(spark):
+    """Round-11 verdict #8: concurrent clients during ACTIVE epoch
+    commits each see one consistent snapshot — for a response pinned at
+    epoch E, the keys / predicate / sql ops re-issued AT that explicit
+    pin must agree with each other exactly (the sql path serializes on
+    _sql_lock and every op pins per request; this is the cross-op
+    consistency those mechanisms promise)."""
+    import threading
+
+    env, runner = _bank_env(spark)
+    # a pin must outlive the 2 follow-up reads even if commits race
+    # several epochs ahead meanwhile — widen the retained history so the
+    # test exercises cross-op consistency, not history eviction
+    env.store.history_epochs = 64
+    runner.run_epoch(_batch(spark, [(1, "a1", "a2", 10.0)]))
+    with StateService(env).serve() as svc:
+        stop = threading.Event()
+        commit_err: list[str] = []
+
+        def commits():
+            tid = 2
+            while not stop.is_set():
+                try:
+                    runner.run_epoch(_batch(spark, [(tid, "a1", "a2", 1.0)]))
+                except Exception as exc:  # noqa: BLE001
+                    commit_err.append(str(exc))
+                    return
+                tid += 1
+
+        t = threading.Thread(target=commits, daemon=True)
+        t.start()
+
+        errors: list[str] = []
+
+        def client(n_reqs: int):
+            call = query_client(*svc.address)
+            try:
+                for _ in range(n_reqs):
+                    # pin via an unpinned sql request, then re-read the
+                    # SAME epoch through all three ops
+                    sql = call(
+                        {"op": "sql",
+                         "query": "SELECT key, value FROM state_balances"}
+                    )
+                    if not sql["ok"]:
+                        errors.append(sql["error"])
+                        continue
+                    pin = sql["epoch"]
+                    by_sql = {k: v for k, v in sql["rows"]}
+                    pred = call(
+                        {"op": "predicate", "ns": "balances",
+                         "predicate": "value >= 0.0", "epoch": pin}
+                    )
+                    keys = call(
+                        {"op": "keys", "ns": "balances",
+                         "keys": ["a1", "a2"], "epoch": pin}
+                    )
+                    if not (pred["ok"] and keys["ok"]):
+                        errors.append(str((pred, keys)))
+                        continue
+                    by_pred = {k: v for k, v in pred["rows"]}
+                    by_keys = {k: v for k, v in keys["rows"]}
+                    if by_pred != by_sql:
+                        errors.append(
+                            f"pin {pin}: predicate {by_pred} != sql {by_sql}"
+                        )
+                    if by_keys != by_sql:
+                        errors.append(
+                            f"pin {pin}: keys {by_keys} != sql {by_sql}"
+                        )
+                    if round(sum(by_sql.values()), 6) != 200.0:
+                        errors.append(f"pin {pin}: sum violated: {by_sql}")
+            finally:
+                call.close()
+
+        clients = [
+            threading.Thread(target=client, args=(6,), daemon=True)
+            for _ in range(3)
+        ]
+        try:
+            for c in clients:
+                c.start()
+            for c in clients:
+                c.join(timeout=300)
+        finally:
+            stop.set()
+            t.join(timeout=60)
+    assert not commit_err, commit_err
+    assert not errors, errors[:5]

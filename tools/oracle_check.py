@@ -26,7 +26,14 @@ def main() -> int:
     first = 0  # --first N: exactly the driver's N-entry window prefix
     if "--first" in argv:
         i = argv.index("--first")
-        first = int(argv[i + 1])
+        try:
+            first = int(argv[i + 1])
+        except (IndexError, ValueError):
+            print(
+                "usage: oracle_check.py [--vanilla] [--first N] [sf_dir] [query ...]\n"
+                "       --first requires an integer window size"
+            )
+            return 2
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -53,6 +60,10 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     if first:
         qs = dict(list(qs.items())[:first])
+        # an explicitly named query outside the window is a user error,
+        # not something to skip silently (ADVICE r11)
+        for miss in sorted(only - set(qs)):
+            print(f"WARN  {miss}: outside the --first {first} window, skipped")
     n_pass = n_fail = n_nosql = 0
     for name, fn in qs.items():
         if only and name not in only:

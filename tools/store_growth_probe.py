@@ -12,7 +12,10 @@ Runs a durable StateStore for N epochs of small updates and samples
 on-disk bytes + file count + log/base split every `sample_every`
 epochs.  Prints one JSON line.
 
-Usage: python tools/store_growth_probe.py [n_epochs] [sample_every]
+Round 12: the knob landed (`StateStore(max_epochs=N)`); pass a third
+arg to record the AFTER curve on the identical workload.
+
+Usage: python tools/store_growth_probe.py [n_epochs] [sample_every] [max_epochs]
 """
 
 from __future__ import annotations
@@ -48,6 +51,7 @@ def dir_stats(root: str) -> dict:
 def main() -> None:
     n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     sample_every = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    max_epochs = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
     from t_spoon_spark.session import build_spark
     from t_spoon_spark.tx.namespace import Namespace
@@ -55,7 +59,7 @@ def main() -> None:
 
     spark = build_spark(app_name="store_growth_probe", shuffle_partitions=4)
     root = tempfile.mkdtemp(prefix="tspoon_growth_")
-    store = StateStore(spark, root=root, durable=True)
+    store = StateStore(spark, root=root, durable=True, max_epochs=max_epochs)
     store.register(Namespace("g", "double", 0.0))
 
     samples = []
@@ -83,6 +87,7 @@ def main() -> None:
             {
                 "metric": "durable_store_growth",
                 "n_epochs": n_epochs,
+                "max_epochs": max_epochs,
                 "samples": samples,
                 "bytes_per_epoch_back_half": per_epoch,
                 "root": root,
