@@ -869,6 +869,10 @@ class _StageState:
     # packed fold state built once per epoch by _vec_init: None = not
     # yet decided, False = stage not vec-eligible, dict = eligible
     vec: Any = None
+    # True when the RAW pulled ops carried a NULL __key (the pandas
+    # pre-combine groupby drops those rows; the ops-fold path must see
+    # the flag and fall back)
+    ops_null_keys: bool = False
 
 
 @dataclass
@@ -888,11 +892,29 @@ class DriverCascade:
     All per-round set algebra is vectorized pandas; the only Python
     loops run over the REFOLDED chains (the contended-key subset)."""
 
-    def __init__(self, spark, ctxs: list[StageCtx], compiled: list[_Compiled]):
+    def __init__(
+        self,
+        spark,
+        ctxs: list[StageCtx],
+        compiled: list[_Compiled],
+        ops_fold: bool = False,
+    ):
         self.spark = spark
         self.states = [_StageState(ctx=c, comp=k) for c, k in zip(ctxs, compiled)]
         self._pulled_eval = False
         self._pulled_ops = False
+        # runner-selected hot path (round-12 unloaded-latency floor):
+        # the epoch's ONE Spark job is the pre-fold ops projection
+        # (scan -> graph -> 3-column select: no chain shuffle, no
+        # multi-KB fold expression for Catalyst to re-analyze per
+        # epoch), and the initial evaluation of EVERY chain runs
+        # through the vectorized numpy fold — the exact machinery
+        # cascade rounds already use for overrides, applied from round
+        # 0 with an empty exclusion set. The runner engages it only
+        # when every stage is statically vec-eligible and the previous
+        # epoch was small (driver-resident control frames by
+        # construction).
+        self.ops_fold = ops_fold
 
     # -- data pulls -----------------------------------------------------
 
@@ -1045,6 +1067,73 @@ class DriverCascade:
         self._pulled_ops = True
         return tids_pdf
 
+    def _pull_ops_fold(self, store, tids_series, tids_covered: bool):
+        """Ops-pull + full driver-side fold (the runner's ops_fold hot
+        path): pull each chain stage's PRE-FOLD ops (a trivial
+        projection plan — the per-epoch Catalyst cost of the fold
+        expression disappears), take v0 from the store's pandas twin,
+        and evaluate every chain with ``_refold_keys_vec`` over an empty
+        exclusion set — bit-identical semantics to the SQL fold by the
+        same pinning that makes cascade overrides exact
+        (tests/test_refold_vec.py).  Populates eval state exactly like a
+        cascade round that refolded every key: eval_pdf empty, all keys
+        overridden, links in ov_flat — every downstream consumer (vote
+        merge, cascade rounds, writes assembly) reads that shape today.
+
+        Returns the epoch's tid Series, or None when a stage's DATA is
+        not vec-eligible this epoch (NaN record values etc.) — the
+        caller raises Ineligible and the runner retries the epoch on
+        the standard path (nothing was committed)."""
+        if self._pulled_eval:
+            return None
+        if not (tids_covered or tids_series is not None):
+            return None
+        for st in self.states:
+            if st.ctx.kind != "chain_expr":
+                return None
+        for st in self.states:
+            self._pull_stage_ops(st)
+            self._ensure_v0(store, st)
+        self._pulled_ops = True
+        for st in self.states:
+            # the SQL fold groups NULL keys as a group of their own;
+            # the pandas pre-combine dropped those rows (and factorize
+            # would code them -1), so a null-key epoch takes the
+            # standard path instead — flag recorded on the RAW frame
+            # in _pull_stage_ops, before the groupby could hide it
+            if st.ops_null_keys or bool(st.ops_pdf["__key"].isna().any()):
+                return None
+            if st.vec is None:
+                st.vec = self._vec_init(st)
+            if not st.vec:
+                return None
+        no_excl = _np.empty(0, dtype=_np.int64)
+        tid_arrs = []
+        for st in self.states:
+            st.eval_pdf = pd.DataFrame(
+                {
+                    "key": pd.Series(dtype=object),
+                    "_tid": pd.Series(dtype="int64"),
+                    "value": pd.Series(dtype="float64"),
+                    "vote": pd.Series(dtype="int32"),
+                    "_ord": pd.Series(dtype="int64"),
+                    "__wr": pd.Series(dtype=bool),
+                }
+            )
+            all_keys = _np.asarray(st.vec["kindex"], dtype=object)
+            if len(all_keys):
+                self._refold_keys_vec(st, all_keys, no_excl)
+            tid_arrs.append(
+                st.ops_pdf["_tid"].to_numpy().astype(_np.int64, copy=False)
+            )
+        self._pulled_eval = True
+        if tids_series is not None:
+            return pd.Series(tids_series, dtype="int64")
+        return pd.Series(
+            _np.unique(_np.concatenate(tid_arrs)) if tid_arrs else [],
+            dtype="int64",
+        )
+
     def _pull_refold(self, store) -> None:
         """Lazy pull for cascade refolds: the raw ops and v0 snapshot of
         every chain stage — only paid when a refold actually happens."""
@@ -1062,6 +1151,12 @@ class DriverCascade:
             pdf = _pull_pdf(
                 ctx.ops.select("_tid", "__key", *pre), key_cols=("__key",)
             )
+            # recorded on the RAW frame: the pandas pre-combine groupby
+            # below silently DROPS NaN keys (dropna default), so a
+            # post-groupby check would miss them — the ops-fold path
+            # must know a null-key op existed and fall back (the SQL
+            # fold keeps NULL keys as a group of their own)
+            st.ops_null_keys = bool(pdf["__key"].isna().any())
             self._check_ops_nan(st, pdf, list(pre))
             if ctx.kind == "chain_expr":
                 # the JVM path pre-combines per (tid, key); the chain
@@ -1074,6 +1169,7 @@ class DriverCascade:
             pdf = _pull_pdf(
                 ctx.ops.select(*dict.fromkeys(cols)), key_cols=("__key",)
             )
+            st.ops_null_keys = bool(pdf["__key"].isna().any())
             if ctx.kind != "pandas":
                 # pandas-kind folds never null-normalize record values
                 # (py_update owns them), so only chain_expr needs the
@@ -1565,7 +1661,17 @@ class DriverCascade:
         tid-set union branch entirely and derives the tid set from the
         pulled links: one fewer source scan and ~batch-size fewer rows
         through Arrow."""
-        if isinstance(tids, pd.Series):
+        if self.ops_fold:
+            tids_pdf = self._pull_ops_fold(
+                store, tids if isinstance(tids, pd.Series) else None, tids_covered
+            )
+            if tids_pdf is None:
+                # data-dependent ineligibility (NaN records etc.): the
+                # runner re-runs this epoch on the standard path — no
+                # fused fallback exists here because the ops-fold epoch
+                # never built the evaluation plan
+                raise Ineligible("ops-fold: stage data not vec-eligible this epoch")
+        elif isinstance(tids, pd.Series):
             tids_pdf = tids
             self._pull_eval(store)
         else:

@@ -51,6 +51,19 @@ _DRIVER_CASCADE = os.environ.get("TSPOON_DRIVER_CASCADE", "1") != "0"
 # Fused no-abort single-job close (pandas mode). TSPOON_FUSED=0 pins the
 # two-action path for comparisons/tests.
 _FUSED = os.environ.get("TSPOON_FUSED", "1") != "0"
+# Driver-side FULL fold for small epochs (pandas mode, round-12
+# unloaded-latency floor): the epoch's one Spark job is the pre-fold ops
+# projection; the chain evaluation itself runs through the vectorized
+# numpy fold (tx/driver_cascade.py ops_fold).  TSPOON_OPS_FOLD=0 pins
+# the JVM fold for comparisons/tests; the txn threshold keeps the
+# loaded pins (26k+ txn epochs) on the measured fused path.
+_OPS_FOLD = os.environ.get("TSPOON_OPS_FOLD", "1") != "0"
+_OPS_FOLD_MAX_TXNS = int(os.environ.get("TSPOON_OPS_FOLD_MAX_TXNS", "20000"))
+
+
+class _OpsFoldRetry(Exception):
+    """Ops-fold epoch hit a data-dependent ineligibility at pull time:
+    re-run the same epoch on the standard path (nothing committed)."""
 
 
 def _dbg(label: str, t0: float) -> float:
@@ -231,6 +244,15 @@ class GraphRunner:
         # from the pulled links instead of a second source scan + union
         # branch. Computed once — the graph is immutable.
         self._tids_covered: bool | None = None
+        # ops-fold hot path (round 12): per-epoch engage flag, static
+        # graph eligibility (computed once after compile), last driver
+        # epoch's txn count (the small-epoch regime detector), and the
+        # retry latch that pins one re-run to the standard path after a
+        # data-dependent pull-time ineligibility
+        self._ops_fold_epoch = False
+        self._of_static: bool | None = None
+        self._last_txns: int | None = None
+        self._of_retry = False
 
     # ------------------------------------------------------------------
 
@@ -250,7 +272,21 @@ class GraphRunner:
         t_lock = time.time()
         with self.env.epoch_lock:
             self.last_lock_wait_s = time.time() - t_lock
-            return self._run_epoch_locked(batch, spus, batch_id, query_id)
+            saved_replay = self._replay
+            try:
+                return self._run_epoch_locked(batch, spus, batch_id, query_id)
+            except _OpsFoldRetry as e:
+                # ops-fold pull hit a data-dependent ineligibility:
+                # nothing committed — restore the consumed replay queue
+                # and run the SAME epoch once on the standard path
+                if _DEBUG:
+                    print(f"    [tspoon] ops-fold retry: {e}", flush=True)
+                self._replay = saved_replay
+                self._of_retry = True
+                try:
+                    return self._run_epoch_locked(batch, spus, batch_id, query_id)
+                finally:
+                    self._of_retry = False
 
     def _run_epoch_locked(
         self,
@@ -285,6 +321,10 @@ class GraphRunner:
             # the gate fixtures, the bench) skip this entirely — the
             # cluster-scale path never round-trips the data plane.
             src = materialize(src)
+
+        self._ops_fold_epoch = not self._of_retry and self._ops_fold_ok(
+            src, stamped, spus
+        )
 
         df = src.select(
             "*",
@@ -413,7 +453,17 @@ class GraphRunner:
         if persist_ops and not self._skip_persist:
             ops = ops.persist()
             self._epoch_persisted.append(ops)
-        votes, writes, evaluated = impl(ops, stage, ns, snapshot, stage_idx)
+        if self._ops_fold_epoch:
+            # ops-fold hot path: the chain-fold plan is never BUILT this
+            # epoch — per-epoch Catalyst re-analysis of the multi-KB
+            # fold expression was the unloaded-latency floor (round 12).
+            # The driver close pulls `ops` (a trivial projection) and
+            # folds every chain with the vectorized twin; `rerun` below
+            # handles evaluated=None by running impl fresh, so the
+            # distributed-fallback contract is unchanged.
+            votes = writes = evaluated = None
+        else:
+            votes, writes, evaluated = impl(ops, stage, ns, snapshot, stage_idx)
 
         # context for the driver-side cascade (tx/driver_cascade.py):
         # the fixpoint refolds from these exact frames when eligible
@@ -794,6 +844,30 @@ class GraphRunner:
 
     # -- driver cascade eligibility --------------------------------------
 
+    def _ops_fold_ok(self, src, stamped: bool, spus) -> bool:
+        """Per-epoch engage test for the ops-fold hot path (round-12
+        unloaded-latency floor): skip BUILDING the chain-fold plan
+        entirely and evaluate every chain driver-side with the
+        vectorized fold.  Conservative by construction — every condition
+        a pull can't verify later must hold up front, and the loaded
+        regime (previous driver epoch > _OPS_FOLD_MAX_TXNS txns) stays
+        on the measured fused path so the throughput pins are
+        untouched.  First eligible epoch is the runner's second: the
+        compile (and the twin size signal) come from a standard epoch."""
+        if not (_OPS_FOLD and _DRIVER_CASCADE) or stamped or spus is not None:
+            return False
+        if not isinstance(self._dc_compiled, list):
+            return False
+        if self._last_txns is None or self._last_txns > _OPS_FOLD_MAX_TXNS:
+            return False
+        if materialize_mode(self.env.spark) != "pandas":
+            return False
+        if not (
+            self._tids_covered or getattr(src, "_tspoon_pdf", None) is not None
+        ):
+            return False
+        return bool(self._of_static)
+
     def _driver_cascade_or_none(self, spark):
         """A DriverCascade for this epoch, or None when the distributed
         refold loop must run instead (cluster materialize mode, the
@@ -817,7 +891,25 @@ class GraphRunner:
                     print(f"    [tspoon] driver cascade ineligible: {e}", flush=True)
                 self._dc_compiled = False
                 return None
-        return dcm.DriverCascade(spark, self._stage_ctxs, self._dc_compiled)
+            # static ops-fold eligibility, once per runner: the mirror
+            # of _vec_init's shape conditions (the data-dependent ones —
+            # NaN records — are re-checked at pull time every epoch)
+            self._of_static = all(
+                c.kind == "chain_expr"
+                and bool(c.stage.pre_combine)
+                and len(c.value_cols) == 1
+                and k.update_vec is not None
+                and (k.invariant is None or k.invariant_vec is not None)
+                and k.cast is dcm._to_float
+                and c.ns.default is not None
+                for c, k in zip(self._stage_ctxs, self._dc_compiled)
+            )
+        return dcm.DriverCascade(
+            spark,
+            self._stage_ctxs,
+            self._dc_compiled,
+            ops_fold=self._ops_fold_epoch,
+        )
 
     # -- close ----------------------------------------------------------
 
@@ -891,6 +983,13 @@ class GraphRunner:
             try:
                 return self._driver_close(epoch, src, stream, tids, spus, dc, t0)
             except Ineligible as e:
+                if self._ops_fold_epoch:
+                    # the ops-fold epoch never built the evaluation
+                    # plans, so there is no in-place fallback — re-run
+                    # the whole epoch on the standard path WITHOUT
+                    # disabling the driver cascade (the ineligibility is
+                    # data-dependent and per-epoch, not structural)
+                    raise _OpsFoldRetry(str(e)) from e
                 # belt-and-braces: a pull-time ineligibility (shapes the
                 # compile gate cannot see) falls back to the distributed
                 # close below — nothing was committed yet, and the
@@ -1151,6 +1250,9 @@ class GraphRunner:
             run_cascade=env.isolation in ("PL3", "PL4"),
             tids_covered=bool(self._tids_covered),
         )
+        # small-epoch regime signal for the next epoch's ops-fold
+        # decision (the hot path must never engage on a loaded epoch)
+        self._last_txns = len(out.gv_pdf)
         gvotes = spark.createDataFrame(
             out.gv_pdf, schema="_tid long, vote int, any_commit int"
         )
