@@ -1096,6 +1096,10 @@ class DriverCascade:
             self._ensure_v0(store, st)
         self._pulled_ops = True
         for st in self.states:
+            if len(st.ops_pdf) == 0:
+                # empty stage (e.g. an empty streaming micro-batch): no
+                # keys, no links — nothing to fold, nothing to vec-init
+                continue
             # the SQL fold groups NULL keys as a group of their own;
             # the pandas pre-combine dropped those rows (and factorize
             # would code them -1), so a null-key epoch takes the
@@ -1120,9 +1124,10 @@ class DriverCascade:
                     "__wr": pd.Series(dtype=bool),
                 }
             )
-            all_keys = _np.asarray(st.vec["kindex"], dtype=object)
-            if len(all_keys):
-                self._refold_keys_vec(st, all_keys, no_excl)
+            if isinstance(st.vec, dict):
+                all_keys = _np.asarray(st.vec["kindex"], dtype=object)
+                if len(all_keys):
+                    self._refold_keys_vec(st, all_keys, no_excl)
             tid_arrs.append(
                 st.ops_pdf["_tid"].to_numpy().astype(_np.int64, copy=False)
             )
@@ -1387,6 +1392,11 @@ class DriverCascade:
         O(max_chain_len) numpy steps over ALL touched keys instead of
         one Python loop per key (round-9 verdict next-round #3)."""
         ctx, comp = st.ctx, st.comp
+        if st.ops_pdf is None or len(st.ops_pdf) == 0:
+            # nothing to pack: factorize/starts index math below assumes
+            # at least one row (an empty epoch crashed here, round 12) —
+            # the scalar path handles the degenerate case for free
+            return False
         if (
             ctx.kind != "chain_expr"
             or not ctx.stage.pre_combine

@@ -191,6 +191,24 @@ class TestOpsFoldFallbacks:
         assert engaged["n"] == 1 and res3.vote_counts() == {"COMMIT": 1}
 
 
+class TestOpsFoldEmptyEpoch:
+    def test_empty_micro_batch_after_small_epoch(self, spark, monkeypatch):
+        """An empty batch following a small epoch engages the hot path
+        with ZERO ops rows — the packed fold's index math assumed at
+        least one row and crashed (found by the sf1 rate ladder, whose
+        sparse tid slices produced empty warm epochs)."""
+        engaged = _spy_engagement(monkeypatch)
+        _env, runner = _bank_env(spark)
+        runner.run_epoch(_batch(spark, [(1, "a", "b", 10.0)]))
+        res = runner.run_epoch(_batch(spark, []))
+        assert engaged["n"] == 1, "empty epoch must stay on the hot path"
+        assert res.vote_counts() == {}
+        res3 = runner.run_epoch(_batch(spark, [(2, "b", "a", 1.0)]))
+        assert res3.vote_counts() == {"COMMIT": 1}
+        bal = {r["key"]: r["value"] for r in _env.store.read("balances").collect()}
+        assert bal == {"a": 91.0, "b": 109.0}
+
+
 class TestOpsFoldMoneyConservation:
     def test_sum_invariant_over_many_small_epochs(self, spark):
         _env, runner = _bank_env(spark)

@@ -43,7 +43,15 @@ OFFSETS = {
         "l_partkey": 1_000_000,
         "l_suppkey": 100_000,
     },
-    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    # event_id stride = the sf0.1 ROW COUNT (event_ids there are dense
+    # 0..99,999): copies stay disjoint AND the amplified id space stays
+    # dense 0..N-1.  The old 10M stride left 99% tid-space gaps, so the
+    # bench's tid-range epoch slices (rate*seconds ids per epoch) fed
+    # ~1% of the intended rows at sf1 — the round-11 sf1 sweep's
+    # tid-sliced pin rows measured near-empty epochs (SCALING.md
+    # round-12 correction).  `tid = event_id` is a bench contract
+    # (oracle parity), so density is the GENERATOR's job.
+    "events": {"event_id": 100_000, "user_id": 1_000_000},
     "documents": {"doc_id": 1_000_000},
     "embeddings": {"vec_id": 1_000_000},
 }
@@ -85,7 +93,13 @@ def main() -> None:
         src = os.path.join(args.src, f"{t}.parquet")
         if not os.path.exists(src):
             continue
-        df = spark.read.parquet(src).select("*", copies)
+        raw = spark.read.parquet(src)
+        if t == "events":
+            # density contract (see OFFSETS note): stride = max id + 1
+            # of THIS source, so any --src keeps disjoint AND dense ids
+            ev_stride = int(raw.agg(F.max("event_id")).collect()[0][0]) + 1
+            offs = {**offs, "event_id": ev_stride}
+        df = raw.select("*", copies)
         if not args.verbatim and t == "documents":
             # hash-gated token mutation: ~1/8 of positions get a salted
             # token on copies > 0; deterministic in (doc_id, copy, pos)
