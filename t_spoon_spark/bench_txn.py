@@ -232,50 +232,61 @@ def sustainable_tps(
         )
         return env.runner(_graph(env, fold))
 
-    # amplified stream (copies=8): the engine's sustainable rate rose
-    # past what one sf0.1 events pass can feed a 3×5 s probe (the
-    # round-6 discovery was data-capped at 6.5k tx/s with probe walls
-    # at 28% of budget) — the reference's TunableSource is unbounded,
-    # so the probe stream must be too
-    transfers = _transfers(spark, sf_dir, keyspace, copies=8).localCheckpoint(
-        eager=True
-    )
-    total = transfers.count()
-
     # The per-epoch control frames are tiny; 32-way shuffles on them are
     # pure task overhead in local mode. A cluster sizes this to cores.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # amplified stream: the reference's TunableSource is unbounded, so
+    # the probe stream must be too.  copies=8 fixed the round-6 data cap
+    # (discovery stuck at 6.5k tx/s on one events pass); round 12 found
+    # the SAME failure one octave up — the ops-fold engine pushed the
+    # bisection to ~the 800k-row stream's feedable ceiling (52k tx/s =
+    # the data cap, not saturation) — so the widening is now adaptive:
+    # whenever the discovered rate presses the current stream's ceiling,
+    # double the copies and re-search (bounded; each re-search starts
+    # its bracket at the prior lo, so widening costs a few probes, not
+    # a full restart).
+    copies, lo = 8, 0.0
     try:
-        # JIT/codegen warmup outside any timed probe
-        _probe(env_factory, transfers, total, 500, epoch_seconds, 1)
+        while True:
+            transfers = _transfers(
+                spark, sf_dir, keyspace, copies=copies
+            ).localCheckpoint(eager=True)
+            total = transfers.count()
+            # JIT/codegen warmup outside any timed probe
+            _probe(env_factory, transfers, total, 500, epoch_seconds, 1)
 
-        # start the exponential bracket at a rate the dataset can
-        # actually feed (small SFs would otherwise fail every probe on
-        # data volume, not backpressure, and report 0).  8k start: the
-        # engine sustains well above it post-r7, and a start ABOVE the
-        # true rate is harmless — the first failed probe brackets
-        # [0, start] and the binary search proceeds normally.
-        warm = min(1000, max(1, total // 10))
-        max_rate = (total - warm) / (epoch_seconds * n_epochs)
-        lo, hi = 0.0, None
-        rate = max(1.0, min(8000.0, max_rate / 2))
-        while hi is None:
-            ok = _probe(
-                env_factory, transfers, total, rate, epoch_seconds, n_epochs, curve
-            )
-            if ok:
-                lo, rate = rate, rate * 2
-            else:  # failed probe or data-limited: bracket found
-                hi = rate
-        for _ in range(iters):
-            mid = (lo + hi) / 2
-            if _probe(
-                env_factory, transfers, total, mid, epoch_seconds, n_epochs, curve
-            ):
-                lo = mid
-            else:
-                hi = mid
+            # start the exponential bracket at a rate the dataset can
+            # actually feed (small SFs would otherwise fail every probe
+            # on data volume, not backpressure, and report 0); after a
+            # widening, resume from the already-sustained lo.
+            warm = min(1000, max(1, total // 10))
+            max_rate = (total - warm) / (epoch_seconds * n_epochs)
+            rate = max(1.0, min(8000.0, max_rate / 2), lo)
+            hi = None
+            while hi is None:
+                ok = _probe(
+                    env_factory, transfers, total, rate, epoch_seconds, n_epochs, curve
+                )
+                if ok:
+                    lo, rate = rate, rate * 2
+                else:  # failed probe or data-limited: bracket found
+                    hi = rate
+            for _ in range(iters):
+                mid = (lo + hi) / 2
+                if _probe(
+                    env_factory, transfers, total, mid, epoch_seconds, n_epochs, curve
+                ):
+                    lo = mid
+                else:
+                    hi = mid
+            if lo < 0.85 * max_rate or copies >= 128:
+                break
+            copies *= 2
+            if curve is not None:
+                curve.append(
+                    {"event": "stream_widened", "copies": copies, "at_rate": lo}
+                )
 
         if measure_latency:
             latency_ms, _spread = _latency_at(

@@ -51,14 +51,20 @@ _DRIVER_CASCADE = os.environ.get("TSPOON_DRIVER_CASCADE", "1") != "0"
 # Fused no-abort single-job close (pandas mode). TSPOON_FUSED=0 pins the
 # two-action path for comparisons/tests.
 _FUSED = os.environ.get("TSPOON_FUSED", "1") != "0"
-# Driver-side FULL fold for small epochs (pandas mode, round-12
-# unloaded-latency floor): the epoch's one Spark job is the pre-fold ops
-# projection; the chain evaluation itself runs through the vectorized
-# numpy fold (tx/driver_cascade.py ops_fold).  TSPOON_OPS_FOLD=0 pins
-# the JVM fold for comparisons/tests; the txn threshold keeps the
-# loaded pins (26k+ txn epochs) on the measured fused path.
+# Driver-side FULL fold (pandas mode, round-12 unloaded-latency floor):
+# the epoch's one Spark job is the pre-fold ops projection; the chain
+# evaluation itself runs through the vectorized numpy fold
+# (tx/driver_cascade.py ops_fold).  TSPOON_OPS_FOLD=0 pins the JVM fold
+# for comparisons/tests.  The txn threshold bounds the regime by the
+# PREVIOUS epoch's size: paired A/B at sf0.1 shows the fold winning
+# across the whole local operating range (100-txn floor -53%, 26k-txn
+# pin -66%, 150k-txn pin -46%, ~20k-txn tps epochs +17%), so the
+# default admits everything up to the sustained-probe scale; epochs
+# past it fall back to the fused JVM fold (same driver-frame memory
+# class either way — pandas mode always pulls batch-sized control
+# frames).  Cluster sessions never take either driver path.
 _OPS_FOLD = os.environ.get("TSPOON_OPS_FOLD", "1") != "0"
-_OPS_FOLD_MAX_TXNS = int(os.environ.get("TSPOON_OPS_FOLD_MAX_TXNS", "20000"))
+_OPS_FOLD_MAX_TXNS = int(os.environ.get("TSPOON_OPS_FOLD_MAX_TXNS", "500000"))
 
 
 class _OpsFoldRetry(Exception):
@@ -849,11 +855,11 @@ class GraphRunner:
         unloaded-latency floor): skip BUILDING the chain-fold plan
         entirely and evaluate every chain driver-side with the
         vectorized fold.  Conservative by construction — every condition
-        a pull can't verify later must hold up front, and the loaded
-        regime (previous driver epoch > _OPS_FOLD_MAX_TXNS txns) stays
-        on the measured fused path so the throughput pins are
-        untouched.  First eligible epoch is the runner's second: the
-        compile (and the twin size signal) come from a standard epoch."""
+        a pull can't verify later must hold up front; epochs past the
+        size threshold (previous driver epoch > _OPS_FOLD_MAX_TXNS
+        txns) fall back to the fused JVM fold.  First eligible epoch is
+        the runner's second: the compile (and the size signal) come
+        from a standard epoch."""
         if not (_OPS_FOLD and _DRIVER_CASCADE) or stamped or spus is not None:
             return False
         if not isinstance(self._dc_compiled, list):
