@@ -33,6 +33,7 @@ class TxEnvironment:
         durable: bool = False,
         store_dir: str | None = None,
         checkpoint_every: int | None = None,
+        max_epochs: int | None = None,
     ):
         import threading
 
@@ -51,7 +52,13 @@ class TxEnvironment:
         self.isolation = isolation
         self.strategy = strategy
         self.store = StateStore(
-            spark, root=store_dir, durable=durable, checkpoint_every=checkpoint_every
+            spark,
+            root=store_dir,
+            durable=durable,
+            checkpoint_every=checkpoint_every,
+            # durable retention horizon (round 12; reference parity
+            # maxNoVersions, tgraph/state/StateOperator.java:100-101)
+            max_epochs=max_epochs,
         )
 
     # -- namespaces ------------------------------------------------------

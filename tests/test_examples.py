@@ -47,3 +47,16 @@ def test_pack_corpus_example(spark):
     # every bin except possibly the last per source is within budget by
     # construction; waste is bounded by bins * budget
     assert out["n_tokens"] + out["padding_waste"] == out["n_bins"] * 512
+
+
+def test_durable_bank_example(spark):
+    from examples.durable_bank import MAX_EPOCHS, N_EPOCHS, main
+
+    out = main(spark)
+    assert out["votes"].get("COMMIT", 0) > 0
+    assert out["total"] == out["expected_total"]
+    assert out["min_balance"] >= 0.0
+    assert out["watermark"] == N_EPOCHS - 1
+    assert out["rows_at_horizon"] > 0
+    assert out["below_horizon"].startswith("refused"), out["below_horizon"]
+    assert MAX_EPOCHS < N_EPOCHS  # the refusal branch is actually exercised
