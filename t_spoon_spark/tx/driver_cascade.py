@@ -52,6 +52,7 @@ runs.
 from __future__ import annotations
 
 import math
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -801,6 +802,13 @@ def _sort_key_field(v):
 
 _INT_VTS = {"bigint", "long", "int", "integer", "smallint", "tinyint"}
 
+# ops-fold chain-length cap: the vectorized fold pays one numpy step per
+# chain position, so a single chain approaching the batch size would
+# degrade the step loop to per-row Python — past this, the epoch falls
+# back to the JVM fold (one sequential task, JVM-speed).  Contended
+# operating points run chains of a few hundred.
+OPS_FOLD_MAX_CHAIN = int(os.environ.get("TSPOON_OPS_FOLD_MAX_CHAIN", "50000"))
+
 
 def _pull_pdf(df, key_cols: tuple[str, ...] = ()) -> pd.DataFrame:
     """Collect a control frame with its key columns DICTIONARY-ENCODED.
@@ -1110,6 +1118,15 @@ class DriverCascade:
             if st.vec is None:
                 st.vec = self._vec_init(st)
             if not st.vec:
+                return None
+            # the vectorized fold costs one numpy step per chain
+            # POSITION: a pathological single-hot-key epoch (chain ~
+            # epoch size) would turn the step loop into a Python loop
+            # over the whole batch — the JVM fold handles that shape in
+            # one sequential task at JVM speed, so fall back.  The
+            # contended operating points (chains of a few hundred) stay
+            # far under the cap.
+            if len(st.vec["lens"]) and int(st.vec["lens"].max()) > OPS_FOLD_MAX_CHAIN:
                 return None
         no_excl = _np.empty(0, dtype=_np.int64)
         tid_arrs = []

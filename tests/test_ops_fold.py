@@ -230,3 +230,24 @@ class TestOpsFoldMoneyConservation:
         )
         n_keys = runner.env.store.read("balances").count()
         assert round(total, 6) == 100.0 * n_keys
+
+
+class TestOpsFoldChainCap:
+    def test_hot_chain_past_cap_falls_back(self, spark, monkeypatch):
+        """A chain longer than OPS_FOLD_MAX_CHAIN would turn the
+        vectorized fold's step loop into per-row Python — the epoch must
+        fall back to the JVM fold (retry path) and still produce the
+        exact chain semantics."""
+        monkeypatch.setattr(dcm, "OPS_FOLD_MAX_CHAIN", 3)
+        engaged = _spy_engagement(monkeypatch)
+        _env, runner = _bank_env(spark)
+        runner.run_epoch(_batch(spark, [(1, "a", "b", 10.0)]))
+        # 5 txns all hitting key "b" -> chain of 5 > cap 3
+        res = runner.run_epoch(
+            _batch(spark, [(i, "b", "c", 1.0) for i in range(2, 7)])
+        )
+        assert engaged["n"] == 0, "capped chain must not run the vec fold"
+        assert res.vote_counts() == {"COMMIT": 5}
+        assert isinstance(runner._dc_compiled, list)
+        bal = {r["key"]: r["value"] for r in _env.store.read("balances").collect()}
+        assert bal == {"a": 90.0, "b": 105.0, "c": 105.0}
