@@ -184,6 +184,32 @@ def format_line(result: dict) -> str:
     return line
 
 
+def _prev_discovered_rate() -> float | None:
+    """Seed for the sustained probe's bracket: the newest committed
+    BENCH_r*.json's sustainable_tps_pl3 (round-12 verdict next-round #3:
+    the adaptive widening re-searches from an 8k cold start, adding ~2
+    searches per round as the rate climbs; seeding from the prior
+    round's discovery keeps the bench inside its wall window).  None
+    when no artifact carries a numeric value — the probe then runs its
+    prior cold-start behavior.  The seed only positions the search;
+    every accepted rate still comes from a passed probe."""
+    import glob
+
+    for path in sorted(glob.glob(str(REPO / "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            # driver artifacts nest the contract line under "parsed";
+            # a raw contract line carries "queries" at top level
+            queries = (doc.get("parsed") or doc).get("queries", {})
+            v = queries.get("sustainable_tps_pl3")
+            if isinstance(v, (int, float)) and v > 0:
+                return float(v)
+        except Exception:  # noqa: BLE001 — seeding is best-effort;
+            continue  # an unreadable artifact falls through to older ones
+    return None
+
+
 def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
     """Non-SQL benchmarks (transactional tx/s etc.) plus one
     representative per operator family (retrieval / graph / clustering /
@@ -309,11 +335,24 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
         "txn_latency_ms_at_30k_fixed",
         lambda: txn_latency_ms_at_rate(spark, sf_dir, 30000.0),
     )
+    # third pin at the r11 discovered rate (round-12 verdict "What's
+    # wrong" #2): the at-sustained latency rows measure epochs at
+    # whatever rate THIS round's probe discovers — edge-of-saturation
+    # by construction, so they whipsaw whenever the discovery moves.
+    # 52k freezes the r11 operating point as a cross-round comparable.
+    _run_stats(
+        "txn_latency_ms_at_52k_fixed",
+        lambda: txn_latency_ms_at_rate(spark, sf_dir, 52000.0),
+    )
     # methodology tag (ADVICE r9): the pin protocol changed in round 9
     # (pre-sliced checkpointed batches, AQE off at pins, fresh session,
     # 2 full-size warm epochs) — pin readings from r6-r8 artifacts were
     # measured under pin-v1 and are NOT on the same comparison axis
-    for k in ("txn_latency_ms_at_5200_fixed", "txn_latency_ms_at_30k_fixed"):
+    for k in (
+        "txn_latency_ms_at_5200_fixed",
+        "txn_latency_ms_at_30k_fixed",
+        "txn_latency_ms_at_52k_fixed",
+    ):
         if isinstance(details.get(k), dict):
             details[k]["protocol"] = (
                 "pin-v2 (since r9): pre-sliced checkpointed batches, AQE off, "
@@ -343,12 +382,23 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
     # reference's latency-at-sustained-rate metric).
     curve: list = []
     rate = None
+    seed = _prev_discovered_rate()
     try:
         rate, latency_ms = sustainable_tps(
-            spark, sf_dir, measure_latency=True, curve=curve
+            spark, sf_dir, measure_latency=True, curve=curve, seed_rate=seed
         )
         compact["sustainable_tps_pl3"] = rate
         compact["txn_latency_ms_at_sustained_pl3"] = latency_ms
+        details["sustainable_tps_pl3"] = {
+            "best": rate,
+            "seed_rate": seed,
+            "note": (
+                "at-sustained latency rows measure epochs at the "
+                "saturation edge by construction (wall ~= budget); the "
+                "fixed 5200/30k/52k pins are the cross-round latency "
+                "comparables"
+            ),
+        }
     except Exception as exc:  # noqa: BLE001
         compact["sustainable_tps_pl3"] = "failed"
         print(f"# sustainable_tps_pl3: FAILED {exc}", file=sys.stderr)

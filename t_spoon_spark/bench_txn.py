@@ -199,6 +199,21 @@ def _probe(env_factory, transfers, total: int, rate: float,
     return True
 
 
+def _free_checkpoint(df) -> None:
+    """Drop a superseded eagerly-localCheckpointed stream's storage
+    blocks NOW (ADVICE r12: the adaptive widening loop otherwise holds
+    every generation — 8..128 copies — in the block manager
+    simultaneously until the py4j reference is GC'd).  A
+    localCheckpointed frame's plan is a LogicalRDD over the persisted
+    RDD; unpersisting that RDD is the handle PySpark exposes.
+    Best-effort: on any reflection failure the prior behavior (free at
+    GC) still applies."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def sustainable_tps(
     spark: SparkSession,
     sf_dir: str,
@@ -210,6 +225,7 @@ def sustainable_tps(
     keyspace: int = KEYSPACE,
     measure_latency: bool = False,
     curve: list | None = None,
+    seed_rate: float | None = None,
 ) -> float | tuple[float, float]:
     """Max sustainable rate by targeting loop — the reference's
     TunableSource methodology (evaluation/TunableSource.java:26-45:
@@ -223,7 +239,15 @@ def sustainable_tps(
     discovered rate and returns (rate, mean epoch wall in ms) — the
     epoch model's end-to-end commit latency: a txn entering at epoch
     start is durably committed one epoch wall later (the reference's
-    latency-at-sustained-rate, `latency-unloaded` accumulator)."""
+    latency-at-sustained-rate, `latency-unloaded` accumulator).
+
+    `seed_rate` (round-13 / BENCHNOTES r12 queue #2) warm-starts the
+    search from a prior round's discovered rate: the stream is sized up
+    front to feed ~2x the seed (skipping the widening ladder's
+    re-searches) and the exponential bracket's first probe runs at
+    0.85x the seed instead of 8k.  Seeding changes only where the
+    search STARTS — every accepted rate still comes from a passed
+    2-of-2 probe, so a stale or wrong seed costs probes, not truth."""
 
     def env_factory():
         env = TxEnvironment(spark, isolation=isolation)
@@ -247,8 +271,20 @@ def sustainable_tps(
     # its bracket at the prior lo, so widening costs a few probes, not
     # a full restart).
     copies, lo = 8, 0.0
+    if seed_rate is not None and seed_rate > 0:
+        # size the stream so the bracket can explore ~2x the seed
+        # before the adaptive widening would have to kick in
+        base_total = _transfers(spark, sf_dir, keyspace).count()
+        need = int(2.0 * seed_rate * epoch_seconds * n_epochs) + 1000
+        copies = min(128, max(copies, -(-need // max(base_total, 1))))
+    transfers = None
     try:
         while True:
+            if transfers is not None:
+                # widening superseded this generation — free its
+                # checkpoint blocks before materializing a bigger one
+                # (ADVICE r12)
+                _free_checkpoint(transfers)
             transfers = _transfers(
                 spark, sf_dir, keyspace, copies=copies
             ).localCheckpoint(eager=True)
@@ -259,10 +295,13 @@ def sustainable_tps(
             # start the exponential bracket at a rate the dataset can
             # actually feed (small SFs would otherwise fail every probe
             # on data volume, not backpressure, and report 0); after a
-            # widening, resume from the already-sustained lo.
+            # widening, resume from the already-sustained lo; with a
+            # seed, from 0.85x the prior round's discovery.
             warm = min(1000, max(1, total // 10))
             max_rate = (total - warm) / (epoch_seconds * n_epochs)
             rate = max(1.0, min(8000.0, max_rate / 2), lo)
+            if seed_rate is not None and seed_rate > 0:
+                rate = max(rate, min(0.85 * seed_rate, max_rate / 2))
             hi = None
             while hi is None:
                 ok = _probe(
@@ -272,6 +311,13 @@ def sustainable_tps(
                     lo, rate = rate, rate * 2
                 else:  # failed probe or data-limited: bracket found
                     hi = rate
+                    if hi <= lo:
+                        # the previously-sustained lo (or the seed) no
+                        # longer passes on THIS stream — re-bracket from
+                        # zero so the bisection has a live range instead
+                        # of re-probing the same failing rate for all
+                        # `iters` (ADVICE r12); lo stays only-validated.
+                        lo = 0.0
             for _ in range(iters):
                 mid = (lo + hi) / 2
                 if _probe(

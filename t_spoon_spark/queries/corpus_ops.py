@@ -297,12 +297,14 @@ def packing_best_fit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE whose state column is the fill LIST, with the same
     (max feasible fill, lowest bin index) total tiebreak. Scale shape:
     identical to packing_greedy_whole_doc — partition key becomes
-    (source, shard) at 100 TB so every fold is bounded. Note: bfd_pack
-    currently scans every bin ever opened per placement (O(docs*bins)
-    per shard) and does NOT yet retire exactly-full bins from the scan
-    list (ADVICE r10); retirement is the planned optimization for
-    large skewed shards — at the bounded per-shard sizes the partition
-    key guarantees, the linear scan is not the bottleneck."""
+    (source, shard) at 100 TB so every fold is bounded. bfd_pack
+    retires exactly-full bins from its placement scan (ADVICE r10,
+    landed round 12): because every n_tok >= 1 (enforced upstream), a
+    bin at exactly PACK_BUDGET can never accept another doc, so
+    dropping it from the open-bins list changes no placement — the
+    fold stays bit-identical to the SQL oracle's unretired scan while
+    the per-placement cost falls on skewed shards where many bins pack
+    exactly full."""
     from t_spoon_spark.operators.text import tokens
 
     docs = t(spark, sf_dir, "documents")

@@ -66,6 +66,15 @@ class StateStore:
         horizon."""
         if max_epochs is not None and max_epochs < 1:
             raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+        if max_epochs is not None and not durable:
+            # retention and the horizon read-guard only exist on the
+            # durable path; silently ignoring the knob would hand a
+            # caller asking for bounded retention an unbounded store
+            # (ADVICE r12).
+            raise ValueError(
+                "max_epochs requires durable=True (the in-memory store "
+                "bounds snapshots with history_epochs instead)"
+            )
         if checkpoint_every is None:
             # in-memory: cut lineage EVERY epoch — Spark 4.1 local mode
             # shows super-linear re-planning cost on uncut epoch chains
@@ -132,18 +141,31 @@ class StateStore:
         return self._committed
 
     def read(self, ns: str, epoch: int | None = None) -> DataFrame:
-        """Committed snapshot of a namespace (at `epoch`, default latest)."""
+        """Committed snapshot of a namespace (at `epoch`, default latest).
+
+        The retention-horizon guard runs BEFORE the in-memory history
+        lookup: with ``max_epochs <= history_epochs`` an epoch can sit in
+        the history window yet below the horizon, and its pinned frame's
+        lineage roots at base files ``_gc_retention`` already pruned —
+        returning it would defer the failure to action time as a
+        FileNotFoundException instead of the documented loud refusal
+        (ADVICE r12). ``max_epochs`` is the retention contract; below it,
+        nothing is readable, history-resident or not."""
         if epoch is None or epoch == self._committed:
             return self._current[ns]
+        if (
+            self.durable
+            and self.max_epochs is not None
+            and epoch < self._committed - self.max_epochs + 1
+        ):
+            raise KeyError(
+                f"snapshot {ns}@{epoch} outside retention horizon "
+                f"(max_epochs={self.max_epochs}, committed={self._committed})"
+            )
         key = (ns, epoch)
         if key in self._history:
             return self._history[key]
         if self.durable:
-            if self.max_epochs is not None and epoch < self._committed - self.max_epochs + 1:
-                raise KeyError(
-                    f"snapshot {ns}@{epoch} outside retention horizon "
-                    f"(max_epochs={self.max_epochs}, committed={self._committed})"
-                )
             return self._reconstruct(ns, epoch)
         raise KeyError(f"snapshot {ns}@{epoch} not retained (history={self.history_epochs})")
 
@@ -414,9 +436,23 @@ class StateStore:
         # retention horizon contributed theirs to _horizon.json first
         for qid, bid in self._load_horizon().get("frontiers", {}).items():
             self.batch_frontiers[qid] = max(self.batch_frontiers.get(qid, -1), bid)
+        marker: dict = {}
         for k in epochs:
-            with open(os.path.join(self.root, "_commits", f"{k:012d}.json")) as f:
-                marker = json.load(f)
+            try:
+                with open(os.path.join(self.root, "_commits", f"{k:012d}.json")) as f:
+                    marker = json.load(f)
+            except (OSError, ValueError):
+                # marker presence (the atomic rename) is what commits the
+                # epoch; content damage loses only that epoch's frontier
+                # metadata. Recover the rest instead of refusing to open.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "recovery: commit marker for epoch %d unreadable; "
+                    "its batch frontier is unknown", k,
+                )
+                marker = {}
+                continue
             bid, qid = marker.get("batch_id"), marker.get("query_id")
             if bid is not None and qid is not None:
                 self.batch_frontiers[qid] = max(self.batch_frontiers.get(qid, -1), bid)
@@ -565,25 +601,43 @@ class StateStore:
         if old_markers:
             summary = self._load_horizon()
             frontiers = dict(summary.get("frontiers", {}))
+            folded: list[int] = []
             for k in old_markers:
                 path = os.path.join(self.root, "_commits", f"{k:012d}.json")
                 try:
                     with open(path) as f:
                         marker = json.load(f)
                 except (OSError, ValueError):
-                    marker = {}
+                    # an unreadable marker's batch frontier would be
+                    # silently lost if we deleted it — a redelivered
+                    # batch for that query could then double-apply after
+                    # recovery (ADVICE r12). Keep it on disk (retried at
+                    # every later commit) and log the skip; markers are
+                    # tmp+rename atomic, so this is disk damage, not a
+                    # normal state.
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "retention GC: commit marker %s unreadable; "
+                        "keeping it (frontier would be lost)",
+                        path,
+                    )
+                    continue
                 bid, qid = marker.get("batch_id"), marker.get("query_id")
                 if bid is not None and qid is not None:
                     frontiers[qid] = max(frontiers.get(qid, -1), bid)
+                folded.append(k)
+            if not folded:
+                return
             fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_commits"))
             with os.fdopen(fd, "w") as f:
                 json.dump(
-                    {"floor": max(summary.get("floor", -1), old_markers[-1]),
+                    {"floor": max(summary.get("floor", -1), folded[-1]),
                      "frontiers": frontiers},
                     f,
                 )
             os.rename(tmp, self._horizon_path())
-            for k in old_markers:
+            for k in folded:
                 try:
                     os.remove(os.path.join(self.root, "_commits", f"{k:012d}.json"))
                 except OSError:

@@ -34,6 +34,7 @@ def _full_shape_result() -> dict:
         "txn_latency_ms_at_80pct_sustained",
         "txn_latency_ms_at_5200_fixed",
         "txn_latency_ms_at_30k_fixed",
+        "txn_latency_ms_at_52k_fixed",
         "txn_latency_ms_unloaded",
         "streaming_bank_commit_latency_ms",
         "streaming_concurrent_commit_latency_ms",

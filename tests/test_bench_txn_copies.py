@@ -46,3 +46,44 @@ def test_latency_pin_copies_bounded_at_tiny_sf():
         assert copies <= 4 * (needed // base + 1)  # never the explosion
     # the regression pinpointed: base_total exactly 1000
     assert _pin_copies(1000, 30000.0, 5.0, 3) <= 1600
+
+
+def test_free_checkpoint_drops_blocks(spark):
+    """ADVICE r12: the widening loop must free a superseded
+    eagerly-localCheckpointed stream's storage blocks instead of holding
+    every generation until GC."""
+    from t_spoon_spark.bench_txn import _free_checkpoint
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.range(10_000).localCheckpoint(eager=True)
+    assert jsc.getPersistentRDDs().size() == before + 1
+    _free_checkpoint(df)
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_prev_discovered_rate_reads_newest_artifact(tmp_path, monkeypatch):
+    """The probe seed comes from the NEWEST BENCH artifact carrying a
+    numeric sustainable_tps_pl3 (driver artifacts nest the contract line
+    under 'parsed'); failures/absence degrade to None (cold probe)."""
+    import json as _json
+
+    import bench
+
+    monkeypatch.setattr(bench, "REPO", tmp_path)
+    assert bench._prev_discovered_rate() is None
+    (tmp_path / "BENCH_r01.json").write_text(
+        _json.dumps({"parsed": {"queries": {"sustainable_tps_pl3": 52000.0}}})
+    )
+    assert bench._prev_discovered_rate() == 52000.0
+    # newest artifact wins; "failed" strings are skipped to the next
+    (tmp_path / "BENCH_r02.json").write_text(
+        _json.dumps({"parsed": {"queries": {"sustainable_tps_pl3": 110500.0}}})
+    )
+    (tmp_path / "BENCH_r03.json").write_text(
+        _json.dumps({"parsed": {"queries": {"sustainable_tps_pl3": "failed"}}})
+    )
+    assert bench._prev_discovered_rate() == 110500.0
+    # unparseable newest artifact falls through to the next readable one
+    (tmp_path / "BENCH_r04.json").write_text("{not json")
+    assert bench._prev_discovered_rate() == 110500.0

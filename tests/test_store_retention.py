@@ -124,6 +124,44 @@ class TestRetentionPrunes:
         with pytest.raises(ValueError, match="max_epochs"):
             StateStore(spark, root=str(tmp_path / "x"), durable=True, max_epochs=0)
 
+    def test_max_epochs_requires_durable(self, spark, tmp_path):
+        # ADVICE r12: silently ignoring the retention knob on the
+        # in-memory store hands the caller unbounded behavior
+        with pytest.raises(ValueError, match="durable"):
+            StateStore(spark, root=str(tmp_path / "y"), durable=False, max_epochs=4)
+
+    def test_history_window_below_horizon_refuses_loudly(self, spark, tmp_path):
+        # ADVICE r12 (medium): with max_epochs <= history_epochs an epoch
+        # sits in the in-memory history window yet below the retention
+        # horizon; its pinned frame's lineage roots at a base
+        # _gc_retention pruned.  read() must refuse with the documented
+        # KeyError, not return a frame that throws FileNotFoundException
+        # at action time.
+        root = str(tmp_path / "histbelow")
+        store = StateStore(
+            spark,
+            root=root,
+            durable=True,
+            checkpoint_every=2,
+            max_epochs=4,
+            history_epochs=4,
+        )
+        store.register(Namespace("g", "double", 0.0))
+        _run_epochs(spark, store, 20)
+        # committed=19, horizon=16; epoch 15 is history-resident
+        # (cutoff 15) but below the horizon — and its frame roots at
+        # base 14, which the horizon-16 anchor (base 16) pruned
+        assert ("g", 15) in store._history
+        assert 14 not in _epoch_dirs(root, "g", "base")
+        with pytest.raises(KeyError, match="retention horizon"):
+            store.read("g", epoch=15)
+        # every epoch inside the horizon still reads exactly
+        for e in (16, 17, 18, 19):
+            got = {
+                r["key"]: r["value"] for r in store.read("g", epoch=e).collect()
+            }
+            assert got == _expected_snapshot(e), f"epoch {e} mismatch"
+
 
 class TestRetentionRecovery:
     def test_recovery_and_pruned_marker_frontiers(self, spark, tmp_path):
@@ -148,3 +186,39 @@ class TestRetentionRecovery:
         assert re.batch_frontiers["qB"] == 23
         got = {r["key"]: r["value"] for r in re.read("g").collect()}
         assert got == _expected_snapshot(23)
+
+    def test_unreadable_marker_kept_and_recovery_survives(self, spark, tmp_path):
+        # ADVICE r12: an unreadable below-horizon marker must NOT be
+        # treated as {} and deleted — that silently loses its query's
+        # batch frontier, so a crash-redelivered batch could double-apply.
+        # Retention keeps it (retried each commit); recovery tolerates it.
+        root = str(tmp_path / "corrupt")
+        store = StateStore(
+            spark, root=root, durable=True, checkpoint_every=4, max_epochs=5
+        )
+        store.register(Namespace("g", "double", 0.0))
+        _run_epochs(spark, store, 4, start=0, batch_query="qA")
+        # damage epoch 2's marker before the horizon passes it
+        marker2 = os.path.join(root, "_commits", f"{2:012d}.json")
+        with open(marker2, "w") as f:
+            f.write("{not json")
+        _run_epochs(spark, store, 16, start=4, batch_query="qB")
+        # horizon = 19 - 5 + 1 = 15: readable old markers folded+deleted,
+        # the damaged one stays on disk for retry
+        assert os.path.exists(marker2)
+        remaining = sorted(
+            f for f in os.listdir(os.path.join(root, "_commits"))
+            if f.endswith(".json") and not f.startswith("_")
+        )
+        assert remaining[0] == f"{2:012d}.json"
+        assert int(remaining[1].split(".")[0]) >= 15
+        # qA's frontier survived via the readable markers (3 > 2)
+        re = StateStore(
+            spark, root=root, durable=True, checkpoint_every=4, max_epochs=5
+        )
+        re.register(Namespace("g", "double", 0.0))
+        assert re.committed_epoch() == 19
+        assert re.batch_frontiers["qA"] == 3
+        assert re.batch_frontiers["qB"] == 19
+        got = {r["key"]: r["value"] for r in re.read("g").collect()}
+        assert got == _expected_snapshot(19)
