@@ -145,14 +145,36 @@ class StateService:
             return self.max_rows
         return max(0, min(int(limit), self.max_rows))
 
+    def _snapshot(self, ns: str, epoch: int | None, freshness: str):
+        """(frame, effective_epoch, uncommitted?) for one request.
+        ``freshness='uncommitted'`` (round-13): answer from the
+        PL0-visibility overlay — the in-flight epoch's resolved updates
+        while a commit is underway — instead of the committed pin; the
+        frame and its effective epoch come from ONE read_uncommitted
+        call so they cannot disagree under a racing commit."""
+        if freshness == "uncommitted":
+            if epoch is not None:
+                raise ValueError("freshness='uncommitted' cannot pin an epoch")
+            frame, eff = self.env.store.read_uncommitted(ns)
+            return frame, eff, True
+        if freshness != "committed":
+            raise ValueError(
+                f"freshness must be 'committed' or 'uncommitted', got {freshness!r}"
+            )
+        pin = self.pin(epoch)
+        return self.env.store.read(ns, pin), pin, False
+
     def query_keys(
         self,
         ns: str,
         keys: list[str],
         epoch: int | None = None,
         limit: int | None = None,
+        freshness: str = "committed",
     ) -> dict[str, Any]:
-        pin = self.pin(epoch)
+        from pyspark.sql import functions as F
+
+        frame, pin, uncommitted = self._snapshot(ns, epoch, freshness)
         cap = self._cap(limit)
         # the key list itself bounds the result, but a client can send
         # an arbitrarily long list — cap it like every other payload.
@@ -163,8 +185,10 @@ class StateService:
         keys = list(keys)
         dropped = max(0, len(keys) - cap)
         keys = keys[:cap]
-        rows = self.env.query_keys(ns, keys, epoch=pin).orderBy("key").collect()
+        rows = frame.filter(F.col("key").isin(keys)).orderBy("key").collect()
         out = {"epoch": pin, "rows": [[r["key"], r["value"]] for r in rows]}
+        if uncommitted:
+            out["uncommitted"] = True
         if dropped:
             out["truncated"] = True
             out["keys_dropped"] = dropped
@@ -176,35 +200,73 @@ class StateService:
         predicate_sql: str,
         epoch: int | None = None,
         limit: int | None = None,
+        after_key: str | None = None,
+        freshness: str = "committed",
     ) -> dict[str, Any]:
-        pin = self.pin(epoch)
+        """``after_key`` is the keyset-pagination cursor (round-12
+        verdict #6): a truncated response carries
+        ``cursor = {"epoch": pin, "after_key": <last key served>}``; the
+        client re-sends the same request with that cursor and receives
+        the next page AT THE SAME pinned snapshot — commits advancing
+        underneath cannot tear the result set.  Keyset (not offset)
+        because ``key`` is unique per namespace: each page is one
+        ``key > after_key`` range scan under the pushed predicate, so
+        deep paging costs O(pages), not the O(pages^2) an offset rescan
+        would.  Uncommitted reads never emit cursors: the overlay has no
+        stable pin to page against (freshness is a hot-read mode, not a
+        paging mode)."""
+        from pyspark.sql import functions as F
+
+        frame, pin, uncommitted = self._snapshot(ns, epoch, freshness)
         cap = self._cap(limit)
+        df = frame.filter(F.expr(predicate_sql))
+        if after_key is not None:
+            df = df.filter(F.col("key") > F.lit(after_key))
         # orderBy + limit compiles to TakeOrderedAndProject: the top-k
         # runs executor-side and at most cap+1 rows reach the driver
-        rows = (
-            self.env.query_predicate(ns, predicate_sql, epoch=pin)
-            .orderBy("key")
-            .limit(cap + 1)
-            .collect()
-        )
+        rows = df.orderBy("key").limit(cap + 1).collect()
         out = {"epoch": pin, "rows": [[r["key"], r["value"]] for r in rows[:cap]]}
+        if uncommitted:
+            out["uncommitted"] = True
         if len(rows) > cap:
             out["truncated"] = True
+            if cap > 0 and not uncommitted:
+                out["cursor"] = {"epoch": pin, "after_key": rows[cap - 1]["key"]}
         return out
 
     def sql(
-        self, query: str, epoch: int | None = None, limit: int | None = None
+        self,
+        query: str,
+        epoch: int | None = None,
+        limit: int | None = None,
+        offset: int = 0,
     ) -> dict[str, Any]:
+        """``offset`` is the SQL-path page cursor (round-12 verdict #6):
+        a truncated response carries ``cursor = {"epoch": pin,
+        "offset": served_so_far}``; re-sending the same query with the
+        cursor returns the next page at the SAME pinned snapshot.  Exact
+        paging requires the client's query to impose a total order
+        (ORDER BY with a tiebreak) — the snapshot pin freezes the data,
+        the ORDER BY freezes the enumeration.  Offset paging rescans the
+        skipped prefix each page (fine at control-plane result sizes the
+        cap enforces); result sets that outgrow that want the keyset
+        predicate path."""
         pin = self.pin(epoch)
         cap = self._cap(limit)
+        offset = max(0, int(offset))
         with self._sql_lock:  # held through collect: the view bind and
             # the read must see the same pin
-            df = self.env.sql(query, epoch=pin).limit(cap + 1)
+            df = self.env.sql(query, epoch=pin)
+            if offset:
+                df = df.offset(offset)
+            df = df.limit(cap + 1)
             cols = df.columns
             rows = [[row[c] for c in cols] for row in df.collect()]
         out = {"epoch": pin, "columns": cols, "rows": rows[:cap]}
         if len(rows) > cap:
             out["truncated"] = True
+            if cap > 0:
+                out["cursor"] = {"epoch": pin, "offset": offset + cap}
         return out
 
     def handle(self, request: dict[str, Any]) -> dict[str, Any]:
@@ -214,13 +276,28 @@ class StateService:
             op = request.get("op")
             epoch = request.get("epoch")
             limit = request.get("limit")
+            # a cursor token (echoed from a truncated response) carries
+            # the page position AND the snapshot pin — its epoch wins
+            # over a bare "epoch" field so every page of one result set
+            # reads the same consistent snapshot (round-12 verdict #6)
+            cursor = request.get("cursor") or {}
+            if "epoch" in cursor:
+                epoch = cursor["epoch"]
+            freshness = request.get("freshness", "committed")
             if op == "watermark":
                 out: dict[str, Any] = {"epoch": self.env.watermark()}
             elif op == "keys":
-                out = self.query_keys(request["ns"], request["keys"], epoch, limit)
+                out = self.query_keys(
+                    request["ns"], request["keys"], epoch, limit, freshness=freshness
+                )
             elif op == "predicate":
                 out = self.query_predicate(
-                    request["ns"], request["predicate"], epoch, limit
+                    request["ns"],
+                    request["predicate"],
+                    epoch,
+                    limit,
+                    after_key=cursor.get("after_key"),
+                    freshness=freshness,
                 )
             elif op == "sql":
                 if not _is_read_only_sql(request["query"], self.env.spark):
@@ -229,7 +306,9 @@ class StateService:
                         "error": "rejected: sql op accepts read-only statements "
                         "(SELECT/WITH/VALUES/TABLE/EXPLAIN/SHOW/DESCRIBE) only",
                     }
-                out = self.sql(request["query"], epoch, limit)
+                out = self.sql(
+                    request["query"], epoch, limit, offset=cursor.get("offset", 0)
+                )
             else:
                 return {"ok": False, "error": f"unknown op: {op!r}"}
             out["ok"] = True

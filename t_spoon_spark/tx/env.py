@@ -101,17 +101,46 @@ class TxEnvironment:
         generalized: ours moves per epoch, not per txn)."""
         return self.store.committed_epoch()
 
-    def query_keys(self, ns: str, keys: list[str], epoch: int | None = None) -> DataFrame:
+    def _snapshot(self, ns: str, epoch: int | None, freshness: str) -> DataFrame:
+        """Resolve one query's snapshot: the pinned committed epoch
+        (default), or — ``freshness='uncommitted'`` — the PL0-visibility
+        overlay that includes the in-flight epoch's resolved updates
+        while a commit is underway (round-13 freshness spike; reference
+        parity target tgraph/query/WatermarkAssigner.java:11-26).  The
+        uncommitted mode is epoch-less by construction: an explicit pin
+        and 'give me newer than committed' contradict each other."""
+        if freshness == "uncommitted":
+            if epoch is not None:
+                raise ValueError("freshness='uncommitted' cannot pin an epoch")
+            frame, _effective = self.store.read_uncommitted(ns)
+            return frame
+        if freshness != "committed":
+            raise ValueError(f"freshness must be 'committed' or 'uncommitted', got {freshness!r}")
+        return self.store.read(ns, epoch)
+
+    def query_keys(
+        self,
+        ns: str,
+        keys: list[str],
+        epoch: int | None = None,
+        freshness: str = "committed",
+    ) -> DataFrame:
         """Key query (tgraph/query/Query.java:13-56): fetch a key set at
         a pinned committed snapshot. `WHERE key IN (...)` lets Catalyst
         prune partitions — the reference needed a custom partitioner
         for this (common/PartitionOrBcastPartitioner.java:56-73)."""
-        return self.store.read(ns, epoch).filter(F.col("key").isin(keys))
+        return self._snapshot(ns, epoch, freshness).filter(F.col("key").isin(keys))
 
-    def query_predicate(self, ns: str, predicate_sql: str, epoch: int | None = None) -> DataFrame:
+    def query_predicate(
+        self,
+        ns: str,
+        predicate_sql: str,
+        epoch: int | None = None,
+        freshness: str = "committed",
+    ) -> DataFrame:
         """Predicate (full-scan) query (tgraph/query/PredicateQuery.java:11-49)
         over columns (key, value)."""
-        return self.store.read(ns, epoch).filter(F.expr(predicate_sql))
+        return self._snapshot(ns, epoch, freshness).filter(F.expr(predicate_sql))
 
     def execute_queries(self, requests: DataFrame, epoch: int | None = None) -> DataFrame:
         """Execute a batch of query requests (query_id, namespace,

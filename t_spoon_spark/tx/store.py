@@ -115,6 +115,17 @@ class StateStore:
         # Only populated on the pandas materialize path; absent (None)
         # means the namespace is on the distributed spill path.
         self._current_pdf: dict[str, "object"] = {}
+        # in-flight epoch overlay (round-13 freshness spike): while a
+        # commit is underway, (epoch, {ns: resolved updates}) — the
+        # PL0-visibility read_uncommitted() answers from it, shrinking
+        # query staleness by the commit wall (reference parity target:
+        # record-level watermark reads, tgraph/query/WatermarkAssigner
+        # .java:11-26; ours reaches resolved-but-not-yet-durable, the
+        # closest the epoch model gets without continuous triggers).
+        # Updates are POST-resolution (aborted txns already excluded),
+        # so this never exposes writes that will be rolled back — only
+        # writes that are not yet durable.
+        self._inflight: tuple[int, dict] | None = None
         if durable:
             os.makedirs(os.path.join(self.root, "_commits"), exist_ok=True)
             self._recover()
@@ -169,6 +180,36 @@ class StateStore:
             return self._reconstruct(ns, epoch)
         raise KeyError(f"snapshot {ns}@{epoch} not retained (history={self.history_epochs})")
 
+    def read_uncommitted(self, ns: str) -> tuple[DataFrame, int]:
+        """PL0-visibility read (round-13 freshness spike): the committed
+        snapshot overlaid with the in-flight epoch's RESOLVED updates
+        when a commit is underway — ``(frame, effective_epoch)``.  This
+        is the epoch model's closest analogue to the reference's
+        record-level watermark reads (tgraph/query/WatermarkAssigner
+        .java:11-26, tgraph/db/Shard.java:170-184): a query arriving
+        mid-commit sees epoch k's results one commit-wall earlier than a
+        committed-snapshot read.  Never dirty in the classic sense — the
+        overlay holds post-abort-resolution finals, so no write that
+        will be rolled back is ever visible; what a reader risks is
+        seeing state that a crash BEFORE the marker would un-happen
+        (exactly PL0's recoverability trade, SURVEY §4.2).  The upsert
+        overlay is idempotent (last-writer-wins of identical rows), so
+        racing the commit's own ``_current`` swap cannot tear values.
+        With no commit in flight this is exactly ``read(ns)``."""
+        inflight = self._inflight
+        if inflight is not None:
+            epoch, updates = inflight
+            upd = updates.get(ns)
+            if upd is not None:
+                if not isinstance(upd, DataFrame):  # pandas twin path
+                    nso = self.namespaces.get(ns)
+                    vt = nso.value_type if nso else "double"
+                    upd = self.spark.createDataFrame(
+                        upd[["key", "value"]], schema=f"key string, value {vt}"
+                    )
+                return self._upsert(self._current[ns], upd), epoch
+        return self._current[ns], self._committed
+
     # -- commit ---------------------------------------------------------
 
     def commit(
@@ -188,47 +229,59 @@ class StateStore:
         """
         if epoch != self._committed + 1:
             raise ValueError(f"epoch {epoch} != committed {self._committed} + 1")
-        if self.durable:
+        # publish the resolved updates as the in-flight overlay for the
+        # duration of the commit work (durable log/WAL/marker writes are
+        # most of the epoch wall on the durable path): PL0-visibility
+        # reads answer from it (read_uncommitted), everyone else keeps
+        # the committed snapshot until the marker lands.
+        self._inflight = (
+            epoch,
+            {n: df for n, df in updates.items() if df is not None},
+        )
+        try:
+            if self.durable:
+                for name, df in updates.items():
+                    if df is not None:
+                        df.write.mode("overwrite").parquet(self._log_path(name, epoch))
+                if wal is not None:
+                    wal.write.mode("overwrite").parquet(os.path.join(self.root, "wal", f"epoch={epoch}"))
+                self._write_marker(epoch, sorted(updates), batch_id, query_id)
+            # history covers EVERY registered namespace, not only the updated
+            # ones: with multiple TGraphs interleaving epochs on one store, a
+            # namespace untouched this epoch must still be readable at this
+            # epoch boundary (snapshot-consistent reads pin an epoch, not a
+            # graph). For untouched namespaces this is a frame reference,
+            # not a copy — zero cost.
+            for name, cur in self._current.items():
+                self._history[(name, epoch - 1)] = cur
             for name, df in updates.items():
-                if df is not None:
-                    df.write.mode("overwrite").parquet(self._log_path(name, epoch))
-            if wal is not None:
-                wal.write.mode("overwrite").parquet(os.path.join(self.root, "wal", f"epoch={epoch}"))
-            self._write_marker(epoch, sorted(updates), batch_id, query_id)
-        # history covers EVERY registered namespace, not only the updated
-        # ones: with multiple TGraphs interleaving epochs on one store, a
-        # namespace untouched this epoch must still be readable at this
-        # epoch boundary (snapshot-consistent reads pin an epoch, not a
-        # graph). For untouched namespaces this is a frame reference,
-        # not a copy — zero cost.
-        for name, cur in self._current.items():
-            self._history[(name, epoch - 1)] = cur
-        for name, df in updates.items():
-            if df is None:
-                continue
-            prev = self._current[name]
-            merged = self._upsert(prev, df)
-            if self.durable and epoch % self.checkpoint_every == 0:
-                # cut both the DAG lineage and the log-reconstruction
-                # chain: persist a compacted base.
-                merged.write.mode("overwrite").parquet(self._base_path(name, epoch))
-                merged = self.spark.read.parquet(self._base_path(name, epoch))
-                self._current_pdf.pop(name, None)
-            elif epoch % self.checkpoint_every == 0:
-                merged = self._nondurable_cut(name, epoch, merged)
-            else:
-                # lazy merged plan — the pandas twin no longer mirrors it
-                self._current_pdf.pop(name, None)
-            self._current[name] = merged
-        self._committed = epoch
-        if batch_id is not None:
-            self.last_batch_id = batch_id
-            self.last_query_id = query_id
-            if query_id is not None:
-                self.batch_frontiers[query_id] = batch_id
-        self._gc_history()
-        if self.durable:
-            self._gc_retention(epoch)
+                if df is None:
+                    continue
+                prev = self._current[name]
+                merged = self._upsert(prev, df)
+                if self.durable and epoch % self.checkpoint_every == 0:
+                    # cut both the DAG lineage and the log-reconstruction
+                    # chain: persist a compacted base.
+                    merged.write.mode("overwrite").parquet(self._base_path(name, epoch))
+                    merged = self.spark.read.parquet(self._base_path(name, epoch))
+                    self._current_pdf.pop(name, None)
+                elif epoch % self.checkpoint_every == 0:
+                    merged = self._nondurable_cut(name, epoch, merged)
+                else:
+                    # lazy merged plan — the pandas twin no longer mirrors it
+                    self._current_pdf.pop(name, None)
+                self._current[name] = merged
+            self._committed = epoch
+            if batch_id is not None:
+                self.last_batch_id = batch_id
+                self.last_query_id = query_id
+                if query_id is not None:
+                    self.batch_frontiers[query_id] = batch_id
+            self._gc_history()
+            if self.durable:
+                self._gc_retention(epoch)
+        finally:
+            self._inflight = None
 
     def can_commit_pandas(self, name: str) -> bool:
         """True when the fused driver-side commit is valid for this
@@ -269,6 +322,19 @@ class StateStore:
 
         if epoch != self._committed + 1:
             raise ValueError(f"epoch {epoch} != committed {self._committed} + 1")
+        # pandas twins ride the in-flight overlay as-is (zero cost: dict
+        # of references); read_uncommitted converts on demand — the
+        # fused-commit window is tiny, but the PL0 semantics stay
+        # uniform across commit paths.
+        self._inflight = (epoch, dict(updates_pdfs))
+        try:
+            self._commit_pandas_body(epoch, updates_pdfs, batch_id, query_id, pd)
+        finally:
+            self._inflight = None
+
+    def _commit_pandas_body(
+        self, epoch: int, updates_pdfs: dict, batch_id, query_id, pd
+    ) -> None:
         for n, cur in self._current.items():
             self._history[(n, epoch - 1)] = cur
         for name, updates_pdf in updates_pdfs.items():

@@ -280,3 +280,116 @@ def test_concurrent_clients_consistent_pin_under_commit_load(spark):
             t.join(timeout=60)
     assert not commit_err, commit_err
     assert not errors, errors[:5]
+
+
+def test_cursor_pages_full_result_under_commit_load(spark):
+    """Round-12 verdict #6: a truncated response carries a first-class
+    cursor token (epoch-pinned), and following it retrieves the FULL
+    result set — every page read from the same snapshot even while
+    commits race ahead.  Both paths: keyset cursor on predicate
+    (after_key), offset cursor on sql."""
+    import threading
+
+    env, runner = _bank_env(spark)
+    env.store.history_epochs = 256  # pins must outlive the racing commits
+    rows = [(i, "hub", f"k{i:02d}", 1.0) for i in range(30)]
+    runner.run_epoch(_batch(spark, rows))
+
+    with StateService(env, max_rows=7).serve() as svc:
+        stop = threading.Event()
+
+        def commits():
+            tid = 100
+            while not stop.is_set():
+                runner.run_epoch(_batch(spark, [(tid, "hub", "k00", 1.0)]))
+                tid += 1
+
+        t = threading.Thread(target=commits, daemon=True)
+        t.start()
+        try:
+            call = query_client(*svc.address)
+
+            # -- predicate path: keyset cursor ------------------------
+            req = {"op": "predicate", "ns": "balances", "predicate": "value >= 0.0"}
+            resp = call(req)
+            assert resp["ok"] and resp["truncated"] is True
+            pin = resp["epoch"]
+            assert resp["cursor"] == {"epoch": pin, "after_key": resp["rows"][-1][0]}
+            pages = [resp["rows"]]
+            while resp.get("truncated"):
+                resp = call({**req, "cursor": resp["cursor"]})
+                assert resp["ok"], resp
+                assert resp["epoch"] == pin  # cursor re-pins the snapshot
+                pages.append(resp["rows"])
+            got = {k: v for page in pages for k, v in page}
+            oracle = {
+                r["key"]: r["value"]
+                for r in env.query_predicate("balances", "value >= 0.0", epoch=pin).collect()
+            }
+            assert got == oracle
+            assert len(got) == 31  # hub + 30 keys: nothing lost or duplicated
+            assert sum(len(p) for p in pages) == 31
+
+            # -- sql path: offset cursor -------------------------------
+            req = {
+                "op": "sql",
+                "query": "SELECT key, value FROM state_balances ORDER BY key",
+            }
+            resp = call(req)
+            assert resp["ok"] and resp["truncated"] is True
+            pin = resp["epoch"]
+            assert resp["cursor"] == {"epoch": pin, "offset": 7}
+            sql_rows = list(resp["rows"])
+            while resp.get("truncated"):
+                resp = call({**req, "cursor": resp["cursor"]})
+                assert resp["ok"], resp
+                assert resp["epoch"] == pin
+                sql_rows.extend(resp["rows"])
+            oracle_rows = [
+                [r["key"], r["value"]]
+                for r in env.sql(
+                    "SELECT key, value FROM state_balances ORDER BY key", epoch=pin
+                ).collect()
+            ]
+            assert sql_rows == oracle_rows
+            # the engine kept committing while we paged
+            wm = call({"op": "watermark"})
+            assert wm["ok"] and wm["epoch"] >= pin
+            call.close()
+        finally:
+            stop.set()
+            t.join(timeout=60)
+
+
+def test_freshness_uncommitted_over_tcp(spark):
+    """Round-13 freshness option on the wire: idle engine -> uncommitted
+    equals committed (flagged); pinning + uncommitted is rejected
+    per-request; bad freshness value is rejected."""
+    env, runner = _bank_env(spark)
+    runner.run_epoch(_batch(spark, [(1, "a1", "a2", 30.0)]))
+    with StateService(env).serve() as svc:
+        call = query_client(*svc.address)
+        fresh = call(
+            {"op": "keys", "ns": "balances", "keys": ["a1", "a2"],
+             "freshness": "uncommitted"}
+        )
+        assert fresh["ok"] and fresh["uncommitted"] is True
+        assert fresh["rows"] == [["a1", 70.0], ["a2", 130.0]]
+        assert fresh["epoch"] == env.watermark()
+
+        pred = call(
+            {"op": "predicate", "ns": "balances", "predicate": "value > 100",
+             "freshness": "uncommitted"}
+        )
+        assert pred["ok"] and pred["rows"] == [["a2", 130.0]]
+
+        bad = call(
+            {"op": "keys", "ns": "balances", "keys": ["a1"],
+             "epoch": 0, "freshness": "uncommitted"}
+        )
+        assert not bad["ok"] and "cannot pin" in bad["error"]
+        bad2 = call(
+            {"op": "keys", "ns": "balances", "keys": ["a1"], "freshness": "dirty"}
+        )
+        assert not bad2["ok"]
+        call.close()
