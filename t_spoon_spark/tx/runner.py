@@ -58,13 +58,16 @@ _FUSED = os.environ.get("TSPOON_FUSED", "1") != "0"
 # for comparisons/tests.  The txn threshold bounds the regime by the
 # PREVIOUS epoch's size: paired A/B at sf0.1 shows the fold winning
 # across the whole local operating range (100-txn floor -53%, 26k-txn
-# pin -66%, 150k-txn pin -46%, ~20k-txn tps epochs +17%), so the
-# default admits everything up to the sustained-probe scale; epochs
-# past it fall back to the fused JVM fold (same driver-frame memory
-# class either way — pandas mode always pulls batch-sized control
-# frames).  Cluster sessions never take either driver path.
+# pin -66%, 150k-txn pin -46%, ~20k-txn tps epochs +17%), and the
+# round-13 boundary probe (tools/ops_fold_threshold_probe.py, sf1,
+# 100k keyspace) extends that: 300k/400k/500k/600k/800k-txn epochs run
+# 23%/31%/42%/21%/24% faster on the fold with NO crossover, so the
+# default sits at the largest measured-win size — epochs past it fall
+# back to the fused JVM fold (same driver-frame memory class either
+# way — pandas mode always pulls batch-sized control frames).  Cluster
+# sessions never take either driver path.
 _OPS_FOLD = os.environ.get("TSPOON_OPS_FOLD", "1") != "0"
-_OPS_FOLD_MAX_TXNS = int(os.environ.get("TSPOON_OPS_FOLD_MAX_TXNS", "500000"))
+_OPS_FOLD_MAX_TXNS = int(os.environ.get("TSPOON_OPS_FOLD_MAX_TXNS", "800000"))
 
 
 class _OpsFoldRetry(Exception):
