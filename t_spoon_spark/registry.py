@@ -451,6 +451,7 @@ def _load_all() -> None:
     import t_spoon_spark.queries.pipeline  # noqa: F401
     import t_spoon_spark.queries.sketch  # noqa: F401
     import t_spoon_spark.queries.curation  # noqa: F401
+    import t_spoon_spark.queries.curation2  # noqa: F401
     import t_spoon_spark.queries.udx  # noqa: F401
     import t_spoon_spark.queries.analytics  # noqa: F401
     import t_spoon_spark.queries.retrieval  # noqa: F401
