@@ -100,6 +100,29 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> dict:
             )
             assert page["ok"] and len(page["rows"]) == 5
             assert page.get("truncated") is True, page
+            # round 13: a truncated response carries an epoch-pinned
+            # cursor — follow it to retrieve the FULL result at one
+            # consistent snapshot even while the writer keeps committing
+            pages, resp = [page["rows"]], page
+            while resp.get("truncated"):
+                resp = call(
+                    {"op": "predicate", "ns": "balances",
+                     "predicate": "value >= 0", "limit": 5,
+                     "cursor": resp["cursor"]}
+                )
+                assert resp["ok"] and resp["epoch"] == page["epoch"], resp
+                pages.append(resp["rows"])
+            full = [kv for p in pages for kv in p]
+            assert len(full) == len({k for k, _ in full}), "paged dup/loss"
+            assert sum(v for _, v in full) == 100.0 * len(full), "torn pages"
+            # round 13: PL0 hot reads — freshness='uncommitted' answers
+            # from the in-flight epoch's resolved updates mid-commit
+            # (idle here, so it equals committed and is flagged)
+            hot = call(
+                {"op": "keys", "ns": "balances", "keys": ["a0", "a1"],
+                 "freshness": "uncommitted"}
+            )
+            assert hot["ok"] and hot.get("uncommitted") is True, hot
         finally:
             call.close()
             t.join()
