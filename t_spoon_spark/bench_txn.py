@@ -396,7 +396,7 @@ def _latency_at(
                 & (F.col("_tid") < total - w * warm)
             ).localCheckpoint(eager=True)
         )
-    walls = []
+    walls: list[float] = []
     for batch in batches:
         t0 = time.time()
         res = runner.run_epoch(batch)
@@ -410,6 +410,11 @@ def _latency_at(
             for v, n in res.vote_counts().items():
                 stats_out[v.lower() + "s"] = stats_out.get(v.lower() + "s", 0) + n
             stats_out["replay_rows"] = stats_out.get("replay_rows", 0) + res.n_replay
+    # measured batches are done — free their checkpoint blocks so
+    # back-to-back pins in one session don't accumulate generations
+    # (same hygiene as the widening loop, ADVICE r12)
+    for batch in batches:
+        _free_checkpoint(batch)
     mean = round(1000.0 * sum(walls) / len(walls), 1)
     return mean, round(1000.0 * (max(walls) - min(walls)), 1)
 

@@ -393,3 +393,46 @@ def test_freshness_uncommitted_over_tcp(spark):
         )
         assert not bad2["ok"]
         call.close()
+
+
+def test_cursor_pin_below_retention_horizon_refuses(spark, tmp_path):
+    """Round-13 features composed: a cursor pins its epoch, and the
+    retention horizon (max_epochs) can pass that pin while a slow
+    client pages.  The next page must refuse loudly (the store's
+    KeyError surfaces as an error response) — never silently answer
+    from a newer snapshot."""
+    from t_spoon_spark.tx import TxEnvironment
+
+    env = TxEnvironment(
+        spark,
+        isolation="PL3",
+        durable=True,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_every=1,
+        max_epochs=3,
+    )
+    env.create_namespace("kv", "double", 0.0)
+
+    def commit_epoch(e):
+        upd = spark.createDataFrame(
+            [(f"k{i:02d}", float(e * 100 + i)) for i in range(30)],
+            "key string, value double",
+        )
+        env.store.commit(e, {"kv": upd}, None)
+
+    commit_epoch(0)
+    svc = StateService(env, max_rows=7)
+    page1 = svc.handle({"op": "predicate", "ns": "kv", "predicate": "value >= 0"})
+    assert page1["ok"] and page1["truncated"] and page1["epoch"] == 0
+
+    # retention passes the pin while the client dawdles
+    for e in range(1, 6):
+        commit_epoch(e)
+    stale = svc.handle(
+        {"op": "predicate", "ns": "kv", "predicate": "value >= 0",
+         "cursor": page1["cursor"]}
+    )
+    assert not stale["ok"] and "retention horizon" in stale["error"], stale
+    # a fresh request (new pin) works fine
+    fresh = svc.handle({"op": "predicate", "ns": "kv", "predicate": "value >= 0"})
+    assert fresh["ok"] and fresh["epoch"] == 5
