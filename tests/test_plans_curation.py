@@ -47,3 +47,49 @@ def test_pii_scrub_single_scan_no_shuffle(spark):
     df = text_pii_scrub(spark, SF_SMALL)
     # orderBy adds one exchange; the scrub itself must add none
     assert count_shuffles(df) <= 1, executed_plan(df)
+
+
+def test_round13_curation_plans_no_cartesian_no_python(spark):
+    """The four round-13 curation operators must keep the repo-wide
+    scale rules: no cartesian products (the mix-rebalance scalar rides
+    a broadcast), no Python in the data plane (pure column algebra)."""
+    from t_spoon_spark.queries.curation2 import (
+        curation_length_quantile_band,
+        curation_mix_rebalance_plan,
+        dedup_prefix_hash_groups,
+        sample_group_capped,
+    )
+
+    for fn in (
+        curation_length_quantile_band,
+        curation_mix_rebalance_plan,
+        sample_group_capped,
+        dedup_prefix_hash_groups,
+    ):
+        plan = executed_plan(fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            fn.__name__,
+            plan,
+        )
+
+
+def test_mix_rebalance_broadcasts_scalar_floor(spark):
+    """The 1-row floor frame must join by broadcast — at 100 TB the
+    per-source totals frame is |sources| rows but the floor must never
+    force a shuffle."""
+    from t_spoon_spark.queries.curation2 import curation_mix_rebalance_plan
+
+    df = curation_mix_rebalance_plan(spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or has_broadcast_join(df), plan
+
+
+def test_prefix_hash_partial_aggregates(spark):
+    """The digest group-by must partial-aggregate map-side — at 100 TB
+    the hashed-prefix stream is corpus-sized and the shuffle must carry
+    per-partition partials, not raw rows."""
+    from t_spoon_spark.queries.curation2 import dedup_prefix_hash_groups
+
+    plan = executed_plan(dedup_prefix_hash_groups(spark, SF_SMALL))
+    assert "partial" in plan.lower(), plan
