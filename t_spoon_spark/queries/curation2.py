@@ -241,3 +241,83 @@ def dedup_prefix_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keep_doc_id")
     )
+
+
+# -- leakage-safe split (round 13, entry 5) ---------------------------------
+
+from t_spoon_spark.operators.text import dd_md5_long, md5_long  # noqa: E402
+from t_spoon_spark.queries.dedup import _DD_SIMHASH_CTES  # noqa: E402
+
+
+@register(
+    "sample_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_DD_SIMHASH_CTES},
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    ),
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    cc AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    assign AS (
+      SELECT d.doc_id,
+             COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    )
+    SELECT doc_id,
+           cluster_id,
+           CASE
+             WHEN {dd_md5_long("CAST(cluster_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+             WHEN {dd_md5_long("CAST(cluster_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM assign
+    ORDER BY doc_id
+    """,
+)
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split decision hashes the
+    near-dup CLUSTER label, not the document, so two near-duplicate
+    documents can never land in different splits (the eval-contamination
+    mode a doc-level split invites — a train doc's near-copy scoring as
+    "held out").  Clusters come from the SimHash connected-components
+    operator (dedup_clusters_connected's kernel, pair cache shared);
+    docs in no near-dup pair are their own singleton cluster.  The
+    80/10/10 assignment is md5(cluster_id) mod 10 — hash-gated
+    determinism, the same contract as every sampler here, and the
+    DuckDB twin recomputes clusters by recursive transitive closure so
+    exact agreement pins BOTH the clustering and the split rule.
+    Scale shape: the CC frame is only pair-involved docs (the dup
+    fraction of the corpus); the assignment is one left join on doc_id
+    plus a map-side hash — no new shuffle class beyond the cluster
+    operator itself.  Reference scope: §2.9 pipeline surface (the
+    reference engine has no analogue)."""
+    from t_spoon_spark.queries.dedup import dedup_clusters_connected
+
+    docs = t(spark, sf_dir, "documents")
+    cc = dedup_clusters_connected(spark, sf_dir)
+    assign = docs.select("doc_id").join(
+        cc.withColumnRenamed("doc_id", "cc_doc"),
+        docs["doc_id"] == F.col("cc_doc"),
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    bucket = md5_long(F.col("cluster_id").cast("string")) % 10
+    return assign.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    ).orderBy("doc_id")

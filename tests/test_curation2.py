@@ -103,3 +103,38 @@ def test_group_cap_boundary(spark, corpus_dir):
     # under-cap cells keep everything
     assert per_cell[("s2", "en")] == min(GROUP_CAP, 4)
     assert per_cell[("s1", "en")] == 1
+
+
+def test_leakage_safe_split_property(spark):
+    """The whole point of the operator: near-dup cluster members NEVER
+    straddle splits, singletons are their own cluster, and the doc-hash
+    split (sample_train_val_test_split's scheme) would NOT have this
+    property on the same corpus — i.e. the operator is doing work."""
+    from tests.conftest import SF_SMALL
+    from t_spoon_spark.queries.curation2 import sample_leakage_safe_split
+
+    out = sample_leakage_safe_split(spark, SF_SMALL).toPandas()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    # every cluster maps to exactly one split
+    per_cluster = out.groupby("cluster_id")["split"].nunique()
+    assert (per_cluster == 1).all()
+    # clusters with >1 member exist at this SF (16 simhash groups), so
+    # the property is exercised, not vacuous
+    sizes = out.groupby("cluster_id").size()
+    assert (sizes > 1).any()
+    # and the naive doc-level hash would split at least one cluster
+    # (recompute the doc-hash bucket the existing splitter uses)
+    from t_spoon_spark.operators.text import md5_long
+    from pyspark.sql import functions as F
+
+    doc_bucket = (
+        spark.createDataFrame(out[["doc_id", "cluster_id"]])
+        .select("cluster_id", (md5_long(F.col("doc_id").cast("string")) % 10).alias("b"))
+        .toPandas()
+    )
+    naive = doc_bucket.groupby("cluster_id")["b"].nunique()
+    multi = set(sizes[sizes > 1].index)
+    assert any(naive.get(c, 1) > 1 for c in multi), (
+        "doc-level hash happened to agree everywhere — corpus too small to "
+        "demonstrate the leakage the operator prevents"
+    )
