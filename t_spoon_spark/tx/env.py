@@ -190,10 +190,25 @@ class TxEnvironment:
             out = out.unionByName(o)
         return out
 
-    def sql(self, query: str, epoch: int | None = None) -> DataFrame:
+    def sql(
+        self, query: str, epoch: int | None = None, freshness: str = "committed"
+    ) -> DataFrame:
         """Full SQL over the live state: every namespace is exposed as
         view state_<ns> pinned at one snapshot — this generalizes the
-        reference's two query forms to arbitrary SQL (SURVEY.md §3.2)."""
+        reference's two query forms to arbitrary SQL (SURVEY.md §3.2).
+        ``freshness='uncommitted'`` binds every view to the PL0 overlay
+        instead (same contract as query_keys/query_predicate)."""
+        if freshness == "uncommitted":
+            if epoch is not None:
+                raise ValueError("freshness='uncommitted' cannot pin an epoch")
+            for name in self.namespaces:
+                frame, _eff = self.store.read_uncommitted(name)
+                frame.createOrReplaceTempView(f"state_{name}")
+            return self.spark.sql(query)
+        if freshness != "committed":
+            raise ValueError(
+                f"freshness must be 'committed' or 'uncommitted', got {freshness!r}"
+            )
         for name in self.namespaces:
             self.store.read(name, epoch).createOrReplaceTempView(f"state_{name}")
         return self.spark.sql(query)

@@ -172,6 +172,11 @@ class TestEnvFreshness:
             )
             captured["rows"] = {r["key"]: r["value"] for r in frame.collect()}
             captured["watermark"] = env.watermark()
+            # the SQL surface binds its views to the same PL0 overlay
+            captured["sql_sum"] = env.sql(
+                "SELECT CAST(sum(value) AS BIGINT) AS s FROM state_balances",
+                freshness="uncommitted",
+            ).collect()[0]["s"]
             return orig(*args, **kwargs)
 
         store._write_marker = capturing_marker
@@ -188,6 +193,9 @@ class TestEnvFreshness:
             store._write_marker = orig
         # the PL0 read happened before the marker (watermark still -1)
         assert captured["watermark"] == -1
+        # money conservation held in the mid-commit PL0 SQL view: only
+        # the two touched accounts existed, 70 + 130
+        assert captured["sql_sum"] == 200
         committed = {
             r["key"]: r["value"]
             for r in env.query_keys("balances", ["a1", "a2", "a3", "a4"]).collect()
