@@ -122,6 +122,58 @@ class TestStoreOverlay:
         assert store._inflight is None
 
 
+    def test_multi_namespace_overlay(self, spark, tmp_path):
+        """An epoch updating TWO namespaces exposes both in the PL0
+        view mid-commit, and a namespace untouched this epoch reads its
+        committed snapshot (no overlay entry)."""
+        store = StateStore(spark, root=str(tmp_path / "m"), durable=True)
+        for ns in ("g", "h", "idle"):
+            store.register(Namespace(ns, "double", 0.0))
+        store.commit(
+            0,
+            {
+                "g": _upd(spark, [("a", 1.0)]),
+                "h": _upd(spark, [("x", 10.0)]),
+                "idle": _upd(spark, [("z", 5.0)]),
+            },
+            None,
+        )
+        in_marker, release = threading.Event(), threading.Event()
+        orig = store._write_marker
+
+        def slow_marker(*args, **kwargs):
+            in_marker.set()
+            assert release.wait(timeout=120)
+            return orig(*args, **kwargs)
+
+        store._write_marker = slow_marker
+        t = threading.Thread(
+            target=lambda: store.commit(
+                1,
+                {"g": _upd(spark, [("a", 2.0)]), "h": _upd(spark, [("y", 20.0)])},
+                None,
+            ),
+            daemon=True,
+        )
+        t.start()
+        try:
+            assert in_marker.wait(timeout=120)
+            fg, eg = store.read_uncommitted("g")
+            fh, eh = store.read_uncommitted("h")
+            fi, _ei = store.read_uncommitted("idle")
+            assert eg == eh == 1
+            assert {r["key"]: r["value"] for r in fg.collect()} == {"a": 2.0}
+            assert {r["key"]: r["value"] for r in fh.collect()} == {
+                "x": 10.0,
+                "y": 20.0,
+            }
+            assert {r["key"]: r["value"] for r in fi.collect()} == {"z": 5.0}
+        finally:
+            release.set()
+            t.join(timeout=120)
+            store._write_marker = orig
+
+
 class TestEnvFreshness:
     def test_validation(self, spark):
         env = TxEnvironment(spark)
