@@ -461,6 +461,7 @@ def _load_all() -> None:
     import t_spoon_spark.queries.clustering  # noqa: F401
     import t_spoon_spark.queries.chunking  # noqa: F401
     import t_spoon_spark.queries.io_formats  # noqa: F401
+    import t_spoon_spark.queries.io_formats2  # noqa: F401
     import t_spoon_spark.queries.bloomq  # noqa: F401
     import t_spoon_spark.queries.stats  # noqa: F401
     import t_spoon_spark.queries.drift  # noqa: F401

@@ -93,3 +93,19 @@ def test_prefix_hash_partial_aggregates(spark):
 
     plan = executed_plan(dedup_prefix_hash_groups(spark, SF_SMALL))
     assert "partial" in plan.lower(), plan
+
+
+def test_partition_pruned_scan_prunes(spark):
+    """The event_type filter must resolve to PartitionFilters on the
+    partitioned layout — a post-scan Filter over all partitions would
+    defeat the operator's reason to exist (SURVEY Q6: partition pruning
+    IS our PartitionOrBcastPartitioner equivalent)."""
+    from t_spoon_spark.queries.io_formats2 import io_partition_pruned_scan
+
+    df = io_partition_pruned_scan(spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "PartitionFilters: [isnotnull(event_type" in plan or (
+        "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    ), plan
+    # and the pruned scan must still be a columnar parquet scan
+    assert "Scan parquet" in plan, plan
