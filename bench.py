@@ -195,7 +195,15 @@ def _prev_discovered_rate() -> float | None:
     every accepted rate still comes from a passed probe."""
     import glob
 
-    for path in sorted(glob.glob(str(REPO / "BENCH_r*.json")), reverse=True):
+    import re
+
+    def _round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    # numeric round order, NOT lexicographic: BENCH_r100 must outrank
+    # BENCH_r99 once rounds reach three digits
+    for path in sorted(glob.glob(str(REPO / "BENCH_r*.json")), key=_round_no, reverse=True):
         try:
             with open(path) as fh:
                 doc = json.load(fh)

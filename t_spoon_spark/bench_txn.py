@@ -328,7 +328,11 @@ def sustainable_tps(
                     hi = mid
             if lo < 0.85 * max_rate or copies >= 128:
                 break
-            copies *= 2
+            # min() keeps the 128-copy memory bound even when a seeded
+            # start lands at 65..127 copies — plain doubling would jump
+            # to up to 254 and exceed the bound the unseeded ladder
+            # (8,16,...,128) could never pass
+            copies = min(128, copies * 2)
             if curve is not None:
                 curve.append(
                     {"event": "stream_widened", "copies": copies, "at_rate": lo}

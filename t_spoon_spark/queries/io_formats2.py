@@ -34,14 +34,22 @@ _WRITTEN: dict[tuple[str, str], bool] = {}
 
 def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as an event_type-partitioned parquet layout,
-    written once per (session, sf_dir)."""
-    path = os.path.join(tempfile.gettempdir(), "tspoon_io_part_events")
+    written once per (session, sf_dir).  The scratch dir is PER sf_dir
+    (hash-suffixed): a single shared dir would let a later call for a
+    different scale factor overwrite the files under an earlier call's
+    still-lazy frame — silently serving the wrong corpus to whoever
+    collects it afterwards.  One copy per sf used in the session; the
+    events table is the smallest scaling table, so the disk bound is
+    modest and the correctness hazard is gone."""
+    import hashlib
+
+    suffix = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"tspoon_io_part_events_{suffix}")
     key = (spark.sparkContext.applicationId, sf_dir)
     if not _WRITTEN.get(key):
         t(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
             "event_type"
         ).parquet(path)
-        _WRITTEN.clear()  # one layout dir: only the current sf is valid
         _WRITTEN[key] = True
     return spark.read.parquet(path)
 

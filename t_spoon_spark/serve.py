@@ -152,15 +152,11 @@ class StateService:
         while a commit is underway — instead of the committed pin; the
         frame and its effective epoch come from ONE read_uncommitted
         call so they cannot disagree under a racing commit."""
-        if freshness == "uncommitted":
-            if epoch is not None:
-                raise ValueError("freshness='uncommitted' cannot pin an epoch")
+        from t_spoon_spark.tx.env import check_freshness
+
+        if check_freshness(freshness, epoch):
             frame, eff = self.env.store.read_uncommitted(ns)
             return frame, eff, True
-        if freshness != "committed":
-            raise ValueError(
-                f"freshness must be 'committed' or 'uncommitted', got {freshness!r}"
-            )
         pin = self.pin(epoch)
         return self.env.store.read(ns, pin), pin, False
 
@@ -232,6 +228,11 @@ class StateService:
             out["truncated"] = True
             if cap > 0 and not uncommitted:
                 out["cursor"] = {"epoch": pin, "after_key": rows[cap - 1]["key"]}
+            if uncommitted:
+                # machine-readable "no cursor is coming": the overlay has
+                # no stable pin, so a paging loop must fall back to a
+                # committed read instead of KeyError-ing on the cursor
+                out["paging_unavailable"] = True
         return out
 
     def sql(
@@ -240,6 +241,7 @@ class StateService:
         epoch: int | None = None,
         limit: int | None = None,
         offset: int = 0,
+        freshness: str = "committed",
     ) -> dict[str, Any]:
         """``offset`` is the SQL-path page cursor (round-12 verdict #6):
         a truncated response carries ``cursor = {"epoch": pin,
@@ -250,23 +252,41 @@ class StateService:
         the ORDER BY freezes the enumeration.  Offset paging rescans the
         skipped prefix each page (fine at control-plane result sizes the
         cap enforces); result sets that outgrow that want the keyset
-        predicate path."""
-        pin = self.pin(epoch)
+        predicate path.  ``freshness='uncommitted'`` binds the views to
+        the PL0 overlay (one consistent capture across all namespaces)
+        and reports the in-flight epoch; uncommitted responses never
+        carry cursors (no stable pin) — ``paging_unavailable`` says so."""
+        from t_spoon_spark.tx.env import check_freshness
+
+        uncommitted = check_freshness(freshness, epoch)
         cap = self._cap(limit)
         offset = max(0, int(offset))
         with self._sql_lock:  # held through collect: the view bind and
             # the read must see the same pin
-            df = self.env.sql(query, epoch=pin)
+            if uncommitted:
+                frames, pin = self.env.store.read_uncommitted_all(
+                    list(self.env.namespaces)
+                )
+                for name, frame in frames.items():
+                    frame.createOrReplaceTempView(f"state_{name}")
+                df = self.env.spark.sql(query)
+            else:
+                pin = self.pin(epoch)
+                df = self.env.sql(query, epoch=pin)
             if offset:
                 df = df.offset(offset)
             df = df.limit(cap + 1)
             cols = df.columns
             rows = [[row[c] for c in cols] for row in df.collect()]
         out = {"epoch": pin, "columns": cols, "rows": rows[:cap]}
+        if uncommitted:
+            out["uncommitted"] = True
         if len(rows) > cap:
             out["truncated"] = True
-            if cap > 0:
+            if cap > 0 and not uncommitted:
                 out["cursor"] = {"epoch": pin, "offset": offset + cap}
+            if uncommitted:
+                out["paging_unavailable"] = True
         return out
 
     def handle(self, request: dict[str, Any]) -> dict[str, Any]:
@@ -307,7 +327,11 @@ class StateService:
                         "(SELECT/WITH/VALUES/TABLE/EXPLAIN/SHOW/DESCRIBE) only",
                     }
                 out = self.sql(
-                    request["query"], epoch, limit, offset=cursor.get("offset", 0)
+                    request["query"],
+                    epoch,
+                    limit,
+                    offset=cursor.get("offset", 0),
+                    freshness=freshness,
                 )
             else:
                 return {"ok": False, "error": f"unknown op: {op!r}"}

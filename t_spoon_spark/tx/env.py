@@ -24,6 +24,23 @@ from t_spoon_spark.tx.store import StateStore
 ISOLATION_LEVELS = ("PL0", "PL1", "PL2", "PL3", "PL4")
 
 
+def check_freshness(freshness: str, epoch: int | None) -> bool:
+    """Validate a query's freshness option — the ONE copy of the rule
+    every query surface (env key/predicate/sql, serve ops) delegates to.
+    Returns True for 'uncommitted' (an explicit epoch pin is rejected:
+    a pin and 'newer than committed' contradict each other), False for
+    'committed'; raises on anything else."""
+    if freshness == "uncommitted":
+        if epoch is not None:
+            raise ValueError("freshness='uncommitted' cannot pin an epoch")
+        return True
+    if freshness != "committed":
+        raise ValueError(
+            f"freshness must be 'committed' or 'uncommitted', got {freshness!r}"
+        )
+    return False
+
+
 class TxEnvironment:
     def __init__(
         self,
@@ -109,13 +126,9 @@ class TxEnvironment:
         parity target tgraph/query/WatermarkAssigner.java:11-26).  The
         uncommitted mode is epoch-less by construction: an explicit pin
         and 'give me newer than committed' contradict each other."""
-        if freshness == "uncommitted":
-            if epoch is not None:
-                raise ValueError("freshness='uncommitted' cannot pin an epoch")
+        if check_freshness(freshness, epoch):
             frame, _effective = self.store.read_uncommitted(ns)
             return frame
-        if freshness != "committed":
-            raise ValueError(f"freshness must be 'committed' or 'uncommitted', got {freshness!r}")
         return self.store.read(ns, epoch)
 
     def query_keys(
@@ -197,18 +210,16 @@ class TxEnvironment:
         view state_<ns> pinned at one snapshot — this generalizes the
         reference's two query forms to arbitrary SQL (SURVEY.md §3.2).
         ``freshness='uncommitted'`` binds every view to the PL0 overlay
-        instead (same contract as query_keys/query_predicate)."""
-        if freshness == "uncommitted":
-            if epoch is not None:
-                raise ValueError("freshness='uncommitted' cannot pin an epoch")
-            for name in self.namespaces:
-                frame, _eff = self.store.read_uncommitted(name)
+        instead (same contract as query_keys/query_predicate); all views
+        come from ONE ``read_uncommitted_all`` capture so a commit
+        starting or finishing mid-bind cannot tear a cross-namespace
+        query (e.g. a money-conservation join would otherwise see
+        namespace A at epoch k-1 and B at k)."""
+        if check_freshness(freshness, epoch):
+            frames, _eff = self.store.read_uncommitted_all(list(self.namespaces))
+            for name, frame in frames.items():
                 frame.createOrReplaceTempView(f"state_{name}")
             return self.spark.sql(query)
-        if freshness != "committed":
-            raise ValueError(
-                f"freshness must be 'committed' or 'uncommitted', got {freshness!r}"
-            )
         for name in self.namespaces:
             self.store.read(name, epoch).createOrReplaceTempView(f"state_{name}")
         return self.spark.sql(query)

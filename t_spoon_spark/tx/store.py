@@ -196,19 +196,47 @@ class StateStore:
         overlay is idempotent (last-writer-wins of identical rows), so
         racing the commit's own ``_current`` swap cannot tear values.
         With no commit in flight this is exactly ``read(ns)``."""
-        inflight = self._inflight
-        if inflight is not None:
-            epoch, updates = inflight
-            upd = updates.get(ns)
-            if upd is not None:
+        frames, eff = self.read_uncommitted_all([ns])
+        return frames[ns], eff
+
+    def read_uncommitted_all(
+        self, namespaces: list[str]
+    ) -> tuple[dict[str, DataFrame], int]:
+        """PL0-visibility read over SEVERAL namespaces from ONE observation
+        of the in-flight slot — a commit starting or finishing between
+        per-namespace reads cannot tear a cross-namespace query (e.g. a
+        money-conservation SQL join would otherwise see namespace A at
+        epoch k-1 and B at k).  Returns ({ns: frame}, effective_epoch)."""
+        # Capture-and-verify loop: with a commit IN FLIGHT the overlay
+        # upsert is idempotent against the commit's own _current swaps,
+        # but with NO commit in flight a commit STARTING mid-capture
+        # could flip _current between two namespaces' reads.  Capturing
+        # is cheap (lazy plan refs, no jobs), so re-capture until the
+        # (inflight, committed) pair is stable across the pass; the
+        # captured frames stay valid forever after (old frame objects
+        # are immutable), so only capture-time consistency matters.
+        out: dict[str, DataFrame] = {}
+        eff = self._committed
+        for _attempt in range(8):
+            inflight = self._inflight  # single read: one state for all ns
+            committed = self._committed
+            out = {}
+            eff, updates = (committed, {}) if inflight is None else inflight
+            for ns in namespaces:
+                upd = updates.get(ns)
+                if upd is None:
+                    out[ns] = self._current[ns]
+                    continue
                 if not isinstance(upd, DataFrame):  # pandas twin path
                     nso = self.namespaces.get(ns)
                     vt = nso.value_type if nso else "double"
                     upd = self.spark.createDataFrame(
                         upd[["key", "value"]], schema=f"key string, value {vt}"
                     )
-                return self._upsert(self._current[ns], upd), epoch
-        return self._current[ns], self._committed
+                out[ns] = self._upsert(self._current[ns], upd)
+            if self._inflight is inflight and self._committed == committed:
+                break  # stable pass: no commit transition during capture
+        return out, eff
 
     # -- commit ---------------------------------------------------------
 

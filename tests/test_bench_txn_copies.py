@@ -87,3 +87,12 @@ def test_prev_discovered_rate_reads_newest_artifact(tmp_path, monkeypatch):
     # unparseable newest artifact falls through to the next readable one
     (tmp_path / "BENCH_r04.json").write_text("{not json")
     assert bench._prev_discovered_rate() == 110500.0
+    # numeric round order: r100 must outrank r99 (lexicographic sort
+    # would pick r99 forever once rounds reach three digits)
+    (tmp_path / "BENCH_r99.json").write_text(
+        _json.dumps({"parsed": {"queries": {"sustainable_tps_pl3": 1.0}}})
+    )
+    (tmp_path / "BENCH_r100.json").write_text(
+        _json.dumps({"parsed": {"queries": {"sustainable_tps_pl3": 2.0}}})
+    )
+    assert bench._prev_discovered_rate() == 2.0

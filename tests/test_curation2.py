@@ -138,3 +138,17 @@ def test_leakage_safe_split_property(spark):
         "doc-level hash happened to agree everywhere — corpus too small to "
         "demonstrate the leakage the operator prevents"
     )
+
+
+def test_partitioned_events_layout_is_per_sf(spark):
+    """Review finding (r13): the partitioned-events scratch layout must
+    be per sf_dir — a shared dir would let a later call overwrite the
+    files under an earlier call's still-lazy frame."""
+    from t_spoon_spark.queries.io_formats2 import partitioned_events
+
+    small = partitioned_events(spark, "/root/testdata/sf0.001")
+    bigger = partitioned_events(spark, "/root/testdata/sf0.01")
+    n_small, n_big = small.count(), bigger.count()
+    assert n_small < n_big
+    # the earlier frame still reads ITS corpus after the later write
+    assert small.count() == n_small

@@ -436,3 +436,42 @@ def test_cursor_pin_below_retention_horizon_refuses(spark, tmp_path):
     # a fresh request (new pin) works fine
     fresh = svc.handle({"op": "predicate", "ns": "kv", "predicate": "value >= 0"})
     assert fresh["ok"] and fresh["epoch"] == 5
+
+
+def test_sql_op_honors_freshness_and_flags_unpageable(spark):
+    """Review findings (r13): the wire sql op must honor freshness like
+    keys/predicate (flagged response, invalid value rejected), and a
+    truncated uncommitted response must say paging_unavailable instead
+    of silently omitting the cursor a paging loop expects."""
+    env, runner = _bank_env(spark)
+    rows = [(i, "hub", f"k{i:02d}", 1.0) for i in range(30)]
+    runner.run_epoch(_batch(spark, rows))
+    with StateService(env, max_rows=7).serve() as svc:
+        call = query_client(*svc.address)
+        # sql + freshness honored (idle: equals committed, flagged)
+        resp = call(
+            {"op": "sql",
+             "query": "SELECT key, value FROM state_balances ORDER BY key",
+             "freshness": "uncommitted"}
+        )
+        assert resp["ok"] and resp["uncommitted"] is True
+        assert resp["epoch"] == env.watermark()
+        # truncated uncommitted: no cursor, explicit paging_unavailable
+        assert resp["truncated"] is True and "cursor" not in resp
+        assert resp["paging_unavailable"] is True
+        # same contract on the predicate path
+        pred = call(
+            {"op": "predicate", "ns": "balances", "predicate": "value >= 0",
+             "freshness": "uncommitted"}
+        )
+        assert pred["ok"] and pred["truncated"] is True
+        assert "cursor" not in pred and pred["paging_unavailable"] is True
+        # invalid freshness and pinned+uncommitted rejected on sql too
+        bad = call({"op": "sql", "query": "SELECT 1 AS x", "freshness": "dirty"})
+        assert not bad["ok"] and "freshness" in bad["error"]
+        bad2 = call(
+            {"op": "sql", "query": "SELECT 1 AS x", "epoch": 0,
+             "freshness": "uncommitted"}
+        )
+        assert not bad2["ok"] and "cannot pin" in bad2["error"]
+        call.close()

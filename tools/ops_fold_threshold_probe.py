@@ -103,11 +103,10 @@ def main() -> int:
                 f"{[round(w, 2) for w in walls]}",
                 flush=True,
             )
+        from t_spoon_spark.bench_txn import _free_checkpoint
+
         for b in batches:
-            try:
-                b._jdf.queryExecution().analyzed().rdd().unpersist(False)
-            except Exception:  # noqa: BLE001
-                pass
+            _free_checkpoint(b)
 
     crossover = None
     for size in sorted(results, key=int):
