@@ -34,18 +34,27 @@ _WRITTEN: dict[tuple[str, str], bool] = {}
 
 def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as an event_type-partitioned parquet layout,
-    written once per (session, sf_dir).  The scratch dir is PER sf_dir
-    (hash-suffixed): a single shared dir would let a later call for a
-    different scale factor overwrite the files under an earlier call's
-    still-lazy frame — silently serving the wrong corpus to whoever
+    written once per (session, sf_dir).  The scratch dir is PER
+    (session, sf_dir) (hash-suffixed): a shared dir would let a later
+    call for a different scale factor — or a concurrent session on the
+    SAME sf_dir — overwrite the files under an earlier call's
+    still-lazy frame, silently serving the wrong corpus to whoever
     collects it afterwards.  One copy per sf used in the session; the
     events table is the smallest scaling table, so the disk bound is
     modest and the correctness hazard is gone."""
     import hashlib
 
-    suffix = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # the applicationId joins the path, not just the guard key (ADVICE
+    # r13): two concurrent sessions (parallel pytest/bench) on the same
+    # sf_dir each held their own _WRITTEN guard but shared one /tmp
+    # layout, so either could overwrite the files under the other's
+    # still-lazy frame — per-session dirs make the layouts disjoint
+    app_id = spark.sparkContext.applicationId
+    suffix = hashlib.md5(
+        f"{app_id}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"tspoon_io_part_events_{suffix}")
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (app_id, sf_dir)
     if not _WRITTEN.get(key):
         t(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
             "event_type"

@@ -108,6 +108,38 @@ def _is_read_only_sql(query: str, spark=None) -> bool:
     return not any(node in tree for node in _MUTATING_NODES)
 
 
+def _keyset_predicate(keyset: dict):
+    """Lexicographic row-continuation predicate for keyset paging:
+    ``{c1: v1, c2: v2}`` -> ``c1 > v1 OR (c1 = v1 AND c2 > v2)`` — the
+    WHERE form of "strictly after the last served row" under the
+    client's ORDER BY c1, c2.  Spark SQL has no row-value comparison
+    ``(c1, c2) > (v1, v2)``, so the expansion is built column-wise."""
+    from pyspark.sql import functions as F
+
+    items = list(keyset.items())
+    pred = None
+    for i, (col, val) in enumerate(items):
+        term = F.col(col) > F.lit(val)
+        for prev_col, prev_val in items[:i]:
+            term = (F.col(prev_col) == F.lit(prev_val)) & term
+        pred = term if pred is None else (pred | term)
+    return pred
+
+
+def _has_total_order(df) -> bool:
+    """True iff the query's analyzed plan carries a GLOBAL sort (a
+    ``Sort [...], true`` node) — the precondition for exact offset
+    paging: the snapshot pin freezes the data, only an ORDER BY freezes
+    the enumeration.  Introspection failure counts as ordered (the flag
+    is advisory; a false negative must not break a well-formed client).
+    """
+    try:
+        tree = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — advisory only
+        return True
+    return re.search(r"Sort \[[^\]]*\], true", tree) is not None
+
+
 class StateService:
     """Read-only query facade over a :class:`TxEnvironment`.
 
@@ -242,6 +274,8 @@ class StateService:
         limit: int | None = None,
         offset: int = 0,
         freshness: str = "committed",
+        keyset_cols: list[str] | None = None,
+        keyset: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """``offset`` is the SQL-path page cursor (round-12 verdict #6):
         a truncated response carries ``cursor = {"epoch": pin,
@@ -255,12 +289,26 @@ class StateService:
         predicate path.  ``freshness='uncommitted'`` binds the views to
         the PL0 overlay (one consistent capture across all namespaces)
         and reports the in-flight epoch; uncommitted responses never
-        carry cursors (no stable pin) — ``paging_unavailable`` says so."""
+        carry cursors (no stable pin) — ``paging_unavailable`` says so.
+
+        ``keyset_cols`` opts into KEYSET paging instead (round-13
+        verdict #8): for a query ordered by a unique tiebreak (``ORDER
+        BY c1, c2`` with ``keyset_cols=["c1", "c2"]``), a truncated
+        response carries ``cursor = {"epoch": pin, "keyset": {c1: v1,
+        c2: v2}}`` from the last served row, and the next page applies
+        it as a lexicographic WHERE predicate at the same pin — each
+        page is one range-continuation scan, so deep paging costs
+        O(pages) instead of the offset rescan's O(pages^2).  The
+        keyset columns must match the query's ORDER BY (tiebreak
+        included, no nulls) — the server cannot verify the match, only
+        that the columns exist; the ``unordered`` advisory still fires
+        when the plan has no global Sort at all."""
         from t_spoon_spark.tx.env import check_freshness
 
         uncommitted = check_freshness(freshness, epoch)
         cap = self._cap(limit)
         offset = max(0, int(offset))
+        page_cols = list(keyset.keys()) if keyset else list(keyset_cols or [])
         with self._sql_lock:  # held through collect: the view bind and
             # the read must see the same pin
             if uncommitted:
@@ -273,7 +321,23 @@ class StateService:
             else:
                 pin = self.pin(epoch)
                 df = self.env.sql(query, epoch=pin)
-            if offset:
+            ordered = _has_total_order(df)
+            if page_cols:
+                missing = [c for c in page_cols if c not in df.columns]
+                if missing:
+                    raise ValueError(
+                        f"keyset column(s) not in the result: {missing}"
+                    )
+                if offset:
+                    raise ValueError(
+                        "keyset and offset paging are mutually exclusive"
+                    )
+                if keyset:
+                    # the continuation filter sits ABOVE the client's
+                    # Sort; Catalyst pushes it below, so the output
+                    # enumeration survives and the page is a range scan
+                    df = df.filter(_keyset_predicate(keyset))
+            elif offset:
                 df = df.offset(offset)
             df = df.limit(cap + 1)
             cols = df.columns
@@ -284,7 +348,22 @@ class StateService:
         if len(rows) > cap:
             out["truncated"] = True
             if cap > 0 and not uncommitted:
-                out["cursor"] = {"epoch": pin, "offset": offset + cap}
+                if page_cols:
+                    last = rows[cap - 1]
+                    idx = {c: cols.index(c) for c in page_cols}
+                    out["cursor"] = {
+                        "epoch": pin,
+                        "keyset": {c: last[idx[c]] for c in page_cols},
+                    }
+                else:
+                    out["cursor"] = {"epoch": pin, "offset": offset + cap}
+                if not ordered:
+                    # advisory (ADVICE r13): the cursor pages exactly
+                    # only under a client-imposed total order; without a
+                    # global Sort in the plan, pages at the same pin may
+                    # duplicate or drop rows across an enumeration Spark
+                    # is free to reshuffle
+                    out["unordered"] = True
             if uncommitted:
                 out["paging_unavailable"] = True
         return out
@@ -332,6 +411,8 @@ class StateService:
                     limit,
                     offset=cursor.get("offset", 0),
                     freshness=freshness,
+                    keyset_cols=request.get("keyset_cols"),
+                    keyset=cursor.get("keyset"),
                 )
             else:
                 return {"ok": False, "error": f"unknown op: {op!r}"}

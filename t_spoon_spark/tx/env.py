@@ -62,6 +62,15 @@ class TxEnvironment:
         # admits exactly one in-flight epoch (commit asserts
         # epoch == committed + 1). Uncontended cost is a no-op.
         self.epoch_lock = threading.Lock()
+        # serializes the sql() temp-view bind: createOrReplaceTempView
+        # is session-global, so two threads calling env.sql directly
+        # could interleave view binds and analyze against mixed pins
+        # (verdict r13).  RLock: serve's sql path holds its own lock
+        # around bind+collect and calls through here.  The bind and the
+        # ANALYSIS are what need the lock — spark.sql resolves views
+        # eagerly at analysis, so the returned frame is immune to later
+        # rebinds and callers may collect it lock-free.
+        self.sql_lock = threading.RLock()
         # `strategy` is kept for config parity (tgraph/Strategy.java:6-8);
         # in micro-batch execution optimistic vs pessimistic collapse to
         # the same per-key ordered application (SURVEY.md §4.3).
@@ -215,11 +224,14 @@ class TxEnvironment:
         starting or finishing mid-bind cannot tear a cross-namespace
         query (e.g. a money-conservation join would otherwise see
         namespace A at epoch k-1 and B at k)."""
-        if check_freshness(freshness, epoch):
-            frames, _eff = self.store.read_uncommitted_all(list(self.namespaces))
-            for name, frame in frames.items():
-                frame.createOrReplaceTempView(f"state_{name}")
+        with self.sql_lock:  # bind + analysis under one lock: two
+            # threads interleaving view binds would analyze against
+            # mixed pins; the returned (analyzed) frame is rebind-proof
+            if check_freshness(freshness, epoch):
+                frames, _eff = self.store.read_uncommitted_all(list(self.namespaces))
+                for name, frame in frames.items():
+                    frame.createOrReplaceTempView(f"state_{name}")
+                return self.spark.sql(query)
+            for name in self.namespaces:
+                self.store.read(name, epoch).createOrReplaceTempView(f"state_{name}")
             return self.spark.sql(query)
-        for name in self.namespaces:
-            self.store.read(name, epoch).createOrReplaceTempView(f"state_{name}")
-        return self.spark.sql(query)

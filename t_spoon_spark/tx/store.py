@@ -164,6 +164,18 @@ class StateStore:
         nothing is readable, history-resident or not."""
         if epoch is None or epoch == self._committed:
             return self._current[ns]
+        if epoch > self._committed:
+            # above the watermark sits only not-yet-durable state: a
+            # mid-commit epoch's log files (marker not landed) or a
+            # crash-orphaned write.  In durable mode _reconstruct would
+            # happily fold those in, handing a client uncommitted state
+            # WITHOUT the explicit freshness='uncommitted' opt-in that
+            # is the sole gate on uncommitted visibility (ADVICE r13).
+            raise KeyError(
+                f"snapshot {ns}@{epoch} is above the committed watermark "
+                f"({self._committed}); uncommitted visibility requires "
+                f"freshness='uncommitted', not a future epoch pin"
+            )
         if (
             self.durable
             and self.max_epochs is not None
@@ -236,6 +248,18 @@ class StateStore:
                 out[ns] = self._upsert(self._current[ns], upd)
             if self._inflight is inflight and self._committed == committed:
                 break  # stable pass: no commit transition during capture
+        else:
+            # 8 consecutive commit transitions mid-capture would be
+            # pathological (captures are lazy-plan cheap, commits take
+            # wall time) — but an exhausted loop must not silently
+            # return a possibly-torn cross-namespace view, which is the
+            # exact hazard this function exists to prevent (ADVICE r13,
+            # verdict r13).  Loud refusal, per the repo discipline.
+            raise RuntimeError(
+                "read_uncommitted_all: capture did not stabilize after 8 "
+                "attempts (commit transitions raced every pass); retry the "
+                "read — returning the last capture could tear namespaces"
+            )
         return out, eff
 
     # -- commit ---------------------------------------------------------

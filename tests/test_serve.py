@@ -475,3 +475,102 @@ def test_sql_op_honors_freshness_and_flags_unpageable(spark):
         )
         assert not bad2["ok"] and "cannot pin" in bad2["error"]
         call.close()
+
+
+def test_sql_keyset_cursor_pages_under_commit_load(spark):
+    """Round-13 verdict #8: the sql path accepts keyset paging — the
+    client names its ORDER BY columns (unique tiebreak) in
+    ``keyset_cols``, a truncated response carries ``cursor={"epoch":
+    pin, "keyset": {...}}`` from the last served row, and following it
+    drains the FULL result at ONE pinned snapshot while commits race —
+    each page a range-continuation predicate, no offset rescan."""
+    import threading
+
+    env, runner = _bank_env(spark)
+    env.store.history_epochs = 256  # pins must outlive the racing commits
+    rows = [(i, "hub", f"k{i:02d}", 1.0) for i in range(30)]
+    runner.run_epoch(_batch(spark, rows))
+
+    with StateService(env, max_rows=7).serve() as svc:
+        stop = threading.Event()
+
+        def commits():
+            tid = 100
+            while not stop.is_set():
+                runner.run_epoch(_batch(spark, [(tid, "hub", "k00", 1.0)]))
+                tid += 1
+
+        t = threading.Thread(target=commits, daemon=True)
+        t.start()
+        try:
+            call = query_client(*svc.address)
+            req = {
+                "op": "sql",
+                "query": "SELECT key, value FROM state_balances ORDER BY key",
+                "keyset_cols": ["key"],
+            }
+            resp = call(req)
+            assert resp["ok"] and resp["truncated"] is True, resp
+            pin = resp["epoch"]
+            # the cursor is a keyset (last served row's key), not an offset
+            assert resp["cursor"] == {
+                "epoch": pin,
+                "keyset": {"key": resp["rows"][-1][0]},
+            }
+            assert "unordered" not in resp  # ORDER BY present
+            sql_rows = list(resp["rows"])
+            while resp.get("truncated"):
+                resp = call({**req, "cursor": resp["cursor"]})
+                assert resp["ok"], resp
+                assert resp["epoch"] == pin  # cursor re-pins the snapshot
+                sql_rows.extend(resp["rows"])
+            oracle_rows = [
+                [r["key"], r["value"]]
+                for r in env.sql(
+                    "SELECT key, value FROM state_balances ORDER BY key", epoch=pin
+                ).collect()
+            ]
+            assert sql_rows == oracle_rows
+            assert len(sql_rows) == 31  # hub + 30 keys: exact drain
+            call.close()
+        finally:
+            stop.set()
+            t.join(timeout=60)
+
+
+def test_sql_keyset_validation(spark):
+    """Keyset sharp edges: unknown columns refused, keyset+offset
+    refused, multi-column lexicographic continuation is exact."""
+    env, runner = _bank_env(spark)
+    runner.run_epoch(_batch(spark, [(i, "hub", f"k{i}", 1.0) for i in range(5)]))
+    svc = StateService(env, max_rows=2)
+    bad = svc.handle(
+        {"op": "sql", "query": "SELECT key FROM state_balances ORDER BY key",
+         "keyset_cols": ["nope"]}
+    )
+    assert not bad["ok"] and "keyset column" in bad["error"], bad
+    both = svc.handle(
+        {"op": "sql", "query": "SELECT key FROM state_balances ORDER BY key",
+         "keyset_cols": ["key"], "cursor": {"offset": 2, "keyset": {"key": "a"}}}
+    )
+    assert not both["ok"] and "mutually exclusive" in both["error"], both
+    # multi-column keyset: order by (value, key) — value ties across
+    # many keys, the key tiebreak must advance through the tie
+    req = {
+        "op": "sql",
+        "query": "SELECT value, key FROM state_balances ORDER BY value, key",
+        "keyset_cols": ["value", "key"],
+    }
+    resp = svc.handle(req)
+    got = list(resp["rows"])
+    while resp.get("truncated"):
+        resp = svc.handle({**req, "cursor": resp["cursor"]})
+        assert resp["ok"], resp
+        got.extend(resp["rows"])
+    oracle = [
+        [r["value"], r["key"]]
+        for r in env.sql(
+            "SELECT value, key FROM state_balances ORDER BY value, key"
+        ).collect()
+    ]
+    assert got == oracle and len(got) == 6
