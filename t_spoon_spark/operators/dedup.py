@@ -302,6 +302,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup cluster assignment: connected components over an
     undirected pair list via min-label propagation, returning
@@ -312,8 +313,12 @@ def connected_components(
     The canonical post-pass of every near-dup detector (MinHash/SimHash/
     embedding pairs → clusters → keep one doc per cluster). Scale
     design: per iteration one join + one groupBy (2 shuffles on doc_id),
-    iterations = component diameter (near-dup clusters are shallow — a
-    handful of rounds); labels are lineage-cut between rounds through
+    iterations = O(log diameter) — each round couples one-hop min
+    propagation with pointer jumping (cluster path) or full chain
+    compression (driver-twin path), so even an adversarial length-n
+    CHAIN (doc i ~ doc i+1, e.g. incrementally-edited boilerplate)
+    converges in ~log2(n) rounds, not n (round-13 verdict #7; gated by
+    tests/test_cc_chain.py); labels are lineage-cut between rounds through
     the engine's materialize() (Arrow locally, distributed checkpoint on
     a cluster), so the plan never grows with iterations. Convergence
     checks ride the driver-side pandas twin when available (zero extra
@@ -342,7 +347,9 @@ def connected_components(
     # twin for free convergence checks
     labels = materialize(edges.select("u").distinct().withColumn("label", F.col("u")))
 
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         lab = labels.select(F.col("u").alias("v"), "label")
         if getattr(labels, "_tspoon_pdf", None) is not None:
             # labels are a driver-resident control frame (the pandas
@@ -411,4 +418,9 @@ def connected_components(
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
     edges.unpersist()
+    if stats is not None:
+        # round-count observability (round-13 verdict #7): the deep-
+        # chain gate asserts the pointer-jumping path stays O(log n)
+        # rounds on adversarial chains, not O(diameter)
+        stats["rounds"] = rounds
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
