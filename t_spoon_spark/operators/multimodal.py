@@ -259,3 +259,139 @@ def resize_plan(features: DataFrame, max_w: int = 256, max_h: int = 256) -> Data
         F.expr("width * scale_c div 1000").cast("int").alias("out_w"),
         F.expr("height * scale_c div 1000").cast("int").alias("out_h"),
     )
+
+
+# -- perceptual near-dup (round-13 verdict #4) --------------------------
+
+DHASH_ROWS = 8
+DHASH_COLS = 9  # 9 luma columns -> 8 horizontal comparisons per row
+
+
+def dhash_images(mm: DataFrame) -> DataFrame:
+    """64-bit difference hash (dHash) per image payload, as two 32-bit
+    words ``(doc_id, dhash_lo, dhash_hi)`` — split so every downstream
+    bit op stays inside BIGINT range on BOTH engines (DuckDB refuses
+    ``1 << 63``; the SimHash kernel caps at 48 bits for the same
+    reason, operators/dedup.py).
+
+    The grayscale thumbnail is the deterministic fake-decode twin
+    (module convention, see `extract_features`): the payload's byte
+    stream block-averaged into an 8x9 luma grid — pixel (r, c) = the
+    floor-mean byte value of the payload's [p*n/72, (p+1)*n/72) slice,
+    all integer fixed-point, no float resampling.  Classic dHash on
+    top: bit (r, c) set iff luma[r][c] < luma[r][c+1].  A production
+    deployment swaps the thumbnail source for real decoded pixels (a
+    mapInPandas over the payload column, exactly the `_decode_real`
+    seam); the banding/verify kernel downstream is unchanged.  Local
+    sensitivity is the point: a small edit touches one or two byte
+    slices, flips at most a few comparison bits, and Hamming banding
+    finds the pair — the visual analogue of SimHash near-dup (reference
+    has no counterpart; mandated pipeline family).
+
+    Payloads shorter than 72 bytes have empty slices and no meaningful
+    thumbnail — excluded (a <72-byte "image" is a degenerate fixture).
+    All column algebra, JVM-side end to end: O(n) per doc (one char
+    split + 72 slice-sums), no Python in the plan.
+    """
+    n_px = DHASH_ROWS * DHASH_COLS
+    nn = F.octet_length("payload").cast("long")
+    codes = F.transform(
+        F.split(F.decode(F.col("payload"), "UTF-8"), ""),
+        lambda c: F.ascii(c),
+    )
+    base = (
+        mm.filter(F.col("kind") == "image")
+        .filter(F.octet_length("payload") >= n_px)
+        .select("doc_id", nn.alias("n"), codes.alias("codes"))
+    )
+    lumas = []
+    n = F.col("n")
+    for p in range(n_px):
+        start = F.floor((F.lit(p) * n) / F.lit(n_px)).cast("long")
+        end = F.floor((F.lit(p + 1) * n) / F.lit(n_px)).cast("long")
+        seg = F.slice(F.col("codes"), (start + 1).cast("int"), (end - start).cast("int"))
+        ssum = F.aggregate(seg, F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))
+        # floor-mean: exact (sum < 2^28, see queries/helpers.py fixed-
+        # point discipline; correctly-rounded double division cannot
+        # cross an integer boundary at these magnitudes)
+        lumas.append(F.floor(ssum / (end - start)).cast("long"))
+    grid = base.select("doc_id", F.array(*lumas).alias("L"))
+
+    def bit(b: int):
+        r, c = divmod(b, DHASH_COLS - 1)
+        lt = F.col("L").getItem(r * DHASH_COLS + c) < F.col("L").getItem(
+            r * DHASH_COLS + c + 1
+        )
+        return F.when(lt, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    lo = sum((bit(b) * F.lit(1 << b).cast("long") for b in range(1, 32)), bit(0))
+    hi = sum(
+        (bit(b) * F.lit(1 << (b - 32)).cast("long") for b in range(33, 64)), bit(32)
+    )
+    return grid.select("doc_id", lo.alias("dhash_lo"), hi.alias("dhash_hi"))
+
+
+def dhash_bands(h: DataFrame) -> DataFrame:
+    """Explode each 64-bit dHash into its 8 one-byte LSH bands:
+    ``(doc_id, dhash_lo, dhash_hi, band, band_key)`` — bands 0-3 from
+    the low word, 4-7 from the high word.  Shared by the pair kernel
+    and the band-occupancy diagnostics entry."""
+    mask = F.lit(255).cast("long")
+    band_keys = [
+        F.shiftright(F.col("dhash_lo"), 8 * i).bitwiseAND(mask) for i in range(4)
+    ] + [F.shiftright(F.col("dhash_hi"), 8 * i).bitwiseAND(mask) for i in range(4)]
+    return h.select(
+        "doc_id",
+        "dhash_lo",
+        "dhash_hi",
+        F.posexplode(F.array(*band_keys)).alias("band", "band_key"),
+    )
+
+
+def dhash_pairs(mm: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Visual near-dup pairs by banded dHash: join on any equal 8-bit
+    band (8 bands over the 64 bits), verify with exact Hamming distance
+    (bit_count of xor, summed over the two words).  Identical shape to
+    `simhash_pairs` (operators/dedup.py): candidates-then-verify, no
+    all-pairs anywhere — at 100 TB the band join is the only shuffle
+    and each bucket holds near-identical thumbnails only.
+
+    ``max_hamming`` must stay <= 7: with 8 bands, 7 differing bits
+    leave at least one band identical (pigeonhole), so banding is
+    EXHAUSTIVE at that threshold — the oracle's all-pairs twin matches
+    exactly, not approximately."""
+    if max_hamming > 7:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the 8-band pigeonhole "
+            "guarantee (exhaustive only for <= 7)"
+        )
+    bands = dhash_bands(dhash_images(mm))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash_lo").alias("lo_a"),
+        F.col("dhash_hi").alias("hi_a"),
+        "band",
+        "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash_lo").alias("lo_b"),
+        F.col("dhash_hi").alias("hi_b"),
+        "band",
+        "band_key",
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "lo_a", "lo_b", "hi_a", "hi_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,112 @@
+"""Perceptual dHash near-dup (round-13 verdict #4): hash exactness is
+oracle-gated (dedup_phash_images / dedup_phash_band_stats); this suite
+gates the PAIR kernel on a corpus where the Hamming spectrum is real —
+length-PRESERVING in-place edits, the regime a positional byte-stream
+thumbnail is sensitive to (the parquet corpus's near-dups are
+length-perturbed, which smears every block boundary; documented in the
+entry docstring).  Plus the 100 TB plan gate: no Python in the plan,
+banding join on (band, band_key).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from t_spoon_spark.operators.multimodal import (
+    binarize_documents,
+    dhash_bands,
+    dhash_images,
+    dhash_pairs,
+)
+
+
+def _text(seed: str, n: int = 720) -> str:
+    """Deterministic printable-ASCII string (no random module — the
+    repo determinism contract)."""
+    out = []
+    i = 0
+    while len(out) < n:
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        out.extend(chr(32 + (ord(c) * 7) % 95) for c in h)
+        i += 1
+    return "".join(out[:n])
+
+
+def _mm(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    return binarize_documents(docs)
+
+
+def test_inplace_edits_yield_low_hamming_pair(spark):
+    base = _text("base")
+    # overwrite three 10-char spans in place (one full luma block each):
+    # length unchanged, so block boundaries stay put, the touched
+    # blocks' means jump, and a couple of comparison bits flip —
+    # measured hamming 2 of 64
+    edited = list(base)
+    for pos in (100, 360, 650):
+        for k in range(10):
+            edited[pos + k] = "~"
+    near = "".join(edited)
+    far = _text("far")
+    mm = _mm(
+        spark,
+        [(1, "src0", base), (2, "src0", near), (3, "src0", far)],
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dhash_pairs(mm, max_hamming=7).collect()
+    }
+    assert (1, 2) in pairs, pairs
+    assert 0 < pairs[(1, 2)] <= 7
+    # the unrelated doc is not paired with either
+    assert all(3 not in p for p in pairs)
+
+
+def test_exact_dup_hamming_zero_and_hamming_matches_hashes(spark):
+    base = _text("dup")
+    mm = _mm(spark, [(1, "src0", base), (2, "src0", base)])
+    pairs = dhash_pairs(mm, max_hamming=7).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+    # cross-check the reported hamming against the raw hash words
+    h = {r["doc_id"]: (r["dhash_lo"], r["dhash_hi"]) for r in dhash_images(mm).collect()}
+    lo_x = h[1][0] ^ h[2][0]
+    hi_x = h[1][1] ^ h[2][1]
+    assert bin(lo_x).count("1") + bin(hi_x).count("1") == 0
+
+
+def test_pigeonhole_threshold_enforced(spark):
+    mm = _mm(spark, [(1, "src0", _text("a"))])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_pairs(mm, max_hamming=8)
+
+
+def test_short_payloads_excluded(spark):
+    mm = _mm(spark, [(1, "src0", "tiny"), (2, "src0", _text("ok"))])
+    got = {r["doc_id"] for r in dhash_images(mm).collect()}
+    assert got == {2}
+
+
+def test_non_image_kinds_excluded(spark):
+    # source ids 1/2 -> audio/video: no dHash rows
+    mm = _mm(spark, [(1, "src1", _text("a")), (2, "src2", _text("b"))])
+    assert dhash_images(mm).count() == 0
+
+
+def test_phash_plan_no_python_and_band_join(spark):
+    """100 TB gate: the whole pipeline (thumbnail, hash, banding,
+    verify) stays JVM-side — no BatchEvalPython/ArrowEvalPython
+    anywhere — and the candidate join keys on the exploded band."""
+    from t_spoon_spark.plans.explain import executed_plan
+
+    mm = _mm(spark, [(i, "src0", _text(str(i))) for i in range(1, 5)])
+    plan = executed_plan(dhash_pairs(mm, max_hamming=7))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "band" in plan  # candidates join through the band explode
+    bplan = executed_plan(dhash_bands(dhash_images(mm)))
+    assert "Generate" in bplan  # posexplode, not a python loop
