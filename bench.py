@@ -164,9 +164,11 @@ def main() -> None:
 # last, so only its own length matters).  1,500 left ~515 B unused and
 # round 11's two new keys (x_edge_build_sec, cluster_cascade_latency_ms)
 # pushed the front-of-list shedding into the cross-round-tracked
-# packing/prefix-filter family rows; 1,600 keeps those comparables with
-# ~450 B of margin still in hand.
-MAX_LINE_BYTES = 1600
+# packing/prefix-filter family rows; the r13 line measured 1,596 B, so
+# round 14's four serve_key_query_* rows (~160 B) would shed x_ family
+# comparables at 1,600 — 1,760 absorbs them with ~290 B of the 2 kB
+# capture still in hand.
+MAX_LINE_BYTES = 1760
 
 
 def format_line(result: dict) -> str:
@@ -397,9 +399,21 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
         )
         compact["sustainable_tps_pl3"] = rate
         compact["txn_latency_ms_at_sustained_pl3"] = latency_ms
+        confirm = next(
+            (
+                c
+                for c in reversed(curve)
+                if isinstance(c, dict) and c.get("event") == "confirm_walls"
+            ),
+            None,
+        )
         details["sustainable_tps_pl3"] = {
             "best": rate,
             "seed_rate": seed,
+            # round-13 verdict #3: the confirmation round's implied-tps
+            # band self-evidences box scatter, so a driver-vs-clean-room
+            # gap can be attributed without a one-round A/B round-trip
+            "confirm_implied_tps": confirm["implied_tps"] if confirm else None,
             "note": (
                 "at-sustained latency rows measure epochs at the "
                 "saturation edge by construction (wall ~= budget); the "
@@ -474,6 +488,56 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
     except ImportError:
         pass
 
+    # queryable-state serving latency (round-13 verdict #6): promoted
+    # from tools/query_latency_probe.py to committed artifact rows —
+    # the closest analogue to the reference's per-query latency metric
+    # (its evaluation issues 1-10-key queries against live state,
+    # launch_scripts/parse_results.py:31-38).  Runs in the live txn
+    # session BEFORE the cluster pins stop it.
+    try:
+        from t_spoon_spark.bench_txn import serve_query_latency
+
+        sl = serve_query_latency(spark)
+        compact["serve_key_query_p50_ms"] = sl["idle_committed"]["p50_ms"]
+        compact["serve_key_query_p95_ms"] = sl["idle_committed"]["p95_ms"]
+        compact["serve_key_query_under_commit_p50_ms"] = sl[
+            "under_commit_committed"
+        ]["p50_ms"]
+        compact["serve_key_query_under_commit_p95_ms"] = sl[
+            "under_commit_committed"
+        ]["p95_ms"]
+        details["serve_key_query_latency_ms"] = {
+            **sl,
+            "protocol": (
+                "query_latency_probe protocol: TCP round-trip of `keys` "
+                "ops sizes cycling 1..10 over a 100k keyspace, 60 "
+                "queries per mode, 1 unmeasured warm pass; modes = idle "
+                "committed / under continuous commits / under commits "
+                "with freshness=uncommitted (PL0 overlay)"
+            ),
+        }
+        print(
+            f"# serve_key_query: idle p50={sl['idle_committed']['p50_ms']} "
+            f"p95={sl['idle_committed']['p95_ms']}; under-commit "
+            f"p50={sl['under_commit_committed']['p50_ms']} "
+            f"p95={sl['under_commit_committed']['p95_ms']}; uncommitted "
+            f"p50={sl['under_commit_uncommitted']['p50_ms']}",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 — per-metric isolation
+        for key in (
+            "serve_key_query_p50_ms",
+            "serve_key_query_p95_ms",
+            "serve_key_query_under_commit_p50_ms",
+            "serve_key_query_under_commit_p95_ms",
+        ):
+            compact[key] = "failed"
+        details["serve_key_query_latency_ms"] = "failed"
+        print(
+            f"# serve_key_query: FAILED {type(exc).__name__}: {exc}",
+            file=sys.stderr,
+        )
+
     # deployment-shape pin (round-10): the multi-JVM RELIABLE close path
     # on a local-cluster master at the fixed 5,200 tx/s rate — the shape
     # a real cluster runs, previously only probed by
@@ -483,19 +547,27 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
         from t_spoon_spark.bench_txn import cluster_latency_pin
 
         spark.stop()
-        mean, spread, per_txn = cluster_latency_pin(sf_dir)
-        compact["cluster_txn_latency_ms_at_5200_fixed"] = mean
+        med, spread, per_txn, walls = cluster_latency_pin(sf_dir)
+        compact["cluster_txn_latency_ms_at_5200_fixed"] = med
         compact["cluster_txn_ms_per_txn"] = per_txn
         details["cluster_txn_latency_ms_at_5200_fixed"] = {
-            "best": mean,
+            "best": med,
             "spread": spread,
+            "walls_ms": walls,
             "ms_per_txn": per_txn,
             "master": "local-cluster[4,8,8192]",
             "materialize_mode": "reliable",
+            "protocol": (
+                "pin-cluster-v2 (since r14): 4 measured epochs, first "
+                "post-warm-up epoch discarded, median of the kept 3 + "
+                "max-min spread; r13-and-earlier cluster readings were "
+                "mean-of-3 with no discard and are not directly "
+                "comparable"
+            ),
         }
         print(
-            f"# cluster_txn_latency_ms_at_5200_fixed: mean={mean} "
-            f"spread={spread} ms/txn={per_txn}",
+            f"# cluster_txn_latency_ms_at_5200_fixed: median={med} "
+            f"spread={spread} walls={walls} ms/txn={per_txn}",
             file=sys.stderr,
         )
     except Exception as exc:  # noqa: BLE001 — per-metric isolation
@@ -523,6 +595,10 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
             "keyspace": 1000,
             "rate": 5200.0,
             "materialize_mode": "reliable (distributed refold)",
+            "protocol": (
+                "pin-cluster-v2 (since r14): per side 4 measured epochs, "
+                "first discarded, median of kept 3 + max-min spread"
+            ),
         }
         print(
             f"# cluster_cascade_latency_ms: contended={cc['contended_ms']} "

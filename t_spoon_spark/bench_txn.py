@@ -339,9 +339,29 @@ def sustainable_tps(
                 )
 
         if measure_latency:
+            walls: list = []
             latency_ms, _spread = _latency_at(
-                env_factory, transfers, total, lo, epoch_seconds, n_epochs
+                env_factory, transfers, total, lo, epoch_seconds, n_epochs,
+                walls_out=walls,
             )
+            if curve is not None and walls:
+                # self-evidence for driver-vs-clean-room scatter
+                # (round-13 verdict #3): the confirmation round's
+                # per-epoch walls imply a tx/s band at the discovered
+                # rate — a second full discovery is redundant, but the
+                # implied-throughput spread says on its face whether
+                # THIS box run was tight or noisy
+                per_epoch = max(1, int(lo * epoch_seconds))
+                curve.append(
+                    {
+                        "event": "confirm_walls",
+                        "rate": round(lo, 1),
+                        "walls_ms": walls,
+                        "implied_tps": [
+                            round(1000.0 * per_epoch / w, 1) for w in walls
+                        ],
+                    }
+                )
             return round(lo, 1), latency_ms
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -351,6 +371,7 @@ def sustainable_tps(
 def _latency_at(
     env_factory, transfers, total: int, rate: float,
     epoch_seconds: float, n_epochs: int, stats_out: dict | None = None,
+    walls_out: list | None = None,
 ) -> tuple[float, float]:
     """(mean, spread) epoch wall (ms) feeding rate*epoch_seconds-sized
     epochs to a fresh warmed runner — end-to-end commit latency AT that
@@ -419,6 +440,8 @@ def _latency_at(
     # (same hygiene as the widening loop, ADVICE r12)
     for batch in batches:
         _free_checkpoint(batch)
+    if walls_out is not None:
+        walls_out.extend(round(1000.0 * w, 1) for w in walls)
     mean = round(1000.0 * sum(walls) / len(walls), 1)
     return mean, round(1000.0 * (max(walls) - min(walls)), 1)
 
@@ -448,6 +471,7 @@ def txn_latency_ms_at_rate(
     keyspace: int = KEYSPACE,
     clip_amounts: bool = False,
     stats_out: dict | None = None,
+    walls_out: list | None = None,
 ) -> tuple[float, float]:
     """(mean, spread) commit latency at a caller-chosen injection rate —
     used by the bench to report latency at 0.8x the discovered
@@ -500,19 +524,38 @@ def txn_latency_ms_at_rate(
         max_rate = (total - warm) / (epoch_seconds * n_epochs)
         return _latency_at(
             env_factory, transfers, total, min(rate, max_rate),
-            epoch_seconds, n_epochs, stats_out=stats_out,
+            epoch_seconds, n_epochs, stats_out=stats_out, walls_out=walls_out,
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
+def _median_discard_first(walls: list) -> tuple[float, float, list]:
+    """Cluster-pin centering (round-13 verdict #2): the multi-JVM pins
+    read 2x round-over-round from warm-up scatter (r11 record: spread
+    ~= mean, 12,055 +- 11,691 ms) — a mean over 3 epochs where the
+    first carries executor-JVM warm-up tail is a coin, not a pin.
+    DISCARD the first post-warm-up epoch (C2/shuffle-service settling
+    lands disproportionately there even after the two warm epochs),
+    take the MEDIAN of the rest, report spread = max-min of the kept
+    walls so the artifact self-evidences its stability."""
+    import statistics
+
+    kept = walls[1:] if len(walls) > 1 else list(walls)
+    return (
+        round(statistics.median(kept), 1),
+        round(max(kept) - min(kept), 1),
+        kept,
+    )
+
+
 def cluster_latency_pin(
     sf_dir: str,
     rate: float = 5200.0,
     epoch_seconds: float = 5.0,
-    n_epochs: int = 3,
-) -> tuple[float, float, float]:
+    n_epochs: int = 4,
+) -> tuple[float, float, float, list]:
     """Deployment-shape pin (round-9 verdict next-round #4): the
     RELIABLE close path — multi-JVM local-cluster master, checkpoint
     epoch cuts, distributed cascade, no driver pandas twins — at the
@@ -523,8 +566,12 @@ def cluster_latency_pin(
     FIXED epoch size is the comparable, not the absolute latency.
 
     Builds (and stops) its own session; the caller must stop any live
-    session first (one SparkContext per process).  Returns
-    (mean_epoch_ms, spread_ms, ms_per_txn)."""
+    session first (one SparkContext per process).  Protocol
+    pin-cluster-v2 (round-13 verdict #2): ``n_epochs`` measured epochs
+    in ONE cluster session, the first post-warm-up epoch DISCARDED,
+    median + spread of the kept walls — r13-and-earlier readings were
+    mean-of-3 with no discard and are not on the same axis.  Returns
+    (median_epoch_ms, spread_ms, ms_per_txn, kept_walls_ms)."""
     from t_spoon_spark.session import build_spark
 
     spark = build_spark(
@@ -537,11 +584,14 @@ def cluster_latency_pin(
         },
     )
     try:
-        mean, spread = txn_latency_ms_at_rate(
-            spark, sf_dir, rate, epoch_seconds=epoch_seconds, n_epochs=n_epochs
+        walls: list = []
+        txn_latency_ms_at_rate(
+            spark, sf_dir, rate, epoch_seconds=epoch_seconds,
+            n_epochs=n_epochs, walls_out=walls,
         )
-        per_txn = round(mean / (rate * epoch_seconds), 4)
-        return mean, spread, per_txn
+        med, spread, kept = _median_discard_first(walls)
+        per_txn = round(med / (rate * epoch_seconds), 4)
+        return med, spread, per_txn, kept
     finally:
         spark.stop()
 
@@ -550,7 +600,7 @@ def cluster_cascade_latency_pin(
     sf_dir: str,
     rate: float = 5200.0,
     epoch_seconds: float = 5.0,
-    n_epochs: int = 3,
+    n_epochs: int = 4,
 ) -> dict:
     """CONTENDED heavy-abort pin on the multi-JVM path (round-10
     verdict next-round #3): the distributed cascade refold — not the
@@ -569,9 +619,13 @@ def cluster_cascade_latency_pin(
     LOWER BOUND on the cascade's true share, not an exact split — both
     runs' measured vote/replay counts ride the details dict so the A/B
     assumption is measured, not asserted (ADVICE r11).  Multi-JVM
-    dispatch and shuffle costs still cancel between the runs.  Returns:
-    {contended_ms, contended_spread_ms, no_abort_ms, no_abort_spread_ms,
-     cascade_share_pct, ms_per_txn, contended_votes, twin_votes}."""
+    dispatch and shuffle costs still cancel between the runs.
+    Protocol pin-cluster-v2 (round-13 verdict #2): per side, the first
+    post-warm-up epoch is discarded and the center is the MEDIAN of the
+    kept walls (r13-and-earlier readings were mean-of-3, no discard).
+    Returns: {contended_ms, contended_spread_ms, contended_walls_ms,
+    no_abort_ms, no_abort_spread_ms, no_abort_walls_ms,
+    cascade_share_pct, ms_per_txn, contended_votes, twin_votes}."""
     from t_spoon_spark.session import build_spark
 
     spark = build_spark(
@@ -586,7 +640,9 @@ def cluster_cascade_latency_pin(
     try:
         c_votes: dict = {}
         t_votes: dict = {}
-        contended, c_spread = txn_latency_ms_at_rate(
+        c_walls: list = []
+        t_walls: list = []
+        txn_latency_ms_at_rate(
             spark,
             sf_dir,
             rate,
@@ -594,8 +650,9 @@ def cluster_cascade_latency_pin(
             n_epochs=n_epochs,
             keyspace=1_000,
             stats_out=c_votes,
+            walls_out=c_walls,
         )
-        no_abort, na_spread = txn_latency_ms_at_rate(
+        txn_latency_ms_at_rate(
             spark,
             sf_dir,
             rate,
@@ -604,13 +661,20 @@ def cluster_cascade_latency_pin(
             keyspace=1_000,
             clip_amounts=True,
             stats_out=t_votes,
+            walls_out=t_walls,
         )
+        # pin-cluster-v2 (round-13 verdict #2): discard the first
+        # post-warm-up epoch on each side, median + spread of the rest
+        contended, c_spread, c_kept = _median_discard_first(c_walls)
+        no_abort, na_spread, t_kept = _median_discard_first(t_walls)
         share = round(100.0 * max(0.0, contended - no_abort) / contended, 1)
         return {
             "contended_ms": contended,
             "contended_spread_ms": c_spread,
+            "contended_walls_ms": c_kept,
             "no_abort_ms": no_abort,
             "no_abort_spread_ms": na_spread,
+            "no_abort_walls_ms": t_kept,
             "cascade_share_pct": share,
             "ms_per_txn": round(contended / (rate * epoch_seconds), 4),
             "contended_votes": c_votes,
@@ -721,3 +785,86 @@ def bank_transfer_tps_pl4_contended(spark: SparkSession, sf_dir: str) -> float:
     (launch_scripts/start_rates.properties.example:6). Best of two;
     exercises the intra-epoch chained conflict resolution."""
     return bank_transfer_tps_pl4_contended_stats(spark, sf_dir, rounds=2)[0]
+
+
+def serve_query_latency(
+    spark: SparkSession, n_keys: int = 100_000, n_queries: int = 60
+) -> dict:
+    """Queryable-state serving latency (round-13 verdict #6 — promoted
+    from tools/query_latency_probe.py to a committed bench row).
+    Reference parity metric: its evaluation issues 1-10-key queries
+    against live state and reports per-query latency
+    (evaluation/EvalConfig.java:60-97, launch_scripts/
+    parse_results.py:31-38); ours is the TCP round-trip of `keys` ops
+    (sizes cycling 1..10) against the serve surface, in three modes:
+    idle committed, under continuous epoch commits, and under commits
+    with freshness='uncommitted' (PL0 overlay).
+
+    Protocol identical to the probe: one seed epoch over the keyspace,
+    one unmeasured warm pass (plan + codegen for the filter shape),
+    then n_queries timed round-trips per mode.  Returns
+    {idle_committed: {p50_ms, p95_ms, max_ms}, under_commit_committed:
+    {...}, under_commit_uncommitted: {...}}."""
+    import statistics
+    import threading
+
+    from t_spoon_spark.serve import StateService, query_client
+
+    env = TxEnvironment(spark, isolation="PL3")
+    env.create_namespace("balances", "double", 100.0)
+    runner = env.runner(_graph(env, fold=False))
+
+    def batch(lo: int, n: int):
+        return spark.createDataFrame(
+            [
+                (lo + i, f"a{(lo + i) % n_keys}", f"a{(lo + i * 7 + 1) % n_keys}", 1.0)
+                for i in range(n)
+            ],
+            "_tid long, from_account string, to_account string, amount double",
+        )
+
+    runner.run_epoch(batch(0, 2000))
+
+    def measure(call, freshness: str | None) -> dict:
+        lats: list[float] = []
+        for i in range(n_queries):
+            size = (i % 10) + 1
+            keys = [f"a{(i * 997 + j * 131) % n_keys}" for j in range(size)]
+            req = {"op": "keys", "ns": "balances", "keys": keys}
+            if freshness:
+                req["freshness"] = freshness
+            t0 = time.time()
+            resp = call(req)
+            lats.append(time.time() - t0)
+            assert resp["ok"], resp
+        lats.sort()
+        return {
+            "p50_ms": round(1000 * statistics.median(lats), 1),
+            "p95_ms": round(1000 * lats[int(0.95 * len(lats)) - 1], 1),
+            "max_ms": round(1000 * lats[-1], 1),
+        }
+
+    out: dict = {}
+    with StateService(env).serve() as svc:
+        call = query_client(*svc.address)
+        measure(call, None)  # warm pass, unmeasured
+        out["idle_committed"] = measure(call, None)
+
+        stop = threading.Event()
+
+        def writer():
+            tid = 10_000
+            while not stop.is_set():
+                runner.run_epoch(batch(tid, 500))
+                tid += 500
+
+        t = threading.Thread(target=writer, daemon=True)
+        t.start()
+        try:
+            out["under_commit_committed"] = measure(call, None)
+            out["under_commit_uncommitted"] = measure(call, "uncommitted")
+        finally:
+            stop.set()
+            t.join(timeout=120)
+        call.close()
+    return out

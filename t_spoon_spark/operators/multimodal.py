@@ -265,6 +265,41 @@ def resize_plan(features: DataFrame, max_w: int = 256, max_h: int = 256) -> Data
 
 DHASH_ROWS = 8
 DHASH_COLS = 9  # 9 luma columns -> 8 horizontal comparisons per row
+AUDIO_FRAMES = 33  # 33 energy frames -> one 32-bit difference fingerprint
+
+
+def _block_mean_grid(mm: DataFrame, kind: str, n_blocks: int) -> DataFrame:
+    """(doc_id, B) — the payload's byte stream block-averaged into
+    ``n_blocks`` floor-mean values (the deterministic fake-decode twin
+    of a grayscale thumbnail / PCM energy envelope; module convention,
+    see `extract_features`).  Block p = floor-mean byte value of the
+    payload slice [p*n/k, (p+1)*n/k) — integer fixed-point, no float
+    resampling.  Payloads shorter than ``n_blocks`` bytes have empty
+    slices — excluded (degenerate fixtures).  All JVM column algebra:
+    O(n) per doc (one char split + k slice-sums), no Python in the
+    plan."""
+    nn = F.octet_length("payload").cast("long")
+    codes = F.transform(
+        F.split(F.decode(F.col("payload"), "UTF-8"), ""),
+        lambda c: F.ascii(c),
+    )
+    base = (
+        mm.filter(F.col("kind") == kind)
+        .filter(F.octet_length("payload") >= n_blocks)
+        .select("doc_id", nn.alias("n"), codes.alias("codes"))
+    )
+    means = []
+    n = F.col("n")
+    for p in range(n_blocks):
+        start = F.floor((F.lit(p) * n) / F.lit(n_blocks)).cast("long")
+        end = F.floor((F.lit(p + 1) * n) / F.lit(n_blocks)).cast("long")
+        seg = F.slice(F.col("codes"), (start + 1).cast("int"), (end - start).cast("int"))
+        ssum = F.aggregate(seg, F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))
+        # floor-mean: exact (sum < 2^28, see queries/helpers.py fixed-
+        # point discipline; correctly-rounded double division cannot
+        # cross an integer boundary at these magnitudes)
+        means.append(F.floor(ssum / (end - start)).cast("long"))
+    return base.select("doc_id", F.array(*means).alias("B"))
 
 
 def dhash_images(mm: DataFrame) -> DataFrame:
@@ -294,28 +329,7 @@ def dhash_images(mm: DataFrame) -> DataFrame:
     split + 72 slice-sums), no Python in the plan.
     """
     n_px = DHASH_ROWS * DHASH_COLS
-    nn = F.octet_length("payload").cast("long")
-    codes = F.transform(
-        F.split(F.decode(F.col("payload"), "UTF-8"), ""),
-        lambda c: F.ascii(c),
-    )
-    base = (
-        mm.filter(F.col("kind") == "image")
-        .filter(F.octet_length("payload") >= n_px)
-        .select("doc_id", nn.alias("n"), codes.alias("codes"))
-    )
-    lumas = []
-    n = F.col("n")
-    for p in range(n_px):
-        start = F.floor((F.lit(p) * n) / F.lit(n_px)).cast("long")
-        end = F.floor((F.lit(p + 1) * n) / F.lit(n_px)).cast("long")
-        seg = F.slice(F.col("codes"), (start + 1).cast("int"), (end - start).cast("int"))
-        ssum = F.aggregate(seg, F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))
-        # floor-mean: exact (sum < 2^28, see queries/helpers.py fixed-
-        # point discipline; correctly-rounded double division cannot
-        # cross an integer boundary at these magnitudes)
-        lumas.append(F.floor(ssum / (end - start)).cast("long"))
-    grid = base.select("doc_id", F.array(*lumas).alias("L"))
+    grid = _block_mean_grid(mm, "image", n_px).withColumnRenamed("B", "L")
 
     def bit(b: int):
         r, c = divmod(b, DHASH_COLS - 1)
@@ -390,6 +404,77 @@ def dhash_pairs(mm: DataFrame, max_hamming: int = 7) -> DataFrame:
         F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
         + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
     ).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def audio_fingerprints(mm: DataFrame) -> DataFrame:
+    """32-bit difference fingerprint per audio payload — the 1-D
+    analogue of `dhash_images` (round-14; completes the perceptual
+    near-dup family across the mandated media kinds): the byte stream
+    as a stand-in PCM envelope, block-averaged into 33 energy frames
+    (`_block_mean_grid`), bit i set iff energy[i] < energy[i+1] — the
+    shape of spectral-delta fingerprints (Chromaprint-class), reduced
+    to the deterministic fake-decode convention.  One BIGINT word
+    (value < 2^32), so every downstream bit op is safe on both engines.
+    Returns (doc_id, fingerprint)."""
+    frames = _block_mean_grid(mm, "audio", AUDIO_FRAMES)
+
+    def bit(b: int):
+        lt = F.col("B").getItem(b) < F.col("B").getItem(b + 1)
+        return F.when(lt, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    fp = sum(
+        (bit(b) * F.lit(1 << b).cast("long") for b in range(1, AUDIO_FRAMES - 1)),
+        bit(0),
+    )
+    return frames.select("doc_id", fp.alias("fingerprint"))
+
+
+def audio_fingerprint_pairs(mm: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Audio near-dup pairs by banded fingerprint: 4 one-byte bands over
+    the 32-bit word, verify with exact Hamming (bit_count of xor) —
+    identical candidates-then-verify shape as `dhash_pairs`.
+    ``max_hamming`` must stay <= 3: with 4 bands, 3 differing bits
+    leave at least one band identical (pigeonhole), so banding is
+    exhaustive at that threshold."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the 4-band pigeonhole "
+            "guarantee (exhaustive only for <= 3)"
+        )
+    h = audio_fingerprints(mm)
+    mask = F.lit(255).cast("long")
+    bands = h.select(
+        "doc_id",
+        "fingerprint",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fingerprint"), 8 * i).bitwiseAND(mask)
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("fingerprint").alias("fp_a"),
+        "band", "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fp_b"),
+        "band", "band_key",
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

@@ -269,3 +269,55 @@ def dedup_phash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# DuckDB twin of operators/multimodal.audio_fingerprints: 33 block-mean
+# energy frames over the audio payload bytes -> 32-bit difference
+# fingerprint in one BIGINT word.
+@register(
+    "dedup_audio_fingerprints",
+    r"""
+    WITH aud AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents
+      WHERE CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 3 = 1
+        AND length(text) >= 33
+    ),
+    codes AS (
+      SELECT doc_id, n,
+             list_transform(range(1, CAST(n AS INT) + 1),
+                            i -> ascii(substr(text, CAST(i AS INT), 1))) AS cs
+      FROM aud
+    ),
+    frames AS (
+      SELECT doc_id,
+        list_transform(range(0, 33), p ->
+          list_sum(list_slice(cs, CAST((p*n)//33 + 1 AS INT),
+                                  CAST(((p+1)*n)//33 AS INT)))
+          // (((p+1)*n)//33 - (p*n)//33)) AS E
+      FROM codes
+    )
+    SELECT doc_id,
+      CAST(list_sum(list_transform(range(0, 32), b ->
+        CASE WHEN E[CAST(b + 1 AS INT)] < E[CAST(b + 2 AS INT)]
+             THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fingerprint
+    FROM frames
+    ORDER BY doc_id
+    """,
+)
+def dedup_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit difference fingerprint per audio payload (round 14 — the
+    1-D analogue of dedup_phash_images, completing the perceptual
+    near-dup family across media kinds): 33 block-mean energy frames,
+    bit i set iff energy[i] < energy[i+1] — the shape of spectral-delta
+    fingerprints, under the deterministic fake-decode convention.  The
+    oracle recomputes the identical fingerprint from the same fixture
+    bytes.  The pair kernel (`audio_fingerprint_pairs`, 4-band
+    exhaustive at hamming <= 3) is gated on length-preserving
+    perturbations in tests/test_phash.py, same rationale as the image
+    entry."""
+    from t_spoon_spark.operators.multimodal import audio_fingerprints
+
+    mm = binarize_documents(t(spark, sf_dir, "documents"))
+    return audio_fingerprints(mm).orderBy("doc_id")

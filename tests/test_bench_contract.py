@@ -111,3 +111,17 @@ def test_shedding_drops_front_x_rows_and_keeps_edge_build_last():
     assert dropped == x_keys[: len(dropped)]
     if kept:
         assert kept[-1] == "x_edge_build_sec"
+
+
+def test_median_discard_first_protocol():
+    """pin-cluster-v2 (round-13 verdict #2): first post-warm-up epoch
+    discarded, median of the kept walls, spread = max-min of kept."""
+    from t_spoon_spark.bench_txn import _median_discard_first
+
+    med, spread, kept = _median_discard_first([9000.0, 5000.0, 5600.0, 5200.0])
+    assert kept == [5000.0, 5600.0, 5200.0]
+    assert med == 5200.0
+    assert spread == 600.0
+    # degenerate single-epoch input: nothing to discard
+    med1, spread1, kept1 = _median_discard_first([4200.0])
+    assert (med1, spread1, kept1) == (4200.0, 0.0, [4200.0])

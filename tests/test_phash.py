@@ -110,3 +110,40 @@ def test_phash_plan_no_python_and_band_join(spark):
     assert "band" in plan  # candidates join through the band explode
     bplan = executed_plan(dhash_bands(dhash_images(mm)))
     assert "Generate" in bplan  # posexplode, not a python loop
+
+
+# -- audio fingerprint (1-D analogue) ----------------------------------
+
+
+def test_audio_inplace_edit_low_hamming_pair(spark):
+    from t_spoon_spark.operators.multimodal import audio_fingerprint_pairs
+
+    base = _text("wave", 660)  # 33 frames x 20 bytes
+    edited = list(base)
+    for k in range(20):  # overwrite exactly one frame
+        edited[200 + k] = "~"
+    near = "".join(edited)
+    far = _text("noise", 660)
+    mm = _mm(spark, [(1, "src1", base), (2, "src1", near), (3, "src1", far)])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in audio_fingerprint_pairs(mm, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 3, pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_audio_pigeonhole_and_kind_filter(spark):
+    from t_spoon_spark.operators.multimodal import (
+        audio_fingerprint_pairs,
+        audio_fingerprints,
+    )
+
+    mm = _mm(spark, [(1, "src1", _text("a"))])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        audio_fingerprint_pairs(mm, max_hamming=4)
+    # image/video kinds excluded; fingerprint fits in 32 bits
+    mixed = _mm(spark, [(1, "src0", _text("i")), (2, "src1", _text("a"))])
+    rows = audio_fingerprints(mixed).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+    assert 0 <= rows[0]["fingerprint"] < (1 << 32)
