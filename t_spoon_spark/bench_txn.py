@@ -810,6 +810,13 @@ def serve_query_latency(
 
     from t_spoon_spark.serve import StateService, query_client
 
+    # probe parity: the epoch control frames are tiny — 8-way shuffles,
+    # as every txn bench section sets (the tool session used to pin
+    # this via build_spark; inside bench.py the caller's session may
+    # carry the 32-way default)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
     env = TxEnvironment(spark, isolation="PL3")
     env.create_namespace("balances", "double", 100.0)
     runner = env.runner(_graph(env, fold=False))
@@ -845,26 +852,29 @@ def serve_query_latency(
         }
 
     out: dict = {}
-    with StateService(env).serve() as svc:
-        call = query_client(*svc.address)
-        measure(call, None)  # warm pass, unmeasured
-        out["idle_committed"] = measure(call, None)
+    try:
+        with StateService(env).serve() as svc:
+            call = query_client(*svc.address)
+            measure(call, None)  # warm pass, unmeasured
+            out["idle_committed"] = measure(call, None)
 
-        stop = threading.Event()
+            stop = threading.Event()
 
-        def writer():
-            tid = 10_000
-            while not stop.is_set():
-                runner.run_epoch(batch(tid, 500))
-                tid += 500
+            def writer():
+                tid = 10_000
+                while not stop.is_set():
+                    runner.run_epoch(batch(tid, 500))
+                    tid += 500
 
-        t = threading.Thread(target=writer, daemon=True)
-        t.start()
-        try:
-            out["under_commit_committed"] = measure(call, None)
-            out["under_commit_uncommitted"] = measure(call, "uncommitted")
-        finally:
-            stop.set()
-            t.join(timeout=120)
-        call.close()
+            t = threading.Thread(target=writer, daemon=True)
+            t.start()
+            try:
+                out["under_commit_committed"] = measure(call, None)
+                out["under_commit_uncommitted"] = measure(call, "uncommitted")
+            finally:
+                stop.set()
+                t.join(timeout=120)
+            call.close()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
