@@ -312,12 +312,21 @@ class StateService:
         with self._sql_lock:  # held through collect: the view bind and
             # the read must see the same pin
             if uncommitted:
-                frames, pin = self.env.store.read_uncommitted_all(
-                    list(self.env.namespaces)
-                )
-                for name, frame in frames.items():
-                    frame.createOrReplaceTempView(f"state_{name}")
-                df = self.env.spark.sql(query)
+                # env.sql_lock too (r14 self-review): the committed
+                # branch binds under it via env.sql, but this branch
+                # binds the same state_<ns> names directly — without the
+                # shared lock a DIRECT env.sql caller in another thread
+                # could rebind between our bind and our analysis, and
+                # this query would analyze against the other caller's
+                # pin.  RLock: ordering serve._sql_lock -> env.sql_lock
+                # is consistent everywhere; env.sql never takes ours.
+                with self.env.sql_lock:
+                    frames, pin = self.env.store.read_uncommitted_all(
+                        list(self.env.namespaces)
+                    )
+                    for name, frame in frames.items():
+                        frame.createOrReplaceTempView(f"state_{name}")
+                    df = self.env.spark.sql(query)
             else:
                 pin = self.pin(epoch)
                 df = self.env.sql(query, epoch=pin)

@@ -192,3 +192,34 @@ def test_env_sql_concurrent_threads_pin_consistently(spark):
     for t in threads:
         t.join(timeout=300)
     assert not errs, errs
+
+
+def test_serve_uncommitted_sql_holds_env_lock(spark):
+    """r14 self-review: the serve sql uncommitted branch binds the same
+    state_<ns> temp views a direct env.sql caller binds — both must
+    serialize on env.sql_lock, or a rebind can slip between serve's
+    bind and its analysis.  Deterministic check: with env.sql_lock held
+    elsewhere, the serve call must block until release."""
+    import time as _time
+
+    env = _filled_env(spark, n=3)
+    svc = StateService(env, max_rows=10)
+    done = []
+
+    def call():
+        out = svc.sql(
+            "SELECT count(*) AS n FROM state_bal", freshness="uncommitted"
+        )
+        done.append(out)
+
+    acquired = env.sql_lock.acquire()
+    assert acquired
+    try:
+        t = threading.Thread(target=call, daemon=True)
+        t.start()
+        t.join(timeout=1.5)
+        assert not done, "serve sql ran while env.sql_lock was held elsewhere"
+    finally:
+        env.sql_lock.release()
+    t.join(timeout=120)
+    assert done and done[0]["rows"] == [[3]], done
