@@ -166,9 +166,9 @@ def main() -> None:
 # pushed the front-of-list shedding into the cross-round-tracked
 # packing/prefix-filter family rows; the r13 line measured 1,596 B, so
 # round 14's four serve_key_query_* rows (~160 B) would shed x_ family
-# comparables at 1,600 — the r14 smoke line measured 1,750 B, so 1,800
-# absorbs digit growth with ~250 B of the 2 kB capture still in hand.
-MAX_LINE_BYTES = 1800
+# comparables at 1,600 — the r14 sf0.1 clean line measured 1,793 B, so
+# 1,850 absorbs digit growth with ~200 B of the 2 kB capture in hand.
+MAX_LINE_BYTES = 1850
 
 
 def format_line(result: dict) -> str:
