@@ -364,7 +364,15 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny by construction) and a single-scalar aggregate to the driver;
     k rounds total, the kmeans-style control-plane loop. At 100 TB each
     round is one map + one treeAggregate-shaped reduce, nothing
-    shuffles the corpus."""
+    shuffles the corpus.
+
+    ANTI-PATTERN WARNING (verdict r13): k full passes over the base is
+    acceptable HERE only because k is a small constant by construction
+    (a coreset is control-plane-sized).  Do not copy this driver-side
+    loop shape into anything where the iteration count scales with the
+    data — that is the collect-and-loop failure mode the rest of the
+    repo's operators avoid (CC uses pointer-jumping rounds, k-means a
+    fixed iteration budget, BFS a frontier)."""
     emb = t(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id",
