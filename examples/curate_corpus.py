@@ -60,12 +60,31 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         F.col("flagged") == 1
     ).select("doc_id").distinct()
 
+    # 4b. perceptual near-dup over the binary media kinds (round 14):
+    # image dHash / audio fingerprint pairs, keep the smaller doc_id of
+    # each pair — the multimodal leg of the dedup stage, same banded
+    # candidates-then-verify kernels the registered entries gate
+    from t_spoon_spark.operators.multimodal import (
+        audio_fingerprint_pairs,
+        binarize_documents,
+        dhash_pairs,
+    )
+
+    mm = binarize_documents(docs)
+    perceptual_drop = (
+        dhash_pairs(mm, max_hamming=7)
+        .unionByName(audio_fingerprint_pairs(mm, max_hamming=3))
+        .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
+        .distinct()
+    )
+
     kept = (
         docs.select("doc_id", "lang", "n_chars")
         .join(passing, "doc_id", "left_semi")
         .join(keepers, "doc_id", "left_semi")
         .join(nd_drop, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
+        .join(perceptual_drop, "doc_id", "left_anti")
     )
 
     # 5. deterministic split + manifest — the SAME bucket function as

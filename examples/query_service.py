@@ -115,6 +115,24 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> dict:
             full = [kv for p in pages for kv in p]
             assert len(full) == len({k for k, _ in full}), "paged dup/loss"
             assert sum(v for _, v in full) == 100.0 * len(full), "torn pages"
+            # round 14: keyset paging on the SQL path — the client
+            # names its ORDER BY columns and the cursor becomes a
+            # lexicographic continuation predicate at the same pin
+            # (O(pages) deep paging, no offset rescan)
+            kreq = {
+                "op": "sql",
+                "query": "SELECT key, value FROM state_balances ORDER BY key",
+                "limit": 5,
+                "keyset_cols": ["key"],
+            }
+            resp = call(kreq)
+            assert resp["ok"] and "keyset" in resp["cursor"], resp
+            krows = list(resp["rows"])
+            while resp.get("truncated"):
+                resp = call({**kreq, "cursor": resp["cursor"]})
+                assert resp["ok"], resp
+                krows.extend(resp["rows"])
+            assert len(krows) == len(full), "keyset drain != predicate drain"
             # round 13: PL0 hot reads — freshness='uncommitted' answers
             # from the in-flight epoch's resolved updates mid-commit
             # (idle here, so it equals committed and is flagged)
