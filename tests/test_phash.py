@@ -147,3 +147,24 @@ def test_audio_pigeonhole_and_kind_filter(spark):
     rows = audio_fingerprints(mixed).collect()
     assert [r["doc_id"] for r in rows] == [2]
     assert 0 <= rows[0]["fingerprint"] < (1 << 32)
+
+
+def test_entry_plans_minimal_shuffles(spark):
+    """Entry-level 100 TB gate: the hash entries are map-only plus the
+    oracle-determinism sort (1 shuffle); band stats adds the two
+    aggregation exchanges (3 total).  No Python, no cartesian, ever."""
+    from t_spoon_spark.plans.explain import count_shuffles, executed_plan
+    from t_spoon_spark.registry import _REGISTRY, all_queries
+
+    all_queries()
+    bounds = {
+        "dedup_phash_images": 1,
+        "dedup_audio_fingerprints": 1,
+        "dedup_phash_band_stats": 3,
+    }
+    for name, max_shuffles in bounds.items():
+        df = _REGISTRY[name].spark_fn(spark, "/root/testdata/sf0.001")
+        plan = executed_plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert count_shuffles(df) <= max_shuffles, (name, count_shuffles(df))
