@@ -366,3 +366,59 @@ def cdc_latest_stateful(src: DataFrame) -> DataFrame:
     return src.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def dhash_dedup_stateful(src: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Streaming VISUAL near-dup membership — the stateful twin of the
+    batch dHash pair detector (`operators/multimodal.dhash_pairs`),
+    same shape as `simhash_dedup_stateful` but over the two-word 64-bit
+    hash: input rows are (doc_id, dhash_lo, dhash_hi, band, band_key) —
+    one row per one-byte band, hashes computed at ingest — grouped by
+    band bucket with applyInPandasWithState.  An arriving image is a
+    duplicate iff some strictly-earlier image is within ``max_hamming``
+    (<= 7: the 8-band pigeonhole makes per-bucket comparison
+    exhaustive, recall 1.0).  Emit (doc_id, is_dup) per band; callers
+    OR the bands (groupBy max).  Python-side hamming works word-wise
+    so no value ever leaves the signed-64 range the Arrow transfer
+    uses.  Test-gated on a length-preserving perturbation corpus
+    (tests/test_phash.py) rather than registry-gated: the parquet
+    corpus's image near-dups are length-perturbed, so its streaming
+    result is all-zeros — an oracle row that gates nothing (same
+    honesty rule as the batch pair entries)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if max_hamming > 7:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the 8-band pigeonhole "
+            "guarantee (exhaustive only for <= 7)"
+        )
+    out_schema = "doc_id bigint, is_dup int"
+    state_schema = "ids array<bigint>, los array<bigint>, his array<bigint>"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        ids, los, his = state.get if state.exists else ([], [], [])
+        ids, los, his = list(ids), list(los), list(his)
+        rows = pd.concat(list(pdfs))
+        if len(rows):
+            rows = rows.sort_values("doc_id")
+        outs = []
+        for doc_id, lo, hi in zip(rows["doc_id"], rows["dhash_lo"], rows["dhash_hi"]):
+            doc_id, lo, hi = int(doc_id), int(lo), int(hi)
+            dup = any(
+                i < doc_id
+                and bin(lo ^ l).count("1") + bin(hi ^ h).count("1") <= max_hamming
+                for i, l, h in zip(ids, los, his)
+            )
+            outs.append((doc_id, int(dup)))
+            ids.append(doc_id)
+            los.append(lo)
+            his.append(hi)
+        state.update((ids, los, his))
+        yield pd.DataFrame(outs, columns=["doc_id", "is_dup"])
+
+    return src.groupBy("band", "band_key").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

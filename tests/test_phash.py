@@ -168,3 +168,42 @@ def test_entry_plans_minimal_shuffles(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert count_shuffles(df) <= max_shuffles, (name, count_shuffles(df))
+
+
+def test_streaming_dhash_dedup_keep_first(spark, tmp_path):
+    """Streaming twin: a near-dup arriving AFTER its original is
+    flagged, the original and unrelated docs are not — arrival order
+    (doc_id-ordered stream) decides keep-first, exactly like the
+    simhash streaming dedup."""
+    from t_spoon_spark.operators.multimodal import dhash_bands, dhash_images
+    from t_spoon_spark.streaming.windows import (
+        dhash_dedup_stateful,
+        drain_stream,
+        file_stream,
+    )
+
+    base = _text("sbase")
+    edited = list(base)
+    for pos in (100, 360, 650):
+        for k in range(10):
+            edited[pos + k] = "~"
+    near = "".join(edited)
+    far = _text("sfar")
+    mm = _mm(spark, [(1, "src0", base), (2, "src0", near), (3, "src0", far)])
+    bands = dhash_bands(dhash_images(mm))
+    stream = file_stream(spark, bands, n_slices=2, time_ordered="doc_id")
+    per_band = drain_stream(dhash_dedup_stateful(stream), output_mode="update")
+    got = {
+        r["doc_id"]: r["is_dup"]
+        for r in per_band.groupBy("doc_id")
+        .agg(F.max("is_dup").cast("int").alias("is_dup"))
+        .collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 0}, got
+
+
+def test_streaming_dhash_threshold_guard(spark):
+    from t_spoon_spark.streaming.windows import dhash_dedup_stateful
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_dedup_stateful(None, max_hamming=8)
