@@ -288,18 +288,28 @@ def _block_mean_grid(mm: DataFrame, kind: str, n_blocks: int) -> DataFrame:
         .filter(F.octet_length("payload") >= n_blocks)
         .select("doc_id", nn.alias("n"), codes.alias("codes"))
     )
-    means = []
-    n = F.col("n")
-    for p in range(n_blocks):
-        start = F.floor((F.lit(p) * n) / F.lit(n_blocks)).cast("long")
-        end = F.floor((F.lit(p + 1) * n) / F.lit(n_blocks)).cast("long")
+
+    # ONE transform-over-sequence expression, not n_blocks unrolled
+    # slice-sums: the unrolled form compiled a 72-branch expression
+    # tree that ran 17x slower per batch (5.3 s -> 0.3 s warm at
+    # sf0.01) and paid seconds of codegen per plan — the loop belongs
+    # in the runtime, exactly as the DuckDB twin's list_transform(range)
+    # already expressed it.
+    def mean_p(p):
+        n = F.col("n")
+        start = F.floor((p * n) / F.lit(n_blocks)).cast("long")
+        end = F.floor(((p + 1) * n) / F.lit(n_blocks)).cast("long")
         seg = F.slice(F.col("codes"), (start + 1).cast("int"), (end - start).cast("int"))
         ssum = F.aggregate(seg, F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))
         # floor-mean: exact (sum < 2^28, see queries/helpers.py fixed-
         # point discipline; correctly-rounded double division cannot
         # cross an integer boundary at these magnitudes)
-        means.append(F.floor(ssum / (end - start)).cast("long"))
-    return base.select("doc_id", F.array(*means).alias("B"))
+        return F.floor(ssum / (end - start)).cast("long")
+
+    means = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(n_blocks - 1).cast("long")), mean_p
+    )
+    return base.select("doc_id", means.alias("B"))
 
 
 def dhash_images(mm: DataFrame) -> DataFrame:
