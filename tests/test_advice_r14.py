@@ -223,3 +223,55 @@ def test_serve_uncommitted_sql_holds_env_lock(spark):
         env.sql_lock.release()
     t.join(timeout=120)
     assert done and done[0]["rows"] == [[3]], done
+
+
+# -- property: keyset pagination drains exactly under any page size ----
+
+
+def test_keyset_pagination_property(spark):
+    """Randomized (hypothesis) drain check for the keyset SQL cursor:
+    for random row sets with DUPLICATE order-column values and random
+    page sizes, paging ORDER BY (value, key) with keyset_cols
+    ["value", "key"] retrieves exactly the full result — no dup, no
+    loss — because the lexicographic continuation predicate advances
+    through ties on the unique tiebreak."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    n_examples = int(os.environ.get("TSPOON_PROP_EXAMPLES", "6"))
+
+    env = TxEnvironment(spark)
+    env.create_namespace("bal", "double", 0.0)
+    # duplicate-heavy values: many ties for the tiebreak to resolve
+    rows = [(f"k{i:03d}", float(i % 4)) for i in range(23)]
+    env.store.commit(0, {"bal": _upd(spark, rows)}, None)
+    oracle = sorted(((v, k) for k, v in rows))
+
+    @settings(
+        max_examples=n_examples,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(page=st.integers(min_value=1, max_value=9))
+    def run(page):
+        svc = StateService(env, max_rows=page)
+        req = {
+            "op": "sql",
+            "query": "SELECT value, key FROM state_bal ORDER BY value, key",
+            "keyset_cols": ["value", "key"],
+        }
+        resp = svc.handle(req)
+        assert resp["ok"], resp
+        got = [tuple(r) for r in resp["rows"]]
+        while resp.get("truncated"):
+            resp = svc.handle({**req, "cursor": resp["cursor"]})
+            assert resp["ok"], resp
+            got.extend(tuple(r) for r in resp["rows"])
+        assert got == oracle, (page, got)
+
+    run()
