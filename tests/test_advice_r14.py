@@ -275,3 +275,32 @@ def test_keyset_pagination_property(spark):
         assert got == oracle, (page, got)
 
     run()
+
+
+def test_recovery_ignores_orphaned_epoch_log(spark, tmp_path):
+    """Crash BETWEEN log write and marker: the orphaned epoch-1 log
+    parquet exists on disk but its marker never landed.  A fresh store
+    opening the same root must recover to epoch 0 (the orphan is not
+    state), and a pinned read of the orphaned epoch must hit the
+    above-watermark guard — the on-disk twin of the ADVICE-r13 fix."""
+    root = str(tmp_path / "s")
+    store = StateStore(spark, root=root, durable=True)
+    store.register(Namespace("g", "double", 0.0))
+    store.commit(0, {"g": _upd(spark, [("a", 1.0), ("b", 2.0)])}, None)
+    # simulate the torn commit: epoch-1 log written, no marker
+    _upd(spark, [("a", 99.0)]).write.mode("overwrite").parquet(
+        store._log_path("g", 1)
+    )
+
+    recovered = StateStore(spark, root=root, durable=True)
+    recovered.register(Namespace("g", "double", 0.0))
+    assert recovered.committed_epoch() == 0
+    got = {r["key"]: r["value"] for r in recovered.read("g").collect()}
+    assert got == {"a": 1.0, "b": 2.0}, got  # orphan invisible
+    with pytest.raises(KeyError, match="above the committed watermark"):
+        recovered.read("g", 1)
+    # and the engine moves on: the next commit REUSES epoch 1 and its
+    # values win over the orphan's
+    recovered.commit(1, {"g": _upd(spark, [("a", 5.0)])}, None)
+    got = {r["key"]: r["value"] for r in recovered.read("g").collect()}
+    assert got == {"a": 5.0, "b": 2.0}, got
