@@ -38,6 +38,11 @@ def _roundtrip(df: DataFrame, fmt: str, **read_opts) -> DataFrame:
     writer = df.write.mode("overwrite")
     if fmt == "csv":
         writer = writer.option("header", "true").option("quoteAll", "true")
+    if fmt == "xml":
+        # Spark 4 built-in XML source (the spark-xml integration):
+        # one <doc> element per row; entity escaping round-trips the
+        # free-text column bit-exactly (probed on the real corpus)
+        writer = writer.option("rowTag", "doc")
     writer.format(fmt).save(path)
     reader = spark.read.schema(df.schema)
     if fmt == "csv":
@@ -87,6 +92,20 @@ def io_csv_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is a lang-keyed partial agg."""
     docs = t(spark, sf_dir, "documents")
     return _docs_summary(_roundtrip(docs, "csv"))
+
+
+@register("io_xml_roundtrip_docs", _DOCS_SUMMARY_SQL)
+def io_xml_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> XML (Spark 4 built-in source, one <doc> element per
+    row) -> read back with explicit schema -> per-language summary
+    (round 14: the format surface gains the markup family).  Free text
+    is the hard case for XML too — entity escaping of <>&'" and
+    whitespace preservation inside elements; the distinct-hash column
+    catches any drift (probed bit-exact on the real corpus before
+    registration).  Scale note: identical shape to the CSV/JSON gates —
+    per-file parallel round-trip, lang-keyed partial agg."""
+    docs = t(spark, sf_dir, "documents")
+    return _docs_summary(_roundtrip(docs, "xml", rowTag="doc"))
 
 
 @register("io_json_roundtrip_docs", _DOCS_SUMMARY_SQL)
