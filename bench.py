@@ -65,6 +65,10 @@ EXTRA_REPRESENTATIVES = (
     "text_duplicate_ngram_spans",
     "dedup_semdedup_clusters",
     "sampling_dsir_importance",
+    # round-14 perceptual family representative: hash + banding +
+    # occupancy in one row (the pair kernel's cost is the band join
+    # this measures; the corpus pair set is empty by design)
+    "dedup_phash_band_stats",
 )
 
 

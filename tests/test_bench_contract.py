@@ -38,6 +38,10 @@ def _full_shape_result() -> dict:
         "txn_latency_ms_unloaded",
         "streaming_bank_commit_latency_ms",
         "streaming_concurrent_commit_latency_ms",
+        "serve_key_query_p50_ms",
+        "serve_key_query_p95_ms",
+        "serve_key_query_under_commit_p50_ms",
+        "serve_key_query_under_commit_p95_ms",
         "cluster_txn_latency_ms_at_5200_fixed",
         "cluster_txn_ms_per_txn",
         "cluster_cascade_latency_ms",
