@@ -324,7 +324,7 @@ def connected_components(
     checks ride the driver-side pandas twin when available (zero extra
     jobs locally).
     """
-    from t_spoon_spark.tx.runner import materialize
+    from t_spoon_spark.tx.runner import materialize, materialize_mode
 
     # cut the pair-generation lineage ONCE — every iteration joins the
     # edge list, and without this the whole upstream candidate DAG
@@ -342,75 +342,101 @@ def connected_components(
     edges = edges.coalesce(
         max(edges.sparkSession.sparkContext.defaultParallelism, 1)
     ).persist()
-    # labels are one row per distinct doc — control-sized; materialize
-    # keeps the per-round plan flat and (locally) provides the pandas
-    # twin for free convergence checks
+
+    if materialize_mode(edges.sparkSession) == "pandas":
+        # LOCAL path (optimization r14): two full edge-list passes total
+        # instead of init + one join per round.
+        #   pass 1 — fused first round: label(u) = min(u, min neighbor),
+        #     one aggregation (the old identity-label init + round-0
+        #     join computed exactly this with an extra distinct pass and
+        #     a redundant join);
+        #   pass 2 — contraction: the distinct cross-label edge pairs
+        #     (lu, lv), a LABEL-graph that is control-sized for near-dup
+        #     graphs; union-find over it on the driver (labels are
+        #     driver-resident here by construction) finishes all
+        #     remaining propagation in one step, replacing the 3-5
+        #     propagate+compress rounds the sf0.1 corpus measured.
+        # Result is bit-identical: union-by-min root == component min.
+        labels = materialize(
+            edges.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("label"))
+        )
+        lpdf = labels._tspoon_pdf
+        lab_u = F.broadcast(labels.select("u", F.col("label").alias("lu")))
+        lab_v = F.broadcast(
+            labels.select(F.col("u").alias("v"), F.col("label").alias("lv"))
+        )
+        contracted = (
+            edges.join(lab_u, "u")
+            .join(lab_v, "v")
+            .filter(F.col("lu") != F.col("lv"))
+            .select("lu", "lv")
+            .distinct()
+        )
+        cpdf = materialize(contracted)._tspoon_pdf
+        rounds = 2
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a_l, b_l in zip(cpdf["lu"].tolist(), cpdf["lv"].tolist()):
+            ra, rb = _find(a_l), _find(b_l)
+            if ra == rb:
+                continue
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+        out_pdf = lpdf.assign(label=lpdf["label"].map(lambda l: _find(l)))
+        labels = edges.sparkSession.createDataFrame(out_pdf, schema=labels.schema)
+        labels._tspoon_pdf = out_pdf
+        edges.unpersist()
+        if stats is not None:
+            stats["rounds"] = rounds
+        return labels.select(
+            F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+
+    # CLUSTER path: min-label propagation with pointer jumping,
+    # unchanged — per round one join + one groupBy on doc_id, O(log
+    # diameter) rounds, lineage cut through materialize (distributed
+    # checkpoint here).
     labels = materialize(edges.select("u").distinct().withColumn("label", F.col("u")))
 
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
         lab = labels.select(F.col("u").alias("v"), "label")
-        if getattr(labels, "_tspoon_pdf", None) is not None:
-            # labels are a driver-resident control frame (the pandas
-            # twin exists, i.e. under materialize's size gate): hint the
-            # broadcast so the per-round edge join never shuffles the
-            # data-plane edge list. On the cluster path (no twin) the
-            # planner/AQE decides — labels there can be corpus-sized.
-            lab = F.broadcast(lab)
         nmin = edges.join(lab, "v").groupBy("u").agg(F.min("label").alias("nlabel"))
         stepped = labels.join(nmin, "u", "left").select(
             "u",
             F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
         )
-        spdf = getattr(materialize(stepped), "_tspoon_pdf", None)
-        if spdf is not None:
-            # Labels already live driver-side (the pandas materialize
-            # twin, control-sized: one row per doc in >=1 pair).
-            # Compress pointer chains to saturation in pandas — a pure
-            # dict walk over the control frame, zero extra Spark jobs —
-            # instead of one join-per-halving. Near-dup graphs then
-            # converge in 2-3 edge-join rounds total (vs ~6 with
-            # single-hop jumping); each skipped round saved 3 joins.
-            mapping = dict(zip(spdf["u"].tolist(), spdf["label"].tolist()))
-            while True:
-                nxt = {u: mapping.get(lab, lab) for u, lab in mapping.items()}
-                if nxt == mapping:
-                    break
-                mapping = nxt
-            spdf = spdf.assign(label=spdf["u"].map(mapping))
-            opdf = getattr(labels, "_tspoon_pdf", None)
-            if opdf is not None:
-                a = opdf.sort_values("u").reset_index(drop=True)
-                b = spdf.sort_values("u").reset_index(drop=True)
-                changed = int((a["label"].values != b["label"].values).sum())
-            else:  # first round after a non-twin frame
-                changed = 1
-            new_labels = labels.sparkSession.createDataFrame(
-                spdf, schema=labels.schema
-            )
-            new_labels._tspoon_pdf = spdf
-        else:
-            # Cluster path: pointer jumping (path halving) as a join —
-            # follow label -> label(label) once per round, so a
-            # length-d chain converges in O(log d) rounds instead of d.
-            # Sound because every label is itself a node (component
-            # minima are their own labels), and label values only ever
-            # decrease toward the minimum.
-            jumped = stepped.join(
-                stepped.select(
-                    F.col("u").alias("label"), F.col("label").alias("label2")
-                ),
-                "label",
-                "left",
-            ).select("u", F.coalesce("label2", "label").alias("label"))
-            new_labels = materialize(jumped)
-            changed = (
-                labels.withColumnRenamed("label", "old")
-                .join(new_labels, "u")
-                .filter(F.col("old") != F.col("label"))
-                .count()
-            )
+        # Pointer jumping (path halving) as a join — follow
+        # label -> label(label) once per round, so a length-d chain
+        # converges in O(log d) rounds instead of d. Sound because
+        # every label is itself a node (component minima are their own
+        # labels), and label values only ever decrease toward the
+        # minimum.
+        jumped = stepped.join(
+            stepped.select(
+                F.col("u").alias("label"), F.col("label").alias("label2")
+            ),
+            "label",
+            "left",
+        ).select("u", F.coalesce("label2", "label").alias("label"))
+        new_labels = materialize(jumped)
+        changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new_labels, "u")
+            .filter(F.col("old") != F.col("label"))
+            .count()
+        )
         labels = new_labels
         if changed == 0:
             break

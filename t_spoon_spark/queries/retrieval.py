@@ -294,15 +294,18 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pmi_c"),
         )
     )
+    # TakeOrderedAndProject top-20 first, then rank the 20-row result —
+    # the global row_number window pushed the whole bigram vocabulary
+    # through one partition (optimization r14)
+    top = scored.orderBy(F.desc("pmi_c"), F.asc("w1"), F.asc("w2")).limit(20)
     return (
-        scored.withColumn(
+        top.withColumn(
             "rnk",
             F.row_number().over(
                 Window.orderBy(F.desc("pmi_c"), F.asc("w1"), F.asc("w2"))
             ),
         )
         .orderBy("rnk")
-        .limit(20)
     )
 
 

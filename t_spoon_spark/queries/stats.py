@@ -306,13 +306,16 @@ def assoc_rules_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
+    # TakeOrderedAndProject top-20 first, then rank the 20-row result —
+    # the global row_number window pushed every part pair through one
+    # partition (optimization r14)
+    top = scored.orderBy(F.desc("lift_c"), F.asc("pa"), F.asc("pb")).limit(20)
     return (
-        scored.withColumn(
+        top.withColumn(
             "rnk",
             F.row_number().over(W.orderBy(F.desc("lift_c"), F.asc("pa"), F.asc("pb"))),
         )
         .orderBy("rnk")
-        .limit(20)
     )
 
 

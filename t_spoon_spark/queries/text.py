@@ -264,11 +264,19 @@ def text_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_occ"),
     )
+    # top-K via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps + driver k-merge) instead of a global row_number window,
+    # which shuffled EVERY distinct gram string into one partition for
+    # a full sort before keeping 20 rows (optimization r14); the rank
+    # window then runs over the 20-row result only.
     w = Window.orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("gram"))
-    return (
+    top = (
         agg.filter(F.col("n_docs") >= 2)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= NGRAM_SPAN_TOP)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("gram"))
+        .limit(NGRAM_SPAN_TOP)
+    )
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
         .select("rnk", "gram", "n_docs", "n_occ")
         .orderBy("rnk")
     )
