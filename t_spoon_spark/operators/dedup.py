@@ -79,6 +79,30 @@ def doc_shingle_hashes(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> D
     ).select(id_col, md5_long(F.col("sh")).alias("sh_hash"))
 
 
+def doc_shingle_arrays(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(doc_id, sh_arr ARRAY<BIGINT>) — each doc's distinct shingle
+    hashes as ONE array row: the no-explode twin of doc_shingle_hashes
+    (same strings, same md5-derived hashes, docs with zero shingles
+    dropped exactly as the exploded form drops them). Set operations
+    (signature mins, intersection counts) then run as JVM array
+    expressions instead of exploded joins + per-pair re-grouping
+    (optimization r14, guide §2.3/§2.4).
+
+    Build shape: explode -> md5 -> collect_list(groupBy doc_id), NOT
+    transform(shingles, md5_long) — md5 inside a higher-order lambda
+    runs on the interpreted expression path (~12x slower, measured
+    9.5s vs 0.8s at sf0.1); exploded md5 is whole-stage-codegen'd and
+    the regroup shuffles 16-byte (doc_id, hash) rows with partial
+    aggregation. Element order is collect_list's (nondeterministic) —
+    every consumer is order-insensitive (array_min / size /
+    array_intersect)."""
+    docs = spread(docs)
+    exp = docs.select(
+        F.col(id_col), F.explode(shingles(F.col("text"), k)).alias("sh")
+    ).select(id_col, md5_long(F.col("sh")).alias("h"))
+    return exp.groupBy(id_col).agg(F.collect_list("h").alias("sh_arr"))
+
+
 def _verify_jaccard(
     cand: DataFrame, sh: DataFrame, id_col: str, threshold_c: int
 ) -> DataFrame:
@@ -158,7 +182,10 @@ def jaccard_pairs(
             "doc_a", "doc_b", "n_inter", "jaccard_c"
         )
 
-    sh = sh.persist()  # feeds df counts, candidate gen, and verify
+    # per-doc arrays are the one cached artifact; the exploded posting
+    # view derives narrowly by explode (optimization r14)
+    arrs = doc_shingle_arrays(docs, id_col, k).persist()
+    sh = arrs.select(id_col, F.explode("sh_arr").alias("sh_hash"))
     try:
         rare = (
             sh.groupBy("sh_hash")
@@ -175,14 +202,19 @@ def jaccard_pairs(
             .select("doc_a", "doc_b")
             .distinct()
         )
+        # Verify over per-doc shingle ARRAYS (optimization r14): one
+        # array_intersect per candidate pair instead of two exploded-
+        # shingle joins + a per-pair groupBy + two size joins.
         # Materialize executor-side (localCheckpoint, distributed — no
-        # driver round-trip) so the shingle cache can be released here
+        # driver round-trip) so the array cache can be released here
         # instead of leaking in executor storage for the session's
         # lifetime; the checkpointed result itself is RDD-level storage,
         # reclaimed by the ContextCleaner once the caller drops it.
-        return _verify_jaccard(cand, sh, id_col, threshold_c).localCheckpoint(eager=True)
+        return verify_jaccard_arrays(cand, arrs, id_col, threshold_c).localCheckpoint(
+            eager=True
+        )
     finally:
-        sh.unpersist()
+        arrs.unpersist()
 
 
 def minhash_signature(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFrame:
@@ -201,6 +233,35 @@ def _signature_from(sh: DataFrame, id_col: str) -> DataFrame:
     return agg.select(id_col, F.array(*[f"h{j}" for j in range(MINHASH_H)]).alias("sig"))
 
 
+def verify_jaccard_arrays(
+    cand: DataFrame, arrs: DataFrame, id_col: str, threshold_c: int
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs from per-doc shingle ARRAYS:
+    two equi-joins attach each side's array, then |A∩B| is one
+    `size(array_intersect)` expression per pair — no exploded-shingle
+    join, no per-pair groupBy, no separate size joins (sz = size(arr)
+    rides the same row). Bit-identical to _verify_jaccard: both count
+    distinct shared shingle hashes (optimization r14)."""
+    a = arrs.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("sa"))
+    b = arrs.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("sb"))
+    paired = cand.join(a, "doc_a").join(b, "doc_b")
+    n_inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    scored = paired.select(
+        "doc_a",
+        "doc_b",
+        n_inter.alias("n_inter"),
+        (F.size("sa") + F.size("sb")).cast("long").alias("sz_sum"),
+    ).withColumn(
+        "jaccard_c",
+        F.floor(
+            F.col("n_inter") * 100.0 / (F.col("sz_sum") - F.col("n_inter"))
+        ).cast("long"),
+    )
+    return scored.filter(F.col("jaccard_c") >= threshold_c).select(
+        "doc_a", "doc_b", "n_inter", "jaccard_c"
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, id_col: str = "doc_id", k: int = 3, threshold_c: int = 50
 ) -> DataFrame:
@@ -208,13 +269,21 @@ def minhash_lsh_pairs(
     then verify candidates with exact Jaccard. Returns verified pairs.
 
     Scale path: the bucket join shuffles only (band_id, band_key) —
-    candidate generation never compares all pairs.
+    candidate generation never compares all pairs. The shingle sets
+    live as per-doc arrays end to end (optimization r14): signatures
+    are array_min over a transform (computed inside the scan stage —
+    the old exploded form shuffled every (doc, shingle) row through a
+    16-min aggregation first), and verification is array_intersect on
+    the candidate pairs' arrays.
     """
-    # the shingle table feeds signatures, candidate verification, and
-    # set sizes — compute it once (the explode + md5 over every doc is
-    # the dominant scan cost at scale).
-    sh = doc_shingle_hashes(docs, id_col, k).persist()
-    sig = _signature_from(sh, id_col)
+    arrs = doc_shingle_arrays(docs, id_col, k).persist()
+    perm_mins = [
+        F.array_min(
+            F.transform("sh_arr", lambda x: (x % MINHASH_P * a + b) % MINHASH_P)
+        ).alias(f"h{j}")
+        for j, (a, b) in enumerate(PERMS)
+    ]
+    sig = arrs.select(id_col, *perm_mins)
     rows_per_band = MINHASH_H // MINHASH_BANDS
     bands = sig.select(
         id_col,
@@ -222,7 +291,7 @@ def minhash_lsh_pairs(
             F.array(
                 *[
                     F.concat_ws(
-                        "_", *[F.col("sig")[i].cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                        "_", *[F.col(f"h{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
                     )
                     for b in range(MINHASH_BANDS)
                 ]
@@ -237,7 +306,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_jaccard(cand, sh, id_col, threshold_c).select(
+    return verify_jaccard_arrays(cand, arrs, id_col, threshold_c).select(
         "doc_a", "doc_b", "jaccard_c"
     )
 
