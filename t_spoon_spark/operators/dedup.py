@@ -321,17 +321,22 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     tok = spread(docs).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col("text")))).alias("w")
     ).select(id_col, md5_long(F.col("w")).alias("h"))
+    # SQL strings parsed JVM-side, not py4j Column algebra: the
+    # Column-built 48 bit-sum aggregates + 48-term reassembly issued
+    # ~700 gateway round trips and measured 2.4-7.9 s of pure plan
+    # construction per call at sf0.1 (optimization r14, guide §1) —
+    # identical expression trees after parsing.
     bit_sums = [
-        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+        F.expr(f"SUM(((h >> {j}) & 1) * 2 - 1)").alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << j).cast("long")
-        sim = term if sim is None else sim + term
-    return agg.select(id_col, sim.alias("sim"))
+    sim = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT)"
+        " END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return agg.select(id_col, F.expr(sim).alias("sim"))
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:

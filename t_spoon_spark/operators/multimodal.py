@@ -341,18 +341,28 @@ def dhash_images(mm: DataFrame) -> DataFrame:
     n_px = DHASH_ROWS * DHASH_COLS
     grid = _block_mean_grid(mm, "image", n_px).withColumnRenamed("B", "L")
 
-    def bit(b: int):
-        r, c = divmod(b, DHASH_COLS - 1)
-        lt = F.col("L").getItem(r * DHASH_COLS + c) < F.col("L").getItem(
-            r * DHASH_COLS + c + 1
-        )
-        return F.when(lt, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    # Build each 32-term word as ONE SQL string parsed JVM-side: the
+    # py4j Column-algebra form issued ~1,300 gateway round trips per
+    # call and measured 2.6-4.2 s of pure plan CONSTRUCTION at sf0.1
+    # (optimization r14, guide §1 — the cost was outside the executors
+    # entirely). Identical expression tree after parsing: bracket
+    # subscripts are 0-based GetArrayItem, CASE is the same When node.
+    def word(bits: range, base: int) -> str:
+        terms = []
+        for b in bits:
+            r, c = divmod(b, DHASH_COLS - 1)
+            i = r * DHASH_COLS + c
+            terms.append(
+                f"(CASE WHEN L[{i}] < L[{i + 1}] THEN CAST({1 << (b - base)} AS"
+                " BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        return " + ".join(terms)
 
-    lo = sum((bit(b) * F.lit(1 << b).cast("long") for b in range(1, 32)), bit(0))
-    hi = sum(
-        (bit(b) * F.lit(1 << (b - 32)).cast("long") for b in range(33, 64)), bit(32)
+    return grid.select(
+        "doc_id",
+        F.expr(word(range(0, 32), 0)).alias("dhash_lo"),
+        F.expr(word(range(32, 64), 32)).alias("dhash_hi"),
     )
-    return grid.select("doc_id", lo.alias("dhash_lo"), hi.alias("dhash_hi"))
 
 
 def dhash_bands(h: DataFrame) -> DataFrame:
@@ -433,15 +443,15 @@ def audio_fingerprints(mm: DataFrame) -> DataFrame:
     Returns (doc_id, fingerprint)."""
     frames = _block_mean_grid(mm, "audio", AUDIO_FRAMES)
 
-    def bit(b: int):
-        lt = F.col("B").getItem(b) < F.col("B").getItem(b + 1)
-        return F.when(lt, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    fp = sum(
-        (bit(b) * F.lit(1 << b).cast("long") for b in range(1, AUDIO_FRAMES - 1)),
-        bit(0),
+    # one SQL string parsed JVM-side (see dhash_images: the py4j
+    # Column-built form pays gateway round trips per term at plan
+    # construction; identical tree after parsing)
+    fp = " + ".join(
+        f"(CASE WHEN B[{b}] < B[{b + 1}] THEN CAST({1 << b} AS BIGINT) ELSE"
+        " CAST(0 AS BIGINT) END)"
+        for b in range(AUDIO_FRAMES - 1)
     )
-    return frames.select("doc_id", fp.alias("fingerprint"))
+    return frames.select("doc_id", F.expr(fp).alias("fingerprint"))
 
 
 def audio_fingerprint_pairs(mm: DataFrame, max_hamming: int = 3) -> DataFrame:

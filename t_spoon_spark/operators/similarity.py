@@ -49,6 +49,11 @@ def dot_int(a: Column, b: Column) -> Column:
 
 
 def with_norm(df: DataFrame, vec: str = "ei") -> DataFrame:
+    # dot stays the zip_with/aggregate HOF: a flat 64-term subscript
+    # sum was probed at 2M rows and ran 4x SLOWER than the HOF for
+    # column-x-column dots (the per-term null/bounds checks dominate);
+    # flat generation only wins when one side is a ±1 literal plane
+    # (see _plane_dot_sql) — measured, optimization r14.
     return df.withColumn("norm", F.sqrt(dot_int(F.col(vec), F.col(vec)).cast("double")))
 
 
@@ -57,16 +62,28 @@ def cosine_c(dot: Column, norm_a: Column, norm_b: Column) -> Column:
     return F.floor(dot.cast("double") * 1e6 / (norm_a * norm_b) + F.lit(0.5)).cast("long")
 
 
-def bucket_bits(vec: Column) -> Column:
-    """8-bit LSH bucket: sign of the dot product with each plane."""
-    out = None
-    for j, plane in enumerate(PLANES):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
-        d = dot_int(vec, lit_plane)
-        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << j).cast("long")
-        out = term if out is None else out + term
-    return out
+def _plane_dot_sql(col_name: str, plane: list[int]) -> str:
+    """±1-plane dot product as a flat signed sum over array subscripts —
+    one SQL string parsed JVM-side and whole-stage-codegen'd, replacing
+    the py4j-built zip_with/aggregate form that cost 64 F.lit gateway
+    calls per plane at plan construction AND ran on the interpreted
+    higher-order-function path per row (optimization r14, guide §1/§4).
+    Exact integer math either way."""
+    return " ".join(
+        f"{'+' if v == 1 else '-'} {col_name}[{i}]" for i, v in enumerate(plane)
+    ).lstrip("+ ")
+
+
+def bucket_bits(col_name: str = "ei") -> Column:
+    """8-bit LSH bucket: sign of the dot product with each plane.
+    Takes the embedding COLUMN NAME (the whole expression is generated
+    as one SQL string — see _plane_dot_sql)."""
+    sql = " + ".join(
+        f"(CASE WHEN ({_plane_dot_sql(col_name, plane)}) > 0 THEN"
+        f" CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j, plane in enumerate(PLANES)
+    )
+    return F.expr(sql)
 
 
 def brute_force_topk(
@@ -98,14 +115,14 @@ def lsh_topk(
     corpus = spread(corpus)
     c = with_norm(
         corpus.select(F.col(id_col).alias("c_id"), int_embedding("embedding").alias("ei"))
-    ).withColumn("bucket", bucket_bits(F.col("ei")))
+    ).withColumn("bucket", bucket_bits("ei"))
     q = with_norm(
         queries.select(F.col(id_col).alias("q_id"), int_embedding("embedding").alias("ei"))
     ).select(
         "q_id",
         F.col("ei").alias("qe"),
         F.col("norm").alias("qnorm"),
-        bucket_bits(F.col("ei")).alias("bucket"),
+        bucket_bits("ei").alias("bucket"),
     )
     pairs = c.join(F.broadcast(q), "bucket").filter(F.col("c_id") != F.col("q_id"))
     scored = pairs.select(
@@ -133,14 +150,14 @@ def lsh_multiprobe_topk(
     corpus = spread(corpus)
     c = with_norm(
         corpus.select(F.col(id_col).alias("c_id"), int_embedding("embedding").alias("ei"))
-    ).withColumn("bucket", bucket_bits(F.col("ei")))
+    ).withColumn("bucket", bucket_bits("ei"))
     q0 = with_norm(
         queries.select(F.col(id_col).alias("q_id"), int_embedding("embedding").alias("ei"))
     ).select(
         "q_id",
         F.col("ei").alias("qe"),
         F.col("norm").alias("qnorm"),
-        bucket_bits(F.col("ei")).alias("b0"),
+        bucket_bits("ei").alias("b0"),
     )
     probes = F.array(
         F.col("b0"),
@@ -245,17 +262,17 @@ def ivf_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
-def band_key(vec: Column, band: int, band_bits: int) -> Column:
+def band_key(col_name: str, band: int, band_bits: int) -> Column:
     """Key of one LSH band: `band_bits` hyperplane sign bits packed into
-    a long (band j uses planes [j*band_bits, (j+1)*band_bits))."""
-    out = None
-    for i in range(band_bits):
-        plane = _plane(band * band_bits + i)
-        d = dot_int(vec, F.array(*[F.lit(v) for v in plane]))
-        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long")
-        out = term if out is None else out + term
-    return out
+    a long (band j uses planes [j*band_bits, (j+1)*band_bits)). Takes
+    the embedding COLUMN NAME (SQL-string construction, see
+    _plane_dot_sql)."""
+    sql = " + ".join(
+        f"(CASE WHEN ({_plane_dot_sql(col_name, _plane(band * band_bits + i))}) > 0"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(band_bits)
+    )
+    return F.expr(sql)
 
 
 def lsh_candidate_pairs(
@@ -277,7 +294,7 @@ def lsh_candidate_pairs(
     dropped wholesale; deterministic, and mirrored by the oracle."""
     entries = [
         F.struct(
-            F.lit(j).alias("band"), band_key(F.col(vec_col), j, band_bits).alias("bkey")
+            F.lit(j).alias("band"), band_key(vec_col, j, band_bits).alias("bkey")
         )
         for j in range(n_bands)
     ]

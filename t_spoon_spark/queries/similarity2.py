@@ -691,7 +691,7 @@ def _ann_candidate_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     # otherwise skew (or sign-flip) the counts (ADVICE r9)
     n_q = min(N_Q, n_vec)
     base = emb.select("vec_id", int_embedding("embedding").alias("ei"))
-    bk = base.select("vec_id", bucket_bits(F.col("ei")).alias("bucket"))
+    bk = base.select("vec_id", bucket_bits("ei").alias("bucket"))
     sz = bk.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     qb = bk.filter(F.col("vec_id") < N_Q)
     lsh_n = int(qb.join(sz, "bucket").agg(F.sum("cnt")).first()[0]) - n_q
