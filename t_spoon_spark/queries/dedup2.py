@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from t_spoon_spark.operators.dedup import doc_shingle_hashes
+from t_spoon_spark.operators.dedup import doc_shingle_hashes, verify_jaccard_arrays
 from t_spoon_spark.queries.dedup import _DD_SH_TABLE
 from t_spoon_spark.queries.relational import t
 from t_spoon_spark.registry import register
@@ -113,37 +113,50 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outside the size band can be pruned BEFORE the distinct with zero
     # recall loss — the completeness test pins that the output is still
     # the uncapped ground truth.
-    a = pref.select(F.col("doc_id").alias("doc_a"), "sh_hash", F.col("sz").alias("sz_a"))
-    b = pref.select(F.col("doc_id").alias("doc_b"), "sh_hash", F.col("sz").alias("sz_b"))
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        "sh_hash",
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        "sh_hash",
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    # positional filter (PPJoin, optimization r14): at a match row the
+    # intersection is bounded by the elements at-or-after the match in
+    # BOTH docs' (identical, global) rarest-first order:
+    # I <= min(sz_a - pos_a, sz_b - pos_b) + 1.  Jaccard >= tau needs
+    # I*(100+tau) >= tau*(sz_a+sz_b), so rows whose bound can't reach
+    # it generate no candidate.  Lossless: a true pair's FIRST common
+    # element has no shared element before it, so its bound is exact
+    # there and that row passes — measured 193k -> far fewer candidate
+    # pairs before the exact verify (which was 3.0 s of the entry's
+    # 5.6 s as pure false-positive scanning).
+    pos_ok = (
+        F.least(F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")) + 1
+    ) * (100 + PF_TAU) >= (F.col("sz_a") + F.col("sz_b")) * PF_TAU
     cand = (
         a.join(b, "sh_hash")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("sz_b") * 100 >= F.col("sz_a") * PF_TAU)
             & (F.col("sz_a") * 100 >= F.col("sz_b") * PF_TAU)
+            & pos_ok
         )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh_hash")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh_hash")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "sh_hash"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.floor(
-        F.col("n_inter") * 100.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-    ).cast("long")
-    return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard_c"))
-        .filter(F.col("jaccard_c") >= PF_TAU)
-        .orderBy("doc_a", "doc_b")
+    # verify over per-doc shingle ARRAYS regrouped from the (already
+    # checkpointed) exploded table: on the positionally-pruned
+    # candidate set this measured 0.96 s vs 1.25 s for the exploded
+    # two-join + groupBy + size-join verify (optimization r14) — one
+    # array_intersect expression per pair, sizes ride the same row.
+    arrs = sh.groupBy("doc_id").agg(F.collect_list("sh_hash").alias("sh_arr"))
+    return verify_jaccard_arrays(cand, arrs, "doc_id", PF_TAU).orderBy(
+        "doc_a", "doc_b"
     )
 
 
@@ -191,6 +204,10 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc_shingle_hashes(docs).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     pref = _prefix(sh, sizes, CT_TAU)
+    # (no positional filter here: with only the contained side ordered,
+    # the PPJoin position bound reduces to sz_in - pos + 1 >=
+    # tau*sz_in/100, which the prefix-length cutoff already guarantees
+    # for every prefix row — checked and left alone, optimization r14)
     a = pref.select(F.col("doc_id").alias("doc_in"), "sh_hash")
     b = sh.select(F.col("doc_id").alias("doc_out"), "sh_hash")
     # length filter, asymmetric form: C(in->out) >= tau forces
