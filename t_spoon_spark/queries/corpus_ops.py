@@ -579,33 +579,36 @@ def dsir_scores(docs: DataFrame, target_lang: str) -> DataFrame:
     per-doc BIGINT importance weights (w_c), token counts, lang.
     Separated from the gated entry so crafted-distribution tests can
     pin that the weights actually discriminate."""
+    from t_spoon_spark.operators.dedup import spread
     from t_spoon_spark.operators.text import md5_long, tokens
 
-    b = docs.select(
+    b = spread(docs).select(
         "doc_id",
         "lang",
         F.explode(tokens(F.col("text"))).alias("w"),
     ).select(
         "doc_id", "lang", (md5_long(F.col("w")) % DSIR_H).alias("h")
     )
-    cr = b.groupBy("h").agg(F.count(F.lit(1)).alias("cr"))
-    ct = (
-        b.filter(F.col("lang") == target_lang)
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE pass over the exploded token stream builds BOTH per-bucket
+    # counts (raw + target as a conditional sum), and the scalar totals
+    # derive from the DSIR_H-row bucket table (every token lands in
+    # exactly one bucket, so tr = SUM(cr), tt = SUM(ct)) — the old
+    # shape re-ran the corpus-sized explode+md5 three times (cr, ct,
+    # tot passes; optimization r14, guide §2.1: fewer passes).  A
+    # target-absent bucket now counts ct = 0 instead of NULL — same +1
+    # Laplace smoothing either way.
+    freq = b.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0)).alias("ct"),
     )
-    tot = b.agg(
-        F.count(F.lit(1)).alias("tr"),
-        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0)).alias("tt"),
-    )
+    tot = freq.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
     lr = (
-        cr.join(ct, "h", "left")
-        .crossJoin(F.broadcast(tot))
+        freq.crossJoin(F.broadcast(tot))
         .select(
             "h",
             F.floor(
                 F.log(
-                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * (F.col("tr") + DSIR_H))
+                    ((F.col("ct") + 1) * (F.col("tr") + DSIR_H))
                     .cast("double")
                     / ((F.col("cr") + 1) * (F.col("tt") + DSIR_H)).cast("double")
                 )

@@ -21,6 +21,11 @@ from t_spoon_spark.registry import register
 PR_SCALE = 1_000_000_000  # rank fixed-point scale
 PR_ITERS = 10
 PR_N = 25  # nations
+# the aggregated nation graph is schema-bounded (<= PR_N^2 rows); fold
+# the Pregel rounds on the driver below this edge count, keep the
+# distributed loop above it (a graph keyed on an unbounded id would
+# blow past this immediately)
+_PR_DRIVER_CAP = 100_000
 
 # session cache: content tag -> bucketed co-order edge table name.
 # Keyed by the source-content fingerprint, NOT by sf_dir (ADVICE r10):
@@ -221,11 +226,38 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     outw = edges.groupBy("u").agg(
         F.greatest(F.sum("w"), F.lit(1)).cast("long").alias("ow")
     )
-    # materialize once for the 10 iterations WITHOUT a session-lifetime
+    # materialize once for the iterations WITHOUT a session-lifetime
     # cache pin (cache() here would hold executor storage for every
     # later gate entry in the same session)
     ew = edges.join(outw, "u").localCheckpoint(eager=True)
     base = (15 * PR_SCALE) // (100 * PR_N)
+    n_edges = ew.count()  # cheap: frame just materialized
+    if n_edges <= _PR_DRIVER_CAP:
+        # The aggregated nation graph is CONTROL-sized (bounded by the
+        # schema at |nations|^2 = 625 edge rows, not by the corpus), so
+        # after the one corpus-sized edge aggregation above, the 10
+        # Pregel rounds were 10 joins + 10 groupBys of a 25-row frame —
+        # pure fixed overhead.  Fold them on the driver in the same
+        # exact BIGINT arithmetic (Spark's `div` == Python `//` on
+        # non-negative ints; sums exact in either order), the engine's
+        # established pattern for control-sized iteration (CC's label
+        # union-find, the BPE merge loop).  Optimization r14, guide
+        # §5.4: driver loops only over schema-bounded data.
+        rows = ew.select("u", "v", "w", "ow").collect()
+        ranks = {int(r["v"]): PR_SCALE // PR_N for r in nations.collect()}
+        for _ in range(PR_ITERS):
+            acc: dict[int, int] = {}
+            for e in rows:
+                c = (85 * ranks[e["u"]] * e["w"]) // (100 * e["ow"])
+                acc[e["v"]] = acc.get(e["v"], base) + c
+            ranks = acc
+        ordered = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))
+        out = [
+            (int(v), int(r), i + 1) for i, (v, r) in enumerate(ordered)
+        ]
+        return nations.sparkSession.createDataFrame(
+            out, schema="nationkey long, rank_c long, rnk int"
+        ).orderBy("rnk")
     ranks = nations.select(
         "v", F.lit(PR_SCALE // PR_N).cast("long").alias("r")
     )
@@ -538,19 +570,35 @@ def graph_bfs_hop_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.broadcast(f) if small else f)
             .join(edges.alias("e"), F.col("f.fv") == F.col("e.u"))
             .select(F.col("e.v").alias("v"))
-            .distinct()
         )
         w = visited.alias("w")
-        new = (
-            reached.alias("r")
-            .join(
-                F.broadcast(w) if small else w,
-                F.col("r.v") == F.col("w.v"),
-                "left_anti",
+        if small:
+            # broadcast branch: anti-join BEFORE distinct — the
+            # broadcast anti drops already-visited rows map-side (in
+            # late rounds that is most of the dup-heavy neighborhood
+            # stream), so the distinct's Exchange shuffles only the
+            # genuinely-new sliver instead of the whole reached stream
+            # (optimization r14, guide §2.3: shuffle fewer rows).
+            new = (
+                reached.alias("r")
+                .join(F.broadcast(w), F.col("r.v") == F.col("w.v"), "left_anti")
+                .select(F.col("r.v").alias("v"))
+                .distinct()
             )
-            .select(F.col("r.v").alias("v"), F.lit(it).cast("int").alias("hop"))
-            .localCheckpoint(eager=True)
-        )
+        else:
+            # shuffled branch: distinct FIRST — its Exchange on v is
+            # reused by the shuffled anti-join (same key, no second
+            # Exchange), so dedup-then-subtract is the cheaper order
+            # when the frontier outgrows the broadcast cap.
+            new = (
+                reached.distinct()
+                .alias("r")
+                .join(w, F.col("r.v") == F.col("w.v"), "left_anti")
+                .select(F.col("r.v").alias("v"))
+            )
+        new = new.select(
+            "v", F.lit(it).cast("int").alias("hop")
+        ).localCheckpoint(eager=True)
         n_new = new.count()  # cheap: frame just materialized
         if n_new == 0:  # frontier exhausted — identical result, fewer rounds
             break

@@ -143,11 +143,22 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the full corpus x queries product."""
     docs = t(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # the posting list (tf) is the ONE artifact built from the token
+    # stream; document length and the corpus token total both derive
+    # from it (dl = SUM tf per doc, t_tokens = SUM tf — identical
+    # counts, docs without tokens appear in neither) — the old shape
+    # re-ran the corpus-sized explode three times (optimization r14,
+    # guide §2.1).  Materialized executor-side for its three readers;
+    # this is exactly the index artifact a search pipeline persists.
+    tf = (
+        ex.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     tot = docs.select(F.count(F.lit(1)).alias("d_docs")).crossJoin(
-        ex.select(F.count(F.lit(1)).alias("t_tokens"))
+        tf.select(F.sum("tf").alias("t_tokens"))
     )
     qdf = spark.createDataFrame(
         [(int(q), term) for q, term in BM25_QUERIES], "q_id: bigint, term: string"
