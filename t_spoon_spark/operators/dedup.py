@@ -359,16 +359,22 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3)
     )
     a = bands.select(F.col(id_col).alias("doc_a"), F.col("sim").alias("sim_a"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("doc_b"), F.col("sim").alias("sim_b"), "band", "band_key")
-    cand = (
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # verify BEFORE distinct (optimization r14, guide §2.3): the exact
+    # hamming check is a per-row column expression over values already
+    # on the band-match row, so running it first means the dedup
+    # Exchange carries only TRUE pairs (narrow (a, b, hamming) rows)
+    # instead of every multi-band candidate collision with both 64-bit
+    # signatures.  filter-then-distinct == distinct-then-filter for a
+    # deterministic per-row predicate.
+    return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.withColumn("hamming", ham.cast("int")).filter(
-        F.col("hamming") <= max_hamming
-    ).select("doc_a", "doc_b", "hamming")
 
 
 def connected_components(

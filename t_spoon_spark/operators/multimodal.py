@@ -414,20 +414,21 @@ def dhash_pairs(mm: DataFrame, max_hamming: int = 7) -> DataFrame:
         "band",
         "band_key",
     )
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "lo_a", "lo_b", "hi_a", "hi_b")
-        .distinct()
-    )
     ham = (
         F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
         + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
     ).cast("int")
+    # verify before distinct: the hamming check is a per-row expression
+    # over the band-match row, so the dedup Exchange carries only true
+    # pairs, not every multi-band collision with four 32-bit words
+    # (optimization r14; same reorder as simhash_pairs)
     return (
-        cand.withColumn("hamming", ham)
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -488,15 +489,13 @@ def audio_fingerprint_pairs(mm: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fp_b"),
         "band", "band_key",
     )
-    cand = (
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    # verify before distinct (same reorder as simhash_pairs/dhash_pairs)
+    return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
-    return (
-        cand.withColumn("hamming", ham)
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
