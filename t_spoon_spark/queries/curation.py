@@ -323,9 +323,14 @@ def dedup_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = base.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("sh")
     )
+    # (doc_id, sh) rows are already distinct — the explode is over
+    # array_distinct per doc — so COUNT(*) == COUNT(DISTINCT doc_id)
+    # here, and the plain count is a single-phase map-side-combinable
+    # aggregate where count_distinct planned a 2x expand + two-phase
+    # shuffle (optimization r14, guide §2.4).
     boiler = (
         ex.groupBy("sh")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 5)
         .select("sh", F.lit(1).alias("__b"))
     )
