@@ -271,10 +271,10 @@ def minhash_lsh_pairs(
     Scale path: the bucket join shuffles only (band_id, band_key) —
     candidate generation never compares all pairs. The shingle sets
     live as per-doc arrays end to end (optimization r14): signatures
-    are array_min over a transform (computed inside the scan stage —
-    the old exploded form shuffled every (doc, shingle) row through a
-    16-min aggregation first), and verification is array_intersect on
-    the candidate pairs' arrays.
+    are array_min over a transform computed per array row — the old
+    exploded form paid a second full aggregation pass (16 MINs,
+    map-side partials) plus its exchange; verification is
+    array_intersect on the candidate pairs' arrays.
     """
     arrs = doc_shingle_arrays(docs, id_col, k).persist()
     perm_mins = [
