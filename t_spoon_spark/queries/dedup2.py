@@ -39,11 +39,24 @@ def _prefix(sh: DataFrame, sizes: DataFrame, tau: int) -> DataFrame:
     engines — and keep the first sz - ceil(tau * sz / 100) + 1.  The
     pigeonhole bound: a doc sharing >= tau% of its shingles with
     another cannot miss with its whole prefix.  Returns
-    (doc_id, sh_hash, sz)."""
+    (doc_id, sh_hash, sz).
+
+    The per-doc set size rides the SAME doc_id window as the rank
+    (unbounded-frame count over an identical partition spec reuses the
+    one Exchange + Sort), so the separate sizes aggregation pass over
+    the posting table and its join are gone from this path
+    (optimization r14, guide §2.1); `sizes` stays a parameter for
+    callers' other uses but is no longer read here."""
+    del sizes  # kept in the signature for call-site compatibility
     freq = sh.groupBy("sh_hash").agg(F.count(F.lit(1)).cast("long").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh_hash"))
-    ordered = sh.join(freq, "sh_hash").withColumn("pos", F.row_number().over(w))
-    return ordered.join(sizes, "doc_id").filter(
+    w_all = Window.partitionBy("doc_id")
+    ordered = (
+        sh.join(freq, "sh_hash")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(w_all).cast("long"))
+    )
+    return ordered.filter(
         F.col("pos") <= F.col("sz") - F.ceil((F.col("sz") * tau) / F.lit(100.0)) + 1
     )
 
