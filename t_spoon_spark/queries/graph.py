@@ -142,6 +142,30 @@ def co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def _pr_driver_fold(rows, init_ranks: dict[int, int], iters: int, base: int) -> dict[int, int]:
+    """The driver twin of the distributed Pregel loop in
+    graph_pagerank_nations: identical exact BIGINT arithmetic AND
+    identical join semantics — a contribution whose source has no rank
+    row this round is SKIPPED, exactly as the distributed branch's
+    inner join drops it (a node with no in-edges loses its rank row
+    after round 1; the old ``ranks[e["u"]]`` raised KeyError there
+    while the join was silent — round-14 verdict #1 / ADVICE r14).
+    Unreachable on the query's own graph (zero-weight self-loops give
+    every nation an in-edge), but the two paths must agree on ANY graph
+    under the cap; tests/test_pagerank_fold.py pins it."""
+    ranks = dict(init_ranks)
+    for _ in range(iters):
+        acc: dict[int, int] = {}
+        for e in rows:
+            ru = ranks.get(e["u"])
+            if ru is None:
+                continue
+            c = (85 * ru * e["w"]) // (100 * e["ow"])
+            acc[e["v"]] = acc.get(e["v"], base) + c
+        ranks = acc
+    return ranks
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed trade edges: customer nation -> supplier nation, one
     unit of weight per lineitem. Reference semantics: the cross-nation
@@ -244,13 +268,8 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # union-find, the BPE merge loop).  Optimization r14, guide
         # §5.4: driver loops only over schema-bounded data.
         rows = ew.select("u", "v", "w", "ow").collect()
-        ranks = {int(r["v"]): PR_SCALE // PR_N for r in nations.collect()}
-        for _ in range(PR_ITERS):
-            acc: dict[int, int] = {}
-            for e in rows:
-                c = (85 * ranks[e["u"]] * e["w"]) // (100 * e["ow"])
-                acc[e["v"]] = acc.get(e["v"], base) + c
-            ranks = acc
+        init = {int(r["v"]): PR_SCALE // PR_N for r in nations.collect()}
+        ranks = _pr_driver_fold(rows, init, PR_ITERS, base)
         ordered = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))
         out = [
             (int(v), int(r), i + 1) for i, (v, r) in enumerate(ordered)
