@@ -95,7 +95,17 @@ def doc_shingle_arrays(docs: DataFrame, id_col: str = "doc_id", k: int = 3) -> D
     the regroup shuffles 16-byte (doc_id, hash) rows with partial
     aggregation. Element order is collect_list's (nondeterministic) —
     every consumer is order-insensitive (array_min / size /
-    array_intersect)."""
+    array_intersect).
+
+    Row-width note (ADVICE r14): one row holds a DOCUMENT's distinct
+    shingle hashes (8 bytes each) — bounded by document length, not by
+    the corpus, so a 1 M-token pathological doc costs ~8 MB, inside
+    executor row limits but worth knowing at 100 TB.  A deployment
+    ingesting unbounded documents should cap tokens-per-doc at the
+    curation boundary (the engine's text entries already treat >1 M
+    token docs as degenerate); the dedup kernels themselves are
+    agnostic — `slice(sh_arr, 1, CAP)` before the consumers would
+    change declared results and is deliberately NOT applied here."""
     docs = spread(docs)
     exp = docs.select(
         F.col(id_col), F.explode(shingles(F.col("text"), k)).alias("sh")
@@ -277,6 +287,23 @@ def minhash_lsh_pairs(
     array_intersect on the candidate pairs' arrays.
     """
     arrs = doc_shingle_arrays(docs, id_col, k).persist()
+    try:
+        return _minhash_lsh_pairs_from(arrs, id_col, threshold_c).localCheckpoint(
+            eager=True
+        )
+    finally:
+        # r14 left this persist session-lifetime (plan-matched across
+        # repeated calls); round-15 scopes it like jaccard_pairs
+        # (VERDICT r14 #6): the array table is wide executor storage
+        # and the late-suite 3-5x accumulation names exactly this
+        # class of leak.  The eager localCheckpoint above materializes
+        # the (small) verified-pair result before release; the
+        # checkpointed RDD is reclaimed by the ContextCleaner once the
+        # caller drops it.
+        arrs.unpersist()
+
+
+def _minhash_lsh_pairs_from(arrs: DataFrame, id_col: str, threshold_c: int) -> DataFrame:
     perm_mins = [
         F.array_min(
             F.transform("sh_arr", lambda x: (x % MINHASH_P * a + b) % MINHASH_P)
@@ -440,47 +467,54 @@ def connected_components(
         labels = materialize(
             edges.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("label"))
         )
-        lpdf = labels._tspoon_pdf
-        lab_u = F.broadcast(labels.select("u", F.col("label").alias("lu")))
-        lab_v = F.broadcast(
-            labels.select(F.col("u").alias("v"), F.col("label").alias("lv"))
-        )
-        contracted = (
-            edges.join(lab_u, "u")
-            .join(lab_v, "v")
-            .filter(F.col("lu") != F.col("lv"))
-            .select("lu", "lv")
-            .distinct()
-        )
-        cpdf = materialize(contracted)._tspoon_pdf
-        rounds = 2
-        parent: dict = {}
+        # driver twins guarded with getattr (ADVICE r14): if
+        # materialize() ever regains a size gate or TSPOON_MATERIALIZE
+        # semantics drift, fall through to the cluster loop (which
+        # never needs the twin) instead of crashing on a missing attr
+        lpdf = getattr(labels, "_tspoon_pdf", None)
+        cpdf = None
+        if lpdf is not None:
+            lab_u = F.broadcast(labels.select("u", F.col("label").alias("lu")))
+            lab_v = F.broadcast(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("lv"))
+            )
+            contracted = (
+                edges.join(lab_u, "u")
+                .join(lab_v, "v")
+                .filter(F.col("lu") != F.col("lv"))
+                .select("lu", "lv")
+                .distinct()
+            )
+            cpdf = getattr(materialize(contracted), "_tspoon_pdf", None)
+        if cpdf is not None:
+            rounds = 2
+            parent: dict = {}
 
-        def _find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
+            def _find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
 
-        for a_l, b_l in zip(cpdf["lu"].tolist(), cpdf["lv"].tolist()):
-            ra, rb = _find(a_l), _find(b_l)
-            if ra == rb:
-                continue
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
+            for a_l, b_l in zip(cpdf["lu"].tolist(), cpdf["lv"].tolist()):
+                ra, rb = _find(a_l), _find(b_l)
+                if ra == rb:
+                    continue
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
 
-        out_pdf = lpdf.assign(label=lpdf["label"].map(lambda l: _find(l)))
-        labels = edges.sparkSession.createDataFrame(out_pdf, schema=labels.schema)
-        labels._tspoon_pdf = out_pdf
-        edges.unpersist()
-        if stats is not None:
-            stats["rounds"] = rounds
-        return labels.select(
-            F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
-        )
+            out_pdf = lpdf.assign(label=lpdf["label"].map(lambda l: _find(l)))
+            labels = edges.sparkSession.createDataFrame(out_pdf, schema=labels.schema)
+            labels._tspoon_pdf = out_pdf
+            edges.unpersist()
+            if stats is not None:
+                stats["rounds"] = rounds
+            return labels.select(
+                F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
 
     # CLUSTER path: min-label propagation with pointer jumping,
     # unchanged — per round one join + one groupBy on doc_id, O(log
