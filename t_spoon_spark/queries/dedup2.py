@@ -126,40 +126,67 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outside the size band can be pruned BEFORE the distinct with zero
     # recall loss — the completeness test pins that the output is still
     # the uncapped ground truth.
-    a = pref.select(
-        F.col("doc_id").alias("doc_a"),
-        "sh_hash",
-        F.col("sz").alias("sz_a"),
-        F.col("pos").alias("pos_a"),
+    # indexing/probing prefix asymmetry (PPJoin, optimization r15):
+    # orient each unordered pair by (sz, doc_id); the SMALLER side x
+    # only needs its INDEX prefix ix = sz - ceil(2*tau*sz/(100+tau)) + 1
+    # in candidate generation, while the larger side y probes with the
+    # full (1-tau)-prefix.  Lossless: a qualifying pair has overlap
+    # I >= alpha = ceil(tau*(sx+sy)/(100+tau)) (integer I, from
+    # floor(I*100/union) >= tau), its FIRST common element sits at
+    # positions (px0, py0) with I <= min(sx-px0, sy-py0) + 1, so
+    # px0 <= sx - alpha + 1 <= ix  (alpha >= ceil(2*tau*sx/(100+tau))
+    # because sy >= sx) and py0 <= sy - alpha + 1 <= the probe prefix
+    # cutoff (alpha >= ceil(tau*sy/100) because 100*sx >= tau*sy for
+    # any qualifying pair — the length filter).  The index side is
+    # ~(1 - 2*tau/(100+tau))/(1 - tau/100) of the probe side (0.625x
+    # at tau=60), cutting the candidate join's row volume by the same
+    # factor on top of r14's positional filter; the completeness gate
+    # (tests/test_plans_round7.py) pins zero recall loss and the
+    # output canonicalizes back to doc_a < doc_b, so the entry's
+    # result is unchanged.
+    ix_len = (
+        F.col("sz") - F.ceil((F.col("sz") * (2 * PF_TAU)) / F.lit(100.0 + PF_TAU)) + 1
     )
-    b = pref.select(
-        F.col("doc_id").alias("doc_b"),
+    x = pref.filter(F.col("pos") <= ix_len).select(
+        F.col("doc_id").alias("doc_x"),
         "sh_hash",
-        F.col("sz").alias("sz_b"),
-        F.col("pos").alias("pos_b"),
+        F.col("sz").alias("sz_x"),
+        F.col("pos").alias("pos_x"),
+    )
+    y = pref.select(
+        F.col("doc_id").alias("doc_y"),
+        "sh_hash",
+        F.col("sz").alias("sz_y"),
+        F.col("pos").alias("pos_y"),
     )
     # positional filter (PPJoin, optimization r14): at a match row the
     # intersection is bounded by the elements at-or-after the match in
     # BOTH docs' (identical, global) rarest-first order:
-    # I <= min(sz_a - pos_a, sz_b - pos_b) + 1.  Jaccard >= tau needs
-    # I*(100+tau) >= tau*(sz_a+sz_b), so rows whose bound can't reach
+    # I <= min(sz_x - pos_x, sz_y - pos_y) + 1.  Jaccard >= tau needs
+    # I*(100+tau) >= tau*(sz_x+sz_y), so rows whose bound can't reach
     # it generate no candidate.  Lossless: a true pair's FIRST common
     # element has no shared element before it, so its bound is exact
-    # there and that row passes — measured 193k -> far fewer candidate
+    # there and that row passes — r14 measured 193k -> 68.7k candidate
     # pairs before the exact verify (which was 3.0 s of the entry's
     # 5.6 s as pure false-positive scanning).
     pos_ok = (
-        F.least(F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")) + 1
-    ) * (100 + PF_TAU) >= (F.col("sz_a") + F.col("sz_b")) * PF_TAU
+        F.least(F.col("sz_x") - F.col("pos_x"), F.col("sz_y") - F.col("pos_y")) + 1
+    ) * (100 + PF_TAU) >= (F.col("sz_x") + F.col("sz_y")) * PF_TAU
+    ordered = (F.col("sz_x") < F.col("sz_y")) | (
+        (F.col("sz_x") == F.col("sz_y")) & (F.col("doc_x") < F.col("doc_y"))
+    )
     cand = (
-        a.join(b, "sh_hash")
+        x.join(y, "sh_hash")
         .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("sz_b") * 100 >= F.col("sz_a") * PF_TAU)
-            & (F.col("sz_a") * 100 >= F.col("sz_b") * PF_TAU)
+            ordered
+            # length filter: with sz_x <= sz_y only this direction binds
+            & (F.col("sz_x") * 100 >= F.col("sz_y") * PF_TAU)
             & pos_ok
         )
-        .select("doc_a", "doc_b")
+        .select(
+            F.least("doc_x", "doc_y").alias("doc_a"),
+            F.greatest("doc_x", "doc_y").alias("doc_b"),
+        )
         .distinct()
     )
     # verify over per-doc shingle ARRAYS regrouped from the (already

@@ -83,6 +83,36 @@ def test_prefix_filter_pigeonhole_bounds(a, b, tau):
         assert len(b) * 100 >= len(a) * tau
 
 
+@given(
+    a=st.sets(st.integers(0, 60), min_size=1, max_size=25),
+    b=st.sets(st.integers(0, 60), min_size=1, max_size=25),
+    tau=st.integers(1, 100),
+)
+@settings(max_examples=300, deadline=None)
+def test_index_prefix_pigeonhole_bound(a, b, tau):
+    """PPJoin indexing/probing asymmetry (optimization r15,
+    queries/dedup2.py): for a qualifying pair oriented so |x| <= |y|
+    (ties broken consistently), x's shorter INDEX prefix
+    (sz - ceil(2*tau*sz/(100+tau)) + 1) still intersects y's probing
+    prefix — the candidate generation that joins only index-side x
+    rows against probe-side y rows loses nothing at the threshold."""
+
+    def take(s, keep):
+        return set(sorted(s)[: max(int(keep), 0)])
+
+    x, y = (a, b) if (len(a), min(a)) <= (len(b), min(b)) else (b, a)
+    if len(x) > len(y):
+        x, y = y, x
+    inter = len(x & y)
+    jac = inter * 100 // len(x | y)
+    if jac >= tau:
+        ix = len(x) - math.ceil(len(x) * 2 * tau / (100.0 + tau)) + 1
+        py = len(y) - math.ceil(len(y) * tau / 100.0) + 1
+        assert take(x, ix) & take(y, py), (x, y, tau)
+        # the length filter the candidate join applies alongside it
+        assert len(x) * 100 >= len(y) * tau
+
+
 @given(v=st.lists(st.integers(-5, 5), min_size=64, max_size=64))
 @settings(max_examples=200, deadline=None)
 def test_signature_hamming_counts_sign_disagreements(v):
