@@ -47,6 +47,16 @@ def _full_shape_result() -> dict:
         "cluster_cascade_latency_ms",
     ):
         queries[name] = 123456.7
+    # round-15 latency-pin spread keys (VERDICT r14 #7) — part of the
+    # full shape, shed FIRST when the line outgrows the cap
+    for name in (
+        "txn_lat5200_sp",
+        "txn_lat30k_sp",
+        "txn_lat52k_sp",
+        "txn_lat_unl_sp",
+        "txn_lat80p_sp",
+    ):
+        queries[name] = 12345.6
     return {
         "metric": "headline_total",
         "value": 12345.678,
@@ -115,6 +125,24 @@ def test_shedding_drops_front_x_rows_and_keeps_edge_build_last():
     assert dropped == x_keys[: len(dropped)]
     if kept:
         assert kept[-1] == "x_edge_build_sec"
+
+
+def test_spread_keys_shed_before_x_rows():
+    """The `*_sp` latency-pin spread keys are self-evidence (their
+    primaries and bench_details.json keep the signal), so when the
+    line outgrows the cap they must be shed BEFORE any x_ family
+    comparable."""
+    result = _full_shape_result()
+    for i in range(6):  # inflate just past the cap
+        result["queries"][f"x_padding_family_row_number_{i:02d}_sec"] = 9999.999
+    line = bench.format_line(result)
+    parsed = json.loads(line)
+    sp_keys = [k for k in parsed["queries"] if k.endswith("_sp")]
+    x_keys = [k for k in parsed["queries"] if k.startswith("x_")]
+    # if any x_ row was shed, every _sp key must already be gone
+    if len(x_keys) < 13 + 1 + 6:  # families + edge_build + padding
+        assert not sp_keys, (sp_keys, x_keys)
+    assert len(line) <= bench.MAX_LINE_BYTES
 
 
 def test_median_discard_first_protocol():

@@ -27,6 +27,11 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = set(sys.argv[1:])
+    # a typo'd name must not silently produce a partial run that looks
+    # valid (ADVICE r14): warn on anything not in the timed sets
+    known = set(bench.HEADLINE) | set(bench.EXTRA_REPRESENTATIVES)
+    for miss in sorted(only - known):
+        print(f"# WARN: requested query {miss!r} is not a bench row — skipped", file=sys.stderr)
     spark = build_spark(app_name="bench_queries")
     qs = all_queries()
     qs["q6_revenue_filter"](spark, sf_dir).count()  # session warmup
@@ -38,9 +43,9 @@ def main() -> int:
             continue
         samples = []
         for i in range(4):
-            t0 = time.time()
+            t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
-            dt = time.time() - t0
+            dt = time.perf_counter() - t0
             if i > 0:
                 samples.append(dt)
         best = min(samples)
@@ -52,9 +57,9 @@ def main() -> int:
             continue
         samples = []
         for i in range(3):
-            t0 = time.time()
+            t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
-            dt = time.time() - t0
+            dt = time.perf_counter() - t0
             if i > 0:
                 samples.append(dt)
         best = min(samples)
