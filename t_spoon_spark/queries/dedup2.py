@@ -175,6 +175,17 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = (F.col("sz_x") < F.col("sz_y")) | (
         (F.col("sz_x") == F.col("sz_y")) & (F.col("doc_x") < F.col("doc_y"))
     )
+    # distinct on the ORIENTED pair (doc_x, doc_y) — a deterministic
+    # 1:1 image of the unordered pair — NOT on the canonical
+    # (least, greatest) form: the stream side rides the rank window's
+    # hash partitioning on doc_id (= doc_x), which satisfies the
+    # distinct's clustering, so the dedup runs as a partial+final
+    # HashAggregate pair with ZERO Exchange.  Canonicalizing first
+    # replaced the partition column with least(doc_x, doc_y) and
+    # re-shuffled every candidate (optimization r15, guide §2.4: the
+    # +1 Exchange was visible in the captured plan).  doc_a < doc_b is
+    # restored below on the verified (tiny) rows; n_inter/jaccard_c
+    # are symmetric, so the declared result is unchanged.
     cand = (
         x.join(y, "sh_hash")
         .filter(
@@ -183,11 +194,9 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("sz_x") * 100 >= F.col("sz_y") * PF_TAU)
             & pos_ok
         )
-        .select(
-            F.least("doc_x", "doc_y").alias("doc_a"),
-            F.greatest("doc_x", "doc_y").alias("doc_b"),
-        )
+        .select("doc_x", "doc_y")
         .distinct()
+        .select(F.col("doc_x").alias("doc_a"), F.col("doc_y").alias("doc_b"))
     )
     # verify over per-doc shingle ARRAYS regrouped from the (already
     # checkpointed) exploded table: on the positionally-pruned
@@ -195,9 +204,13 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-join + groupBy + size-join verify (optimization r14) — one
     # array_intersect expression per pair, sizes ride the same row.
     arrs = sh.groupBy("doc_id").agg(F.collect_list("sh_hash").alias("sh_arr"))
-    return verify_jaccard_arrays(cand, arrs, "doc_id", PF_TAU).orderBy(
-        "doc_a", "doc_b"
-    )
+    ver = verify_jaccard_arrays(cand, arrs, "doc_id", PF_TAU)
+    return ver.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+        "n_inter",
+        "jaccard_c",
+    ).orderBy("doc_a", "doc_b")
 
 
 @register(

@@ -97,9 +97,12 @@ def test_non_image_kinds_excluded(spark):
 
 
 def test_phash_plan_no_python_and_band_join(spark):
-    """100 TB gate: the whole pipeline (thumbnail, hash, banding,
-    verify) stays JVM-side — no BatchEvalPython/ArrowEvalPython
-    anywhere — and the candidate join keys on the exploded band."""
+    """100 TB gate: the only Python crossing in the pipeline is the
+    documented Arrow decode seam (`MapInArrow` over (doc_id, payload)
+    in `_block_mean_grid`, optimization r15) — everything downstream
+    (hash, banding, verify) stays JVM-side, and no row-at-a-time
+    BatchEvalPython or per-expression ArrowEvalPython appears
+    anywhere.  The candidate join keys on the exploded band."""
     from t_spoon_spark.plans.explain import executed_plan
 
     mm = _mm(spark, [(i, "src0", _text(str(i))) for i in range(1, 5)])
@@ -152,7 +155,9 @@ def test_audio_pigeonhole_and_kind_filter(spark):
 def test_entry_plans_minimal_shuffles(spark):
     """Entry-level 100 TB gate: the hash entries are map-only plus the
     oracle-determinism sort (1 shuffle); band stats adds the two
-    aggregation exchanges (3 total).  No Python, no cartesian, ever."""
+    aggregation exchanges (3 total).  The byte math crosses once
+    through the Arrow decode seam (MapInArrow, optimization r15); no
+    row-at-a-time BatchEvalPython, no cartesian, ever."""
     from t_spoon_spark.plans.explain import count_shuffles, executed_plan
     from t_spoon_spark.registry import _REGISTRY, all_queries
 
