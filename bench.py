@@ -204,20 +204,35 @@ def main() -> None:
 # round 14's four serve_key_query_* rows (~160 B) would shed x_ family
 # comparables at 1,600 — the r14 sf0.1 clean line measured 1,793 B, so
 # 1,850 absorbs digit growth with ~200 B of the 2 kB capture in hand.
-# Round 15 adds the five `*_sp` latency-pin spread keys (~110 B,
-# VERDICT r14 #7); the r14 driver tail capture was exactly 2,000 B and
-# the line prints last, so 1,960 keeps the whole line inside the
-# capture while sparing the x_ comparables from shedding.
-MAX_LINE_BYTES = 1960
+# Round 15 adds the packed latency-pin spread key (~43 B, VERDICT r14
+# #7; five separate ~110 B `*_sp` keys measured 2,065 B pre-shed on the
+# real line and shed themselves).  The driver tail capture is 2,000 B
+# and the line prints LAST, so the whole line is captured as long as
+# line + newline <= 2,000 regardless of anything printed before it;
+# with compact JSON separators the real r15 line reads 1,957 B, so
+# 1,985 leaves the packed spread key ~28 B of digit-growth headroom
+# while staying 15 B inside the capture.
+MAX_LINE_BYTES = 1985
 
 
 def format_line(result: dict) -> str:
     """Serialize the contract line, shedding x_* extras (they stay in
     the details file) if the line would outgrow the driver's tail
     capture — the round-6 failure mode, now structurally impossible for
-    the contract keys."""
-    line = json.dumps(result)
+    the contract keys.
+
+    Compact separators (optimization r15): the default ", " / ": "
+    spent ~117 B of the 2 kB capture on whitespace, which is exactly
+    why the r15 leg-A1 line (1,953 B post-shed) shed ALL FIVE `*_sp`
+    latency-pin spreads — the keys VERDICT r14 #7 added so a 0.4x
+    latency swing is attributable in one round.  Same keys, same
+    values, still one JSON line; only the separators change."""
     queries = result.get("queries", {})
+
+    def dump() -> str:
+        return json.dumps(result, separators=(",", ":"))
+
+    line = dump()
     # shed order: spread self-evidence keys first (their primaries and
     # the details file keep the signal), then x_* extras
     shed_order = [k for k in list(queries) if k.endswith("_sp")] + [
@@ -227,7 +242,7 @@ def format_line(result: dict) -> str:
         if len(line) <= MAX_LINE_BYTES:
             break
         del queries[k]
-        line = json.dumps(result)
+        line = dump()
     return line
 
 
@@ -356,15 +371,21 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
     # round-15 (VERDICT r14 #7): the driver diffs the COMPACT line, so
     # the five cross-round latency pins carry their spread there too —
     # a 0.4x swing on untouched code is then attributable to box
-    # scatter in ONE round instead of two.  Additions only (short
-    # `_sp` keys); every existing key keeps its meaning and position.
-    _SPREAD_IN_COMPACT = {
-        "txn_latency_ms_at_5200_fixed": "txn_lat5200_sp",
-        "txn_latency_ms_at_30k_fixed": "txn_lat30k_sp",
-        "txn_latency_ms_at_52k_fixed": "txn_lat52k_sp",
-        "txn_latency_ms_unloaded": "txn_lat_unl_sp",
-        "txn_latency_ms_at_80pct_sustained": "txn_lat80p_sp",
-    }
+    # scatter in ONE round instead of two.  Packed into ONE ~43 B key
+    # ("txn_lat_sp": "a/b/c/d/e", fixed order below, "-" for a missing
+    # row) because five separate `*_sp` keys (~110 B) pushed the real
+    # r15 line past the cap and were shed — self-evidence that sheds
+    # itself is no evidence.  Additions only; every existing key keeps
+    # its meaning and position; bench_details keeps the structured
+    # copies.
+    _SP_ORDER = (
+        "txn_latency_ms_at_5200_fixed",
+        "txn_latency_ms_at_30k_fixed",
+        "txn_latency_ms_at_52k_fixed",
+        "txn_latency_ms_unloaded",
+        "txn_latency_ms_at_80pct_sustained",
+    )
+    sp_vals: dict[str, float] = {}
 
     def _run_stats(name: str, fn) -> None:
         """best-of-N + spread for a txn metric (round-6 verdict missing
@@ -374,8 +395,8 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
             best, spread = fn()
             compact[name] = best
             details[name] = {"best": best, "spread": spread}
-            if name in _SPREAD_IN_COMPACT:
-                compact[_SPREAD_IN_COMPACT[name]] = spread
+            if name in _SP_ORDER:
+                sp_vals[name] = spread
             print(f"# {name}: best={best} spread={spread}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — per-metric isolation
             compact[name] = "failed"
@@ -500,7 +521,7 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
         try:
             lat, lat_spread = txn_latency_ms_at_rate(spark, sf_dir, 0.8 * rate)
             compact["txn_latency_ms_at_80pct_sustained"] = lat
-            compact["txn_lat80p_sp"] = lat_spread  # VERDICT r14 #7
+            sp_vals["txn_latency_ms_at_80pct_sustained"] = lat_spread
             details["txn_latency_ms_at_80pct_sustained"] = {
                 "best": lat,
                 "spread": lat_spread,
@@ -508,6 +529,11 @@ def bench_extra(spark, sf_dir, compact: dict, details: dict) -> None:
         except Exception as exc:  # noqa: BLE001
             compact["txn_latency_ms_at_80pct_sustained"] = "failed"
             print(f"# txn_latency_ms_at_80pct_sustained: FAILED {exc}", file=sys.stderr)
+    # compose the packed latency-pin spread key (VERDICT r14 #7) now
+    # that all five pins have run; order documented at _SP_ORDER
+    compact["txn_lat_sp"] = "/".join(
+        str(sp_vals[n]) if n in sp_vals else "-" for n in _SP_ORDER
+    )
 
     # streaming end-to-end trigger-to-commit latency — the epoch-model
     # analogue of the reference's LatencyTrackerStart/End sink pair

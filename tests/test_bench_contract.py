@@ -47,16 +47,11 @@ def _full_shape_result() -> dict:
         "cluster_cascade_latency_ms",
     ):
         queries[name] = 123456.7
-    # round-15 latency-pin spread keys (VERDICT r14 #7) — part of the
-    # full shape, shed FIRST when the line outgrows the cap
-    for name in (
-        "txn_lat5200_sp",
-        "txn_lat30k_sp",
-        "txn_lat52k_sp",
-        "txn_lat_unl_sp",
-        "txn_lat80p_sp",
-    ):
-        queries[name] = 12345.6
+    # round-15 latency-pin spread key (VERDICT r14 #7): the five pins'
+    # spreads packed into ONE short key (fixed order, see bench._SP_ORDER)
+    # so the self-evidence actually fits the capture — still shed FIRST
+    # if the line ever outgrows the cap
+    queries["txn_lat_sp"] = "12345.6/12345.6/12345.6/12345.6/12345.6"
     return {
         "metric": "headline_total",
         "value": 12345.678,
