@@ -1173,25 +1173,47 @@ class GraphRunner:
                         if not bool((gpdf.loc[nmask, "any_commit"] == 1).any()):
                             break
                 else:
-                    n_aborted = aborted.count()
-                    if prev_df is None:
-                        n_new = n_aborted
-                        has_replays = False
-                    else:
-                        n_new = aborted.join(prev_df, "_tid", "left_anti").count()
-                        has_replays = (
-                            prev_df.join(aborted, "_tid", "left_anti").limit(1).count() > 0
+                    # distributed branch (cluster 'reliable'/'ckpt'
+                    # materialize): ONE control job per round instead of
+                    # up to four (optimization r15, guide §5 — each
+                    # count()/limit(1).count() was a full job dispatch
+                    # on the multi-JVM path, and the cascade pays them
+                    # EVERY round).  gvotes carries every epoch tid
+                    # exactly once (tids left-joined to the per-tid vote
+                    # merge), so prev-set membership rides one left join
+                    # against the previous (checkpoint-rooted) abort set
+                    # and all four control reads collapse into a single
+                    # one-row aggregate: n_aborted, n_new (aborted ∧
+                    # ∉prev), has_replays (∈prev ∧ no longer aborted),
+                    # and the new-contamination flag (new abort that
+                    # chain-committed a link) — bitwise the same
+                    # break conditions as the four separate scans.
+                    gv = (
+                        gvotes.join(
+                            prev_df.withColumn("__prev", F.lit(1)), "_tid", "left"
                         )
+                        if prev_df is not None
+                        else gvotes.withColumn("__prev", F.lit(None).cast("int"))
+                    )
+                    is_ab = F.col("vote") == ABORT
+                    is_new = is_ab & F.col("__prev").isNull()
+                    ctl = gv.agg(
+                        F.sum(is_ab.cast("long")).alias("n_ab"),
+                        F.sum(is_new.cast("long")).alias("n_new"),
+                        F.max(((~is_ab) & F.col("__prev").isNotNull()).cast("int")).alias(
+                            "replays"
+                        ),
+                        F.max((is_new & (F.col("any_commit") == 1)).cast("int")).alias(
+                            "contam"
+                        ),
+                    ).collect()[0]
+                    n_aborted = int(ctl["n_ab"] or 0)
+                    n_new = int(ctl["n_new"] or 0)
+                    has_replays = bool(ctl["replays"])
                     if n_new == 0 and not has_replays:
                         break
-                    if not has_ec and not has_replays:
-                        new_contam = gvotes.filter(
-                            (F.col("vote") == ABORT) & (F.col("any_commit") == 1)
-                        ).select("_tid")
-                        if prev_df is not None:
-                            new_contam = new_contam.join(prev_df, "_tid", "left_anti")
-                        if new_contam.limit(1).count() == 0:
-                            break
+                    if not has_ec and not has_replays and not bool(ctl["contam"]):
+                        break
                 # Fixpoint, not a fixed cap: per the tid-order argument
                 # above the round count is bounded by the epoch's
                 # longest dependency chain. A silent cap would commit
